@@ -1,0 +1,19 @@
+"""Pytest root conftest.
+
+Tests run on CPU with 8 virtual XLA host devices so the multi-chip sharding
+paths (tyleri_tpu.parallel) are exercised without TPU hardware.  These env
+vars must be set before the first ``import jax`` anywhere in the test
+process, which is why this lives in the repo-root conftest.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
