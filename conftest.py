@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent compile cache (the framework's pipeline-cache analog) so repeated
+# test runs skip XLA compilation.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,263 @@
+"""Golden tests: the jitted raster pipeline (setup -> binning -> visibility ->
+deferred shade, and the exact ordered path) against the independent numpy
+oracle implementing Vulkan rules.
+
+Scenes use grid-aligned coordinates so f32 (pipeline) and f64 (oracle) make
+identical coverage decisions; depth uses random values with a tiny mismatch
+budget for D16 rounding at quantization boundaries.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tyleri_tpu.pipeline.state import (
+    BlendState,
+    CompareOp,
+    DepthFormat,
+    DepthState,
+    MESH_PIPELINE_STATE,
+    PipelineState,
+    UI_PIPELINE_STATE,
+)
+from tyleri_tpu.rendering import passes
+from tyleri_tpu.testing import oracle
+from tyleri_tpu.utils.math3d import Rect2D, Viewport
+
+FLAT = PipelineState(
+    blend=BlendState(enable=False),
+    depth=DepthState(test_enable=True, write_enable=True,
+                     compare_op=CompareOp.LESS_OR_EQUAL,
+                     format=DepthFormat.D16_UNORM),
+)
+
+FB = 64
+
+
+def random_scene(rng, T=40, grid=16):
+    """Triangles with vertices snapped to a coarse NDC grid, flat random z."""
+    xy = rng.integers(-grid - 2, grid + 3, size=(T, 3, 2)).astype(np.float64) / grid
+    z = rng.integers(1, 63, size=(T, 1)).astype(np.float64) / 64.0
+    clip = np.zeros((T, 3, 4))
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = np.broadcast_to(z[:, None], (T, 3, 1))[..., 0]
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2))
+    return clip, uv
+
+
+def checker_texture(n=8):
+    yy, xx = np.mgrid[0:n, 0:n]
+    c = ((xx + yy) % 2).astype(np.float64)
+    tex = np.stack([c, 1 - c, np.full_like(c, 0.5), np.ones_like(c)], axis=-1)
+    return tex
+
+
+def arena_from(textures):
+    """Flatten textures into the arena layout the kernels consume."""
+    texels, offs, ws, hs = [], [], [], []
+    off = 0
+    for t in textures:
+        h, w = t.shape[:2]
+        texels.append(t.reshape(-1, 4))
+        offs.append(off)
+        ws.append(w)
+        hs.append(h)
+        off += h * w
+    return (
+        jnp.asarray(np.concatenate(texels), jnp.float32),
+        jnp.asarray(offs, jnp.int32),
+        jnp.asarray(ws, jnp.int32),
+        jnp.asarray(hs, jnp.int32),
+    )
+
+
+def run_oracle(clip, uv, state, tex, vp=None, sc=None, vcolor=None):
+    color = np.zeros((FB, FB, 4), np.float64)
+    depth = np.ones((FB, FB), np.float64)
+    oracle.rasterize(
+        color, depth, clip, uv,
+        state,
+        vp or Viewport(0, 0, FB, FB),
+        sc or Rect2D(0, 0, FB, FB),
+        texture=tex, vertex_color=vcolor,
+    )
+    return color, depth
+
+
+def run_pipeline(clip, uv, state, tex, exact=False, plan_kw=None, sc=None):
+    T = clip.shape[0]
+    plan = passes.RasterPlan(fb_w=FB, fb_h=FB, entry_cap=4096,
+                             cap_per_tile=256, exact=exact, **(plan_kw or {}))
+    texels, toff, tw, th = arena_from([tex])
+    color = jnp.zeros((FB, FB, 4), jnp.float32)
+    depth = jnp.ones((FB, FB), jnp.float32)
+    color, depth, stats = passes.mesh_pass(
+        plan, state, color, depth,
+        jnp.asarray(clip, jnp.float32), jnp.asarray(uv, jnp.float32),
+        jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+        Viewport(0, 0, FB, FB).as_array(),
+        (sc or Rect2D(0, 0, FB, FB)).as_array(),
+        texels, toff, tw, th,
+    )
+    return np.asarray(color), np.asarray(depth), stats
+
+
+def assert_images_close(got, want, budget=0.005, tol=2e-3, msg=""):
+    """Allow a small per-pixel mismatch budget for f32/f64 edge decisions."""
+    diff = np.abs(got.astype(np.float64) - want).max(axis=-1) if got.ndim == 3 else np.abs(got - want)
+    bad = (diff > tol).mean()
+    assert bad <= budget, f"{msg}: {bad:.4%} pixels differ (budget {budget:.2%})"
+
+
+def test_visibility_matches_oracle_flat():
+    rng = np.random.default_rng(7)
+    clip, uv = random_scene(rng)
+    tex = checker_texture()
+    want_c, want_d = run_oracle(clip, uv, FLAT, tex)
+    got_c, got_d, stats = run_pipeline(clip, uv, FLAT, tex)
+    assert int(stats.bin_overflow) == 0 and int(stats.tile_overflow) == 0
+    assert_images_close(got_c, want_c, msg="color")
+    assert_images_close(got_d, want_d, msg="depth")
+
+
+def test_exact_matches_oracle_flat():
+    rng = np.random.default_rng(8)
+    clip, uv = random_scene(rng, T=24)
+    tex = checker_texture()
+    want_c, want_d = run_oracle(clip, uv, FLAT, tex)
+    got_c, got_d, _ = run_pipeline(clip, uv, FLAT, tex, exact=True)
+    assert_images_close(got_c, want_c, msg="color")
+    assert_images_close(got_d, want_d, msg="depth")
+
+
+def test_exact_matches_oracle_mesh_blend():
+    """The reference's odd SrcColor/OneMinusDstColor blend, ordered."""
+    rng = np.random.default_rng(9)
+    clip, uv = random_scene(rng, T=24)
+    tex = checker_texture()
+    want_c, want_d = run_oracle(clip, uv, MESH_PIPELINE_STATE, tex)
+    got_c, got_d, _ = run_pipeline(clip, uv, MESH_PIPELINE_STATE, tex, exact=True)
+    assert_images_close(got_c, want_c, msg="color")
+    assert_images_close(got_d, want_d, msg="depth")
+
+
+def test_visibility_matches_exact_when_single_layer():
+    """Non-overlapping triangles: visibility mode == exact mode, any blend."""
+    # a grid of disjoint triangles
+    tris = []
+    for gy in range(4):
+        for gx in range(4):
+            x0 = -1 + gx * 0.5 + 0.05
+            y0 = -1 + gy * 0.5 + 0.05
+            tris.append([[x0, y0, 0.5, 1], [x0 + 0.4, y0, 0.5, 1], [x0, y0 + 0.4, 0.5, 1]])
+    clip = np.asarray(tris, np.float64)
+    uv = np.broadcast_to(np.array([[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]]), (16, 3, 2)).copy()
+    tex = checker_texture()
+    a_c, a_d, _ = run_pipeline(clip, uv, MESH_PIPELINE_STATE, tex, exact=True)
+    b_c, b_d, _ = run_pipeline(clip, uv, MESH_PIPELINE_STATE, tex, exact=False)
+    np.testing.assert_allclose(a_c, b_c, atol=1e-6)
+    np.testing.assert_allclose(a_d, b_d, atol=0)
+
+
+def test_depth_tie_later_draw_wins_in_visibility():
+    quad0 = [[[-1, -1, 0.5, 1], [1, -1, 0.5, 1], [1, 1, 0.5, 1]],
+             [[-1, -1, 0.5, 1], [1, 1, 0.5, 1], [-1, 1, 0.5, 1]]]
+    clip = np.asarray(quad0 + quad0, np.float64)  # same quad twice, same z
+    uv = np.zeros((4, 3, 2))
+    uv[2:] = 0.9  # second draw samples a different texel
+    tex = np.zeros((2, 2, 4))
+    tex[0, 0] = [1, 0, 0, 1]
+    tex[1, 1] = [0, 1, 0, 1]
+    got_c, _, _ = run_pipeline(clip, uv, FLAT, tex)
+    want_c, _ = run_oracle(clip, uv, FLAT, tex)
+    assert_images_close(got_c, want_c, budget=0.0, msg="tie color")
+    # and the later draw's green actually won
+    assert got_c[32, 32, 1] > 0.5
+
+
+def test_broad_triangle_path():
+    """A screen-filling triangle (broad list) under small ones (narrow)."""
+    big = [[[-4, -4, 0.9, 1], [4, -4, 0.9, 1], [0, 4, 0.9, 1]]]
+    small = [[[-0.5, -0.5, 0.25, 1], [0.5, -0.5, 0.25, 1], [0, 0.5, 0.25, 1]]]
+    clip = np.asarray(big + small, np.float64)
+    uv = np.zeros((2, 3, 2))
+    uv[1] = 0.9
+    tex = np.zeros((2, 2, 4))
+    tex[0, 0] = [1, 0, 0, 1]
+    tex[1, 1] = [0, 1, 0, 1]
+    want_c, want_d = run_oracle(clip, uv, FLAT, tex)
+    got_c, got_d, stats = run_pipeline(
+        clip, uv, FLAT, tex, plan_kw={"max_tiles_per_tri": 4, "broad_cap": 8}
+    )
+    assert int(stats.bin_overflow) == 0
+    assert_images_close(got_c, want_c, msg="color")
+    assert_images_close(got_d, want_d, msg="depth")
+
+
+def test_scissor_respected_by_pipeline():
+    rng = np.random.default_rng(11)
+    clip, uv = random_scene(rng, T=10)
+    tex = checker_texture()
+    sc = Rect2D(8, 16, 24, 20)
+    want_c, _ = run_oracle(clip, uv, FLAT, tex, sc=sc)
+    got_c, _, _ = run_pipeline(clip, uv, FLAT, tex, sc=sc)
+    assert_images_close(got_c, want_c, msg="scissor color")
+    # outside the scissor nothing was drawn
+    outside = np.ones((FB, FB), bool)
+    outside[16:36, 8:32] = False
+    assert np.all(got_c[outside] == 0)
+
+
+def test_ui_pass_matches_oracle():
+    """UI quads: point->NDC mapping, vertex color * texture, premult blend."""
+    screen_pts = (32.0, 32.0)  # points (scale factor 2 on a 64px window)
+    quads = [
+        # (x0, y0, x1, y1, rgba)
+        (2, 2, 18, 10, (1, 0, 0, 0.5)),
+        (8, 6, 28, 30, (0, 1, 0, 1.0)),
+        (1, 20, 30, 31, (0, 0, 1, 0.25)),
+    ]
+    pos, uvs, cols, idx = [], [], [], []
+    for qi, (x0, y0, x1, y1, c) in enumerate(quads):
+        base = 4 * qi
+        pos += [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        uvs += [(0, 0), (1, 0), (1, 1), (0, 1)]
+        cols += [c] * 4
+        idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+    pos = np.asarray(pos, np.float64)
+    uvs = np.asarray(uvs, np.float64)
+    cols = np.asarray(cols, np.float64)
+    idx = np.asarray(idx, np.int64)
+    tex = checker_texture()
+
+    # oracle
+    o_clip = oracle.make_ui_clip(pos, idx, screen_pts)
+    tri = idx.reshape(-1, 3)
+    o_color = np.zeros((FB, FB, 4), np.float64)
+    o_depth = np.ones((FB, FB), np.float64)
+    oracle.rasterize(
+        o_color, o_depth, o_clip, uvs[tri], UI_PIPELINE_STATE,
+        Viewport(0, 0, FB, FB), Rect2D(0, 0, FB, FB),
+        texture=tex, vertex_color=cols[tri],
+    )
+
+    # pipeline
+    texels, toff, tw, th = arena_from([tex])
+    clip = passes.ui_points_to_clip(jnp.asarray(pos, jnp.float32),
+                                    jnp.asarray(screen_pts, jnp.float32))
+    clip = np.asarray(clip)[tri]
+    color = jnp.zeros((FB, FB, 4), jnp.float32)
+    depth = jnp.ones((FB, FB), jnp.float32)
+    color, depth = passes.ui_pass(
+        UI_PIPELINE_STATE, color, depth,
+        jnp.asarray(clip, jnp.float32), jnp.asarray(uvs[tri], jnp.float32),
+        jnp.asarray(cols[tri], jnp.float32),
+        jnp.zeros((len(tri),), jnp.int32), jnp.ones((len(tri),), bool),
+        Viewport(0, 0, FB, FB).as_array(), Rect2D(0, 0, FB, FB).as_array(),
+        texels, toff, tw, th,
+    )
+    # f32 pipeline vs f64 oracle: gradient texels differ at ~1e-5..1e-4
+    assert_images_close(np.asarray(color), o_color, budget=0.003, tol=1e-3, msg="ui color")
+    # UI wrote depth 0 where covered
+    assert np.asarray(depth)[6, 10] == 0.0

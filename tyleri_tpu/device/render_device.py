@@ -1,0 +1,114 @@
+"""RenderDevice — the central device context (ref: src/render_device.rs:15-23).
+
+Holds the JAX device handle, the memory allocator (geometry + texture
+arenas), the pipeline cache, the depth format, the debug messenger, and a
+lock-free pool of dispatch queues (the ``SegQueue<ParallelRecordingQueue>``
+analog, ref: render_device.rs:19).  The batch upload API
+(create_vertices/create_indices/create_textures) mirrors
+ref: src/resource/mod.rs:31-136 including the writer-callback pattern.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from tyleri_tpu.device.debug import DebugMessenger
+from tyleri_tpu.device.pipeline_cache import PipelineCache
+from tyleri_tpu.pipeline.state import DepthFormat
+from tyleri_tpu.resource.allocator import MemoryAllocator
+
+
+class DispatchQueue:
+    """One ordered submission stream (ParallelRecordingQueue analog).
+
+    XLA dispatch is async per device; the queue object serializes submissions
+    that must not interleave (its lock is the type-state-safety stand-in)."""
+
+    def __init__(self, device):
+        self.device = device
+        self._lock = threading.Lock()
+
+    def submit(self, fn, *args, **kwargs):
+        with self._lock:
+            return fn(*args, **kwargs)
+
+
+class DispatchQueuePool:
+    """Lock-free-style pool of present queues (SegQueue analog)."""
+
+    def __init__(self, device, count: int = 4):
+        self._q: "queue.SimpleQueue[DispatchQueue]" = queue.SimpleQueue()
+        for _ in range(count):
+            self._q.put(DispatchQueue(device))
+
+    def pop(self) -> DispatchQueue:
+        return self._q.get()
+
+    def push(self, q: DispatchQueue) -> None:
+        self._q.put(q)
+
+
+class RenderDevice:
+    def __init__(
+        self,
+        device,
+        *,
+        depth_format: DepthFormat = DepthFormat.D16_UNORM,
+        sampler_anisotropy: float | None = None,
+        pipeline_cache: PipelineCache | None = None,
+        debug_messenger: DebugMessenger | None = None,
+        queue_pool_size: int = 4,
+    ):
+        self.device = device
+        self.depth_format = depth_format
+        # Single shared sampler: linear, mirrored-repeat, optional anisotropy
+        # (ref: builders.rs:300-320). No mips exist, so anisotropy is stored
+        # for API parity but does not change sampling.
+        self.sampler_anisotropy = sampler_anisotropy
+        self.pipeline_cache = pipeline_cache or PipelineCache()
+        self.debug_messenger = debug_messenger or DebugMessenger()
+        self.memory_allocator = MemoryAllocator(device)
+        self.present_queues = DispatchQueuePool(device, queue_pool_size)
+
+    # ---- batch upload API (ref: src/resource/mod.rs) ----
+
+    def create_vertices(self, items):
+        """items: [(count, writer), ...]; writer(buf) gets an AoS f32
+        [count, 5] view (pos xyz + uv) to fill — the reference's
+        FnOnce(&mut [Vertex]) writer (ref: resource/mod.rs:31-44).
+        Returns [StaticVertices, ...] (arena handles with offset/len)."""
+        arena = self.memory_allocator.static_vertices_buffer
+
+        def adapt(writer, n):
+            def soa_writer(pos_view, uv_view):
+                aos = np.zeros((n, 5), np.float32)
+                writer(aos)
+                pos_view[:] = aos[:, :3]
+                uv_view[:] = aos[:, 3:5]
+
+            return soa_writer
+
+        return arena.allocate([(n, adapt(w, n)) for n, w in items])
+
+    def create_indices(self, items):
+        """items: [(count, writer), ...]; writer(buf) gets a u32 [count]
+        view (ref: resource/mod.rs:45-58)."""
+        arena = self.memory_allocator.static_indices_buffer
+
+        def adapt(writer):
+            def idx_writer(view):
+                writer(view)
+
+            return idx_writer
+
+        return arena.allocate([(n, adapt(w)) for n, w in items])
+
+    def create_textures(self, items):
+        """items: [((width, height), writer), ...]; writer(buf) gets an
+        [h, w, 4] f32 rgba view (the R8G8B8A8_UNORM image analog,
+        ref: resource/mod.rs:59-136). Returns [StaticTexture, ...] — the
+        per-texture descriptor-set analog is the texture slot id."""
+        return self.memory_allocator.texture_arena.allocate(items)

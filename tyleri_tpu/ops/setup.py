@@ -1,0 +1,219 @@
+"""Triangle transform + setup: the vertex stage and "triangle setup" fixed
+function, as one fused jittable op.
+
+Replaces the reference's vertex shader + rasterizer front-end
+(ref: src/pipeline/glsl/common_pipeline.vert:16-19 — ``clip = projection *
+view_x_model * pos`` — and Vulkan fixed-function setup).  TPU-first design:
+every per-fragment quantity the rasterizer needs (3 edge functions, window
+depth, 1/w, u/w, v/w) is *affine in screen space*, so setup reduces each
+triangle to 7 plane equations; downstream coverage/interpolation for a whole
+pixel tile × triangle chunk is then a single MXU matmul against the plane
+coefficients (see ops/visibility.py).
+
+Current fast-path clipping model: triangles with any vertex at w <= eps are
+culled rather than clipped (the oracle implements full Sutherland-Hodgman
+clipping; scenes that straddle the near plane will differ there — tracked as
+a known limitation for a later milestone). X/Y clipping is unnecessary:
+offscreen geometry is handled by the edge functions + scissor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Channel-major entry-table layout (rows of the [CHANNELS, E] table).
+# Plane channels hold (A, B, C) with value(x, y) = A*x + B*y + C evaluated at
+# pixel centers.
+CH_E0 = 0    # edge 0 (opposite vertex 0) A,B,C at rows 0..2
+CH_E1 = 3
+CH_E2 = 6
+CH_Z = 9     # window-space depth plane
+CH_INVW = 12  # 1/w plane
+CH_UW = 15   # u/w plane
+CH_VW = 18   # v/w plane
+CH_TOPLEFT = 21  # rows 21..23: 1.0 if edge i is a top-left edge
+CH_TEX = 24  # texture slot id (exact small int as f32)
+CH_ORDER = 25  # draw-order id (diagnostics)
+NUM_CHANNELS = 32  # padded for TPU sublane alignment
+
+W_EPS = 1e-6
+
+
+class TriangleSetup(NamedTuple):
+    """Per-triangle rasterization data, [T]-leading static shapes."""
+
+    valid: jax.Array      # bool [T]
+    channels: jax.Array   # f32 [NUM_CHANNELS, T] channel-major plane table
+    tile_lo: jax.Array    # i32 [T, 2] inclusive tile bbox (tx0, ty0)
+    tile_hi: jax.Array    # i32 [T, 2] inclusive tile bbox (tx1, ty1)
+    lam: jax.Array        # f32 [T, 3, 3] barycentric planes: lam[t, i] = (A, B, C)
+                          # of lambda_i, for interpolating extra attributes
+
+
+def viewport_transform(clip, viewport):
+    """Clip space -> window space. ``clip`` [..., 4], viewport f32[6]
+    (x, y, w, h, min_depth, max_depth); Vulkan y-down convention."""
+    w = clip[..., 3]
+    inv_w = 1.0 / w
+    ndc = clip[..., :3] * inv_w[..., None]
+    vx, vy, vw, vh, dmin, dmax = (viewport[i] for i in range(6))
+    sx = (ndc[..., 0] * 0.5 + 0.5) * vw + vx
+    sy = (ndc[..., 1] * 0.5 + 0.5) * vh + vy
+    sz = dmin + ndc[..., 2] * (dmax - dmin)
+    return sx, sy, sz, inv_w
+
+
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "grid_w", "grid_h"))
+def setup_triangles(
+    clip,       # f32 [T, 3, 4] clip-space corner positions
+    uv,         # f32 [T, 3, 2] per-corner texcoords
+    tex_id,     # i32 [T] texture slot per triangle
+    tri_valid,  # bool [T] upstream validity (padding/draw masks)
+    viewport,   # f32 [6]
+    scissor,    # i32 [4] (x, y, w, h)
+    *,
+    tile_w: int,
+    tile_h: int,
+    grid_w: int,
+    grid_h: int,
+) -> TriangleSetup:
+    T = clip.shape[0]
+    order = jnp.arange(T, dtype=jnp.float32)
+
+    w = clip[..., 3]
+    in_front = jnp.all(w > W_EPS, axis=1)
+
+    safe_clip = jnp.where(in_front[:, None, None], clip, jnp.ones_like(clip))
+    sx, sy, sz, inv_w = viewport_transform(safe_clip, viewport)  # each [T, 3]
+
+    # Signed doubled area (shoelace, y-down framebuffer coords).
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+    nondegenerate = area2 != 0.0
+    sgn = jnp.where(area2 > 0, 1.0, -1.0)
+    inv_abs_area2 = sgn / jnp.where(nondegenerate, area2, 1.0)
+
+    # Edge i (opposite vertex i) from a=(i+1)%3 to b=(i+2)%3:
+    #   E_i(p) = ((py - ay)*dx - (px - ax)*dy) * sgn
+    #   A = dx * -? ... expanded: A = -dy*sgn, B = dx*sgn, C = (ax*dy - ay*dx)*sgn
+    ia = jnp.array([1, 2, 0])
+    ib = jnp.array([2, 0, 1])
+    ax_, ay_ = sx[:, ia], sy[:, ia]   # [T, 3]
+    bx_, by_ = sx[:, ib], sy[:, ib]
+    dx = bx_ - ax_
+    dy = by_ - ay_
+    eA = -dy * sgn[:, None]
+    eB = dx * sgn[:, None]
+    eC = (ax_ * dy - ay_ * dx) * sgn[:, None]
+
+    # Top-left rule (y-down, interior-positive effective direction):
+    edx = dx * sgn[:, None]
+    edy = dy * sgn[:, None]
+    topleft = jnp.where((edy < 0) | ((edy == 0) & (edx > 0)), 1.0, 0.0)
+
+    # Interpolation planes: lambda_i = E_i / |2A|; plane(attr) = sum_i attr_i * E_i/|2A|
+    lamA = eA * inv_abs_area2[:, None]  # [T, 3]
+    lamB = eB * inv_abs_area2[:, None]
+    lamC = eC * inv_abs_area2[:, None]
+
+    def attr_plane(vals):  # vals [T, 3] per-corner
+        return (
+            jnp.sum(vals * lamA, axis=1),
+            jnp.sum(vals * lamB, axis=1),
+            jnp.sum(vals * lamC, axis=1),
+        )
+
+    zA, zB, zC = attr_plane(sz)
+    wA, wB, wC = attr_plane(inv_w)
+    uwA, uwB, uwC = attr_plane(uv[..., 0] * inv_w)
+    vwA, vwB, vwC = attr_plane(uv[..., 1] * inv_w)
+
+    # Tile-grid bbox, clamped to the scissor rect.
+    sx0f = jnp.min(sx, axis=1)
+    sx1f = jnp.max(sx, axis=1)
+    sy0f = jnp.min(sy, axis=1)
+    sy1f = jnp.max(sy, axis=1)
+    scx, scy, scw, sch = (scissor[i] for i in range(4))
+    # Pixel ranges intersected with scissor; converted to inclusive tile coords.
+    px0 = jnp.maximum(jnp.floor(sx0f - 0.5).astype(jnp.int32), scx)
+    px1 = jnp.minimum(jnp.ceil(sx1f - 0.5).astype(jnp.int32), scx + scw - 1)
+    py0 = jnp.maximum(jnp.floor(sy0f - 0.5).astype(jnp.int32), scy)
+    py1 = jnp.minimum(jnp.ceil(sy1f - 0.5).astype(jnp.int32), scy + sch - 1)
+    tx0 = jnp.clip(px0 // tile_w, 0, grid_w - 1)
+    tx1 = jnp.clip(px1 // tile_w, 0, grid_w - 1)
+    ty0 = jnp.clip(py0 // tile_h, 0, grid_h - 1)
+    ty1 = jnp.clip(py1 // tile_h, 0, grid_h - 1)
+    on_screen = (px0 <= px1) & (py0 <= py1)
+
+    valid = tri_valid & in_front & nondegenerate & on_screen
+
+    channels = jnp.zeros((NUM_CHANNELS, T), jnp.float32)
+    rows = {
+        CH_E0: eA[:, 0], CH_E0 + 1: eB[:, 0], CH_E0 + 2: eC[:, 0],
+        CH_E1: eA[:, 1], CH_E1 + 1: eB[:, 1], CH_E1 + 2: eC[:, 1],
+        CH_E2: eA[:, 2], CH_E2 + 1: eB[:, 2], CH_E2 + 2: eC[:, 2],
+        CH_Z: zA, CH_Z + 1: zB, CH_Z + 2: zC,
+        CH_INVW: wA, CH_INVW + 1: wB, CH_INVW + 2: wC,
+        CH_UW: uwA, CH_UW + 1: uwB, CH_UW + 2: uwC,
+        CH_VW: vwA, CH_VW + 1: vwB, CH_VW + 2: vwC,
+        CH_TOPLEFT: topleft[:, 0],
+        CH_TOPLEFT + 1: topleft[:, 1],
+        CH_TOPLEFT + 2: topleft[:, 2],
+        CH_TEX: tex_id.astype(jnp.float32),
+        CH_ORDER: order,
+    }
+    channels = channels.at[jnp.array(list(rows.keys()))].set(jnp.stack(list(rows.values())))
+
+    return TriangleSetup(
+        valid=valid,
+        channels=channels,
+        tile_lo=jnp.stack([tx0, ty0], axis=1),
+        tile_hi=jnp.stack([tx1, ty1], axis=1),
+        lam=jnp.stack([lamA, lamB, lamC], axis=2),
+    )
+
+
+def transform_mesh_corners(positions, uvs, indices, first_index, vertex_offset,
+                           tri_base, tri_count, mvps, tri_capacity: int):
+    """Assemble per-triangle clip corners + uvs for a padded draw list.
+
+    positions f32[V, 3], uvs f32[V, 2], indices i32[I] — the geometry arenas
+    (the bindless vertex/index buffer analog, ref:
+    src/resource/resource_allocator.rs:15-16).
+    first_index/vertex_offset i32[D] + mvps f32[D, 4, 4] — the draw list
+    (cmd_draw_indexed args, ref: src/render_objects/mesh_renderer.rs:72-78).
+    tri_base/tri_count i32[D]: host-computed prefix table assigning each draw
+    a contiguous range of the flat triangle id space — supports many draws
+    instancing the *same* index range with different model matrices.
+    tri_capacity: static number of triangle slots (>= sum of tri_count).
+
+    Returns (clip [Tcap,3,4], uv [Tcap,3,2], tri_draw i32[Tcap],
+    tri_valid bool[Tcap]).
+    """
+    D = first_index.shape[0]
+    I = indices.shape[0]
+    Tcap = tri_capacity
+
+    t = jnp.arange(Tcap, dtype=jnp.int32)
+    draw = jnp.clip(jnp.searchsorted(tri_base, t, side="right") - 1, 0, D - 1).astype(jnp.int32)
+    local = t - tri_base[draw]
+    in_draw = (local >= 0) & (local < tri_count[draw])
+
+    ipos = first_index[draw] + 3 * local
+    ipos = jnp.clip(ipos, 0, I - 3)
+    idx = indices[ipos[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]]  # [T, 3]
+    vtx = jnp.clip(idx + vertex_offset[draw][:, None], 0, positions.shape[0] - 1)
+    corner_pos = positions[vtx]          # [T, 3, 3]
+    corner_uv = uvs[vtx]                 # [T, 3, 2]
+    ones = jnp.ones(corner_pos.shape[:-1] + (1,), corner_pos.dtype)
+    h = jnp.concatenate([corner_pos, ones], axis=-1)  # [T, 3, 4]
+    # precision=HIGHEST: on TPU the MXU would otherwise run this in bf16,
+    # which visibly corrupts raster coverage/interpolation (~1e-3 error).
+    clip = jnp.einsum("tij,tkj->tki", mvps[draw], h,
+                      precision=jax.lax.Precision.HIGHEST)
+    return clip, corner_uv, draw, in_draw

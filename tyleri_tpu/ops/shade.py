@@ -1,0 +1,47 @@
+"""Deferred shading of a visibility buffer.
+
+The fragment stage of the mesh pipeline is a plain texture fetch
+(ref: src/pipeline/glsl/common_pipeline.frag:11-12 — ``uFragColor = color``)
+followed by fixed-function blending.  Shading once per pixel (instead of once
+per fragment) turns the hot path into pure vectorized gathers + VPU math over
+the full framebuffer — the TPU-friendly shape.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tyleri_tpu.ops import setup as S
+from tyleri_tpu.ops.blend import apply_blend
+from tyleri_tpu.ops.sampling import sample_bilinear
+from tyleri_tpu.pipeline.state import BlendState
+
+
+def shade_visibility(
+    vis_owner,      # i32 [H, W] combined-table entry index, -1 = background
+    all_channels,   # f32 [NUM_CHANNELS, E+B]
+    texels,         # f32 [cap, 4] texture arena
+    tex_offset, tex_width, tex_height,  # i32 [slots]
+    blend_state: BlendState,
+    dst_color,      # f32 [H, W, 4] framebuffer to blend into
+):
+    H, W = vis_owner.shape
+    valid = vis_owner >= 0
+    safe = jnp.clip(vis_owner, 0, all_channels.shape[1] - 1)
+    ch = all_channels[:, safe]  # [NUM_CHANNELS, H, W]
+
+    xc = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+    yc = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+
+    def plane(row):
+        return ch[row] * xc + ch[row + 1] * yc + ch[row + 2]
+
+    inv_w = plane(S.CH_INVW)
+    denom = jnp.where(inv_w == 0, 1.0, inv_w)
+    u = plane(S.CH_UW) / denom
+    v = plane(S.CH_VW) / denom
+    tex_id = ch[S.CH_TEX].astype(jnp.int32)
+
+    src = sample_bilinear(texels, tex_offset, tex_width, tex_height, tex_id, u, v)
+    out = apply_blend(blend_state, src, dst_color)
+    return jnp.where(valid[..., None], out, dst_color)

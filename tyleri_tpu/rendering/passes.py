@@ -1,0 +1,164 @@
+"""Render-pass building blocks: the mesh pass and UI pass as jittable
+functions over framebuffer state.
+
+This is the kernel-orchestration layer under ForwardRenderingFunction — the
+analog of the reference's render-pass recording (begin render pass, record
+draws, end — ref: src/rendering_function/forward_rendering/mod.rs:262-324),
+except "recording" is tracing into one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tyleri_tpu.ops.binning import bin_triangles
+from tyleri_tpu.ops.raster_exact import rasterize_exact
+from tyleri_tpu.ops.setup import setup_triangles
+from tyleri_tpu.ops.shade import shade_visibility
+from tyleri_tpu.ops.visibility import combined_channels, rasterize_visibility
+from tyleri_tpu.pipeline.state import PipelineState
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterPlan:
+    """Static capacities/shapes of the raster pipeline (hashed into jit).
+
+    The analog of the reference's fixed buffer-size constants
+    (ref: src/resource/resource_allocator.rs:15-16, render_scene.rs:20-21):
+    capacities are plan parameters, overflow is reported, and re-planning
+    recompiles (like swapchain recreation).
+    """
+
+    fb_w: int
+    fb_h: int
+    tile_w: int = 8
+    tile_h: int = 8
+    entry_cap: int = 1 << 16
+    cap_per_tile: int = 256
+    max_tiles_per_tri: int = 32
+    broad_cap: int = 64
+    chunk: int = 32
+    exact: bool = False  # ordered per-fragment blending (slow, parity mode)
+
+    @property
+    def grid_w(self) -> int:
+        return _cdiv(self.fb_w, self.tile_w)
+
+    @property
+    def grid_h(self) -> int:
+        return _cdiv(self.fb_h, self.tile_h)
+
+    @staticmethod
+    def for_scene(fb_w: int, fb_h: int, tri_capacity: int, **kw) -> "RasterPlan":
+        """Heuristic capacities: ~2 tiles per small triangle on average."""
+        entry_cap = max(1024, 2 * tri_capacity)
+        cap_per_tile = max(128, min(4096, entry_cap // 8))
+        return RasterPlan(
+            fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
+            cap_per_tile=cap_per_tile, **kw,
+        )
+
+
+class PassStats(NamedTuple):
+    """Per-pass validation counters (consumed by the validation layer)."""
+
+    bin_overflow: jax.Array   # i32 [] entries dropped in binning
+    tile_overflow: jax.Array  # i32 [] entries beyond per-tile capacity
+
+
+def mesh_pass(
+    plan: RasterPlan,
+    state: PipelineState,
+    color,       # f32 [H, W, 4]
+    depth,       # f32 [H, W]
+    clip,        # f32 [T, 3, 4]
+    uv,          # f32 [T, 3, 2]
+    tex_id,      # i32 [T]
+    tri_valid,   # bool [T]
+    viewport,    # f32 [6]
+    scissor,     # i32 [4]
+    texels, tex_offset, tex_width, tex_height,
+):
+    """Draw a batch of mesh triangles; returns (color, depth, PassStats)."""
+    if plan.exact:
+        color, depth = rasterize_exact(
+            color, depth, clip, uv, tex_id, tri_valid, viewport, scissor,
+            texels, tex_offset, tex_width, tex_height, state=state,
+        )
+        zero = jnp.zeros((), jnp.int32)
+        return color, depth, PassStats(zero, zero)
+
+    su = setup_triangles(
+        clip, uv, tex_id, tri_valid, viewport, scissor,
+        tile_w=plan.tile_w, tile_h=plan.tile_h,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+    )
+    binned = bin_triangles(
+        su,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+        entry_cap=plan.entry_cap,
+        max_tiles_per_tri=plan.max_tiles_per_tri,
+        broad_cap=plan.broad_cap,
+    )
+    vis, tile_overflow = rasterize_visibility(
+        binned, depth, scissor,
+        fb_w=plan.fb_w, fb_h=plan.fb_h,
+        tile_w=plan.tile_w, tile_h=plan.tile_h,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+        cap_per_tile=plan.cap_per_tile, chunk=plan.chunk,
+        depth_state=state.depth,
+    )
+    all_ch = combined_channels(binned)
+    color = shade_visibility(
+        vis.owner, all_ch, texels, tex_offset, tex_width, tex_height,
+        state.blend, color,
+    )
+    depth = vis.depth if state.depth.write_enable else depth
+    return color, depth, PassStats(binned.overflow, tile_overflow)
+
+
+def ui_pass(
+    state: PipelineState,
+    color, depth,
+    ui_clip,      # f32 [T, 3, 4] (built from point coords by the UI "shader")
+    ui_uv,        # f32 [T, 3, 2]
+    ui_color,     # f32 [T, 3, 4] per-corner vertex colors
+    ui_tex,       # i32 [T]
+    ui_valid,     # bool [T]
+    viewport, scissor,
+    texels, tex_offset, tex_width, tex_height,
+):
+    """UI overlay pass: ordered exact rasterization with vertex colors.
+
+    Matches the reference quirk of recording UI before any meshes with depth
+    test+write enabled at z = 0 (ref: forward_rendering/mod.rs:291-296,
+    ui.vert:16-18) — UI pixels occlude mesh fragments behind them.
+    """
+    color, depth = rasterize_exact(
+        color, depth, ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
+        texels, tex_offset, tex_width, tex_height,
+        state=state, with_vertex_color=True, vertex_color=ui_color,
+    )
+    return color, depth
+
+
+def ui_points_to_clip(ui_pos_points, screen_size_points):
+    """UI vertex shader (ref: src/pipeline/glsl/ui.vert:16-18):
+    clip = (2*p/screen_size - 1, 0, 1). ui_pos_points [..., 2] -> [..., 4]."""
+    p = jnp.asarray(ui_pos_points, jnp.float32)
+    sw = screen_size_points[0]
+    sh = screen_size_points[1]
+    x = 2.0 * p[..., 0] / sw - 1.0
+    y = 2.0 * p[..., 1] / sh - 1.0
+    z = jnp.zeros_like(x)
+    w = jnp.ones_like(x)
+    return jnp.stack([x, y, z, w], axis=-1)

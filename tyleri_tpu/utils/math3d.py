@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -122,10 +123,15 @@ def rotation_z(angle):
 
 
 def compose(*mats):
-    """Matrix product ``mats[0] @ mats[1] @ ...`` (applied right-to-left)."""
+    """Matrix product ``mats[0] @ mats[1] @ ...`` (applied right-to-left).
+
+    Uses HIGHEST matmul precision: camera/model matrix products feed raster
+    coverage math, where TPU bf16 MXU rounding is visible.
+    """
     out = jnp.asarray(mats[0], jnp.float32)
     for m in mats[1:]:
-        out = out @ jnp.asarray(m, jnp.float32)
+        out = jnp.matmul(out, jnp.asarray(m, jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
     return out
 
 
@@ -134,7 +140,7 @@ def transform_points(m, pts):
     pts = jnp.asarray(pts, jnp.float32)
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
     h = jnp.concatenate([pts, ones], axis=-1)
-    return h @ m.T
+    return jnp.matmul(h, m.T, precision=jax.lax.Precision.HIGHEST)
 
 
 @dataclasses.dataclass(frozen=True)
