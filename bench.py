@@ -1,0 +1,105 @@
+"""Benchmark driver: renders BASELINE configs on the available chip and
+prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the driver north
+star is 60 FPS at 1080p on a 1M-triangle scene, so vs_baseline = fps / 60
+for the reported config.
+"""
+
+import json
+import os
+import sys
+import time
+
+# pipeline-cache analog: persist compiles across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR_FPS = 60.0
+
+
+def bench_rig(device, rig, warmup=2, frames=16, budget_s=180.0):
+    """Measure steady-state FPS of one scene rig (headless)."""
+    import jax
+
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+    import tyleri_tpu as ty
+
+    swapchain = ImageViewSwapchain(rig.resolution)
+    rf = ty.ForwardRenderingFunction(device, swapchain)
+
+    def one_frame(t):
+        scene = RenderScene()
+        rig.fill(scene, t)
+        return rf.record(device, scene.render_resources, 1.0, rig.resolution)
+
+    t0 = time.perf_counter()
+    for k in range(warmup):
+        jax.block_until_ready(one_frame(0.1 * k).color)
+        if time.perf_counter() - t0 > budget_s:
+            return None
+    start = time.perf_counter()
+    last = None
+    for k in range(frames):
+        last = one_frame(0.3 + 0.05 * k)
+    jax.block_until_ready(last.color)
+    dt = time.perf_counter() - start
+    fps = frames / dt
+    return {
+        "fps": fps,
+        "mtris_per_s": rig.triangle_count * fps / 1e6,
+        "frames": frames,
+        "seconds": dt,
+    }
+
+
+def main():
+    import jax
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+
+    device = ty.RenderDeviceBuilder().build()
+    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 480))
+
+    results = {}
+    # cheapest-first so something always completes inside the budget
+    plans = [
+        ("cube_800x600", lambda: scenelib.config2_cube(device, (800, 600)), 16),
+        ("instances_100_1080p", lambda: scenelib.config4_instances(device), 8),
+    ]
+    for name, make, frames in plans:
+        remaining = deadline - time.monotonic()
+        if remaining < 30:
+            break
+        try:
+            rig = make()
+            r = bench_rig(device, rig, warmup=2, frames=frames,
+                          budget_s=max(remaining - 10, 30))
+            if r:
+                results[name] = r
+        except Exception as e:  # report what we have rather than die
+            print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if "instances_100_1080p" in results:
+        name = "instances_100_1080p"
+    elif results:
+        name = next(iter(results))
+    else:
+        print(json.dumps({"metric": "fps", "value": 0.0, "unit": "fps",
+                          "vs_baseline": 0.0}))
+        return
+    fps = results[name]["fps"]
+    print(json.dumps({
+        "metric": f"fps_{name}",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # test runs skip XLA compilation.
 import jax  # noqa: E402
 
+# The axon TPU plugin in this environment ignores the JAX_PLATFORMS env var;
+# force CPU through the config so the 8 virtual devices take effect.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,86 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh:
+sort-first (tile bands), sort-last (draw subsets), and the 2-D hybrid,
+validated against the single-chip frame program.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+import tyleri_tpu as ty
+from tyleri_tpu.models import scenes as scenelib
+from tyleri_tpu.parallel.mesh import make_render_mesh
+from tyleri_tpu.parallel.sharding import render_frame_sharded
+from tyleri_tpu.rendering.forward import _render_frame
+from tyleri_tpu.scene.render_scene import RenderScene
+from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+RES = (64, 64)
+
+
+def build(rig_factory):
+    dev = ty.RenderDeviceBuilder().build()
+    rig = rig_factory(dev)
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    scene = RenderScene()
+    rig.fill(scene, 0.6)
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, RES)
+    return rf, arrays
+
+
+def single_chip(rf, arrays):
+    frame = _render_frame(rf.plan, rf.mesh_state, rf.ui_state, *arrays)
+    return np.asarray(frame.color), np.asarray(frame.depth)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sort_first_tile_bands_match_single_chip():
+    rf, arrays = build(lambda d: scenelib.config2_cube(d, RES))
+    want_c, want_d = single_chip(rf, arrays)
+    mesh = make_render_mesh(1, devices=jax.devices()[:8])  # 8 tile bands
+    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    # band-local coordinate recomputation rounds differently in f32:
+    # allow ~1 D16 depth step and matching color noise
+    np.testing.assert_allclose(np.asarray(color), want_c, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(depth), want_d, atol=1.6e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_hybrid_draws_x_tiles_mesh():
+    # 100-instance scene shrunk: several draws so the draws axis has work
+    rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=12))
+    want_c, want_d = single_chip(rf, arrays)
+    mesh = make_render_mesh(2, devices=jax.devices()[:8])  # 2 draws x 4 tiles
+    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    got_c, got_d = np.asarray(color), np.asarray(depth)
+    # depth composite must match exactly where no cross-device z-ties exist;
+    # allow a small pixel budget for ties + blend-order deviations
+    bad = (np.abs(got_d - want_d) > 1e-6).mean()
+    assert bad < 0.01, f"{bad:.3%} depth pixels differ"
+    badc = (np.abs(got_c - want_c).max(axis=-1) > 1e-3).mean()
+    assert badc < 0.01, f"{badc:.3%} color pixels differ"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_draw_shard_only():
+    rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=6))
+    want_c, want_d = single_chip(rf, arrays)
+    mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
+    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    badc = (np.abs(np.asarray(color) - want_c).max(axis=-1) > 1e-3).mean()
+    assert badc < 0.01
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args) if not hasattr(fn, "lower") else fn(*args)
+    out = jax.block_until_ready(out)
+    assert out.color.ndim == 3
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(8, len(jax.devices())))

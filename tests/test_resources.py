@@ -1,0 +1,118 @@
+"""Unit + property tests for the resource layer: allocators, arenas,
+growable buffers, texture slots, ParallelGroup — the invariants the
+reference only enforces via panics (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from tyleri_tpu.resource import (
+    AllocationError,
+    BindlessBufferAllocator,
+    BlockBasedAllocator,
+    TextureArena,
+    VariableLengthBuffer,
+)
+from tyleri_tpu.scene.parallel_group import ParallelGroup
+
+
+def test_block_allocator_first_fit_and_merge():
+    a = BlockBasedAllocator(100)
+    x = a.allocate(30)
+    y = a.allocate(30)
+    z = a.allocate(40)
+    assert (x, y, z) == (0, 30, 60)
+    with pytest.raises(AllocationError):
+        a.allocate(1)
+    # free middle then ends; adjacent blocks must merge back to one
+    a.free(y, 30)
+    a.free(x, 30)
+    a.free(z, 40)
+    assert a.allocate(100) == 0
+
+
+def test_block_allocator_par_allocate_contiguous():
+    a = BlockBasedAllocator(64)
+    offs = a.par_allocate([8, 8, 16], total_hint=32)
+    assert offs == [0, 8, 16]
+    # spare from the hint was returned to the free list
+    assert a.allocate(32) == 32
+
+
+def test_block_allocator_random_stress():
+    rng = np.random.default_rng(3)
+    a = BlockBasedAllocator(1 << 12)
+    live = []
+    for _ in range(300):
+        if live and rng.random() < 0.45:
+            off, sz = live.pop(rng.integers(len(live)))
+            a.free(off, sz)
+        else:
+            sz = int(rng.integers(1, 64))
+            try:
+                off = a.allocate(sz)
+            except AllocationError:
+                continue
+            # no overlap with any live block
+            for o2, s2 in live:
+                assert off + sz <= o2 or o2 + s2 <= off
+            live.append((off, sz))
+    for off, sz in live:
+        a.free(off, sz)
+    assert a.allocate(1 << 12) == 0
+
+
+def test_bindless_arena_writer_and_growth():
+    arena = BindlessBufferAllocator({"pos": ((3,), np.float32)}, 4)
+    vals = []
+
+    def writer(v):
+        v[:] = 7.0
+        vals.append(v.shape)
+
+    (h1,) = arena.allocate([(3, writer)])
+    assert h1.offset == 0 and h1.len == 3
+    # exceeds capacity 4 -> grows transparently
+    (h2,) = arena.allocate([(10, writer)])
+    assert arena.capacity >= 13
+    dev = arena.device_arrays()
+    assert np.asarray(dev["pos"])[h2.offset] [0] == 7.0
+    # free + reuse
+    h1.free()
+    (h3,) = arena.allocate([(2, writer)])
+    assert h3.offset == 0
+
+
+def test_variable_length_buffer_semantics():
+    b = VariableLengthBuffer((2,), np.float32, 4)
+    o1 = b.write([[1, 2], [3, 4]])
+    o2 = b.write([[5, 6]])
+    assert (o1, o2, b.len) == (0, 2, 3)
+    b.expand_to(100)
+    assert b.capacity >= 100 and b.len == 3
+    np.testing.assert_array_equal(b.data()[2], [5, 6])
+    padded = b.padded(8)
+    assert padded.shape == (8, 2) and (padded[3:] == 0).all()
+    b.clear()
+    assert b.len == 0 and b.write([[9, 9]]) == 0
+
+
+def test_texture_arena_slots_and_device_arrays():
+    arena = TextureArena(initial_texels=16)
+    (a, b) = arena.allocate([
+        ((2, 2), lambda v: v.__setitem__(slice(None), 0.5)),
+        ((5, 3), lambda v: v.__setitem__(slice(None), 0.25)),  # forces growth
+    ])
+    assert (a.slot, b.slot) == (0, 1)
+    texels, offs, ws, hs = arena.device_arrays()
+    assert int(offs[1]) == 4 and int(ws[1]) == 5 and int(hs[1]) == 3
+    assert float(texels[int(offs[1])][0]) == 0.25
+
+
+def test_parallel_group_round_robin():
+    g = ParallelGroup(3)
+    for i in range(8):
+        g.push(i)
+    assert g.get_group_by_thread(0) == [0, 3, 6]
+    assert g.get_group_by_thread(1) == [1, 4, 7]
+    assert g.get_group_by_thread(2) == [2, 5]
+    assert g.get_group_by_thread(3) is None

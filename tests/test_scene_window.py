@@ -1,0 +1,135 @@
+"""End-to-end tests of the scene/rendering/window layers: RenderDevice ->
+RenderScene -> ForwardRenderingFunction -> RenderWindow frame loop -> image,
+including the frames-in-flight recycling semantics of the reference
+(ref: src/render_window.rs:126-218).
+"""
+
+import numpy as np
+
+import tyleri_tpu as ty
+from tyleri_tpu.models import primitives as prim
+from tyleri_tpu.models import scenes as scenelib
+from tyleri_tpu.scene.mesh_renderer import MeshRenderer
+from tyleri_tpu.utils import math3d
+from tyleri_tpu.utils.image import read_png, write_png
+from tyleri_tpu.window.render_window import RenderWindow
+
+RES = (64, 64)
+
+
+def make_device():
+    return ty.RenderDeviceBuilder().validation_level(ty.ValidationLevel.ERROR).build()
+
+
+def test_window_renders_triangle_and_recycles_scenes(tmp_path):
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    presented = []
+    win = RenderWindow(dev, resolution=RES,
+                       present_target=lambda img: presented.append(img))
+    n_frames = 5
+    for f in range(n_frames):
+        scene = win.get_render_scene()
+        rig.fill(scene, f * 0.1)
+        win.render()
+    win.flush()
+    assert win.latest_image is not None
+    img = win.latest_image
+    assert img.shape == (RES[1], RES[0], 4) and img.dtype == np.uint8
+    # the triangle covers the center; background is the clear color (0,0,0,0)
+    assert img[32, 32, 0] > 0     # lit center (white texture through blend)
+    assert img[2, 2, 3] == 0      # clear corner
+    # frames-in-flight: image_count-deep pipelining presents the rest on flush
+    assert len(presented) >= n_frames - win.get_swapchain_images()
+    # PNG round trip
+    p = str(tmp_path / "tri.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_spinning_cube_animates():
+    dev = make_device()
+    rig = scenelib.config2_cube(dev, RES)
+    win = RenderWindow(dev, resolution=RES)
+    frames = []
+    for f in range(4):
+        rig.fill(win.get_render_scene(), f * 0.8)
+        win.render()
+    win.flush()
+    assert win.latest_image is not None
+    # pixels covered (mesh blend writes alpha 0, so check color channels)
+    assert (win.latest_image[..., :3] > 0).any()
+
+
+def test_ui_overlay_occludes_mesh():
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    (white,) = dev.create_textures([((1, 1), lambda b: b.__setitem__(slice(None), 1.0))])
+    win = RenderWindow(dev, resolution=RES, scale_factor=1.0)
+    for _ in range(2):
+        scene = win.get_render_scene()
+        rig.fill(scene, 0.0)
+        # UI quad across the upper-left corner, in window points
+        quad = [
+            ((4, 4), (0, 0), (0, 1, 0, 1)),
+            ((28, 4), (1, 0), (0, 1, 0, 1)),
+            ((28, 16), (1, 1), (0, 1, 0, 1)),
+            ((4, 16), (0, 1), (0, 1, 0, 1)),
+        ]
+        scene.add_ui([(quad, [0, 1, 2, 0, 2, 3], white)])
+        win.render()
+    img = win.flush()
+    # UI is green there, and drew first with depth write: mesh never blended in
+    assert img[10, 16, 1] == 255 and img[10, 16, 0] == 0
+    # outside UI the mesh is visible
+    assert img[40, 32, 0] > 0
+
+
+def test_multi_camera_viewports():
+    dev = make_device()
+    verts, idx = prim.triangle(0.5)
+    v, i = scenelib._upload(dev, verts, idx)
+    tex = scenelib._upload_texture(dev, np.ones((1, 1, 4), np.float32))
+    win = RenderWindow(dev, resolution=RES)
+    for _ in range(2):
+        scene = win.get_render_scene()
+        for half in range(2):
+            cam = ty.Camera()
+            cam.view_matrix = np.asarray(
+                math3d.look_at_rh([0, 0, 2.2], [0, 0, 0], [0, 1, 0]), np.float32
+            )
+            cam.viewport = math3d.Viewport(32 * half, 0, 32, 64)
+            cam.scissor = math3d.Rect2D(32 * half, 0, 32, 64)
+            cam.mesh_renderers.append(MeshRenderer(v, i, tex))
+            scene.add_camera(cam)
+        win.render()
+    img = win.flush()
+    # both viewports drew their own triangle
+    assert img[32, 16, 0] > 0
+    assert img[32, 48, 0] > 0
+
+
+def test_plan_growth_recompiles_transparently():
+    dev = make_device()
+    verts, idx = prim.cube(0.5)
+    v, i = scenelib._upload(dev, verts, idx)
+    tex = scenelib._upload_texture(dev, np.ones((1, 1, 4), np.float32))
+    win = RenderWindow(dev, resolution=(32, 32))
+    plan_before = win.rendering_function.plan
+    # 40 draws exceeds the default draw_cap of 16 -> plan must grow
+    scene = win.get_render_scene()
+    cam = ty.Camera()
+    cam.view_matrix = np.asarray(
+        math3d.look_at_rh([0, 2, 6], [0, 0, 0], [0, 1, 0]), np.float32
+    )
+    cam.viewport = math3d.Viewport(0, 0, 32, 32)
+    cam.scissor = math3d.Rect2D(0, 0, 32, 32)
+    for k in range(40):
+        model = np.asarray(math3d.translation([(k % 7) - 3, 0, (k // 7) - 3]), np.float32)
+        cam.mesh_renderers.append(MeshRenderer(v, i, tex, model))
+    scene.add_camera(cam)
+    win.render()
+    win.flush()
+    assert win.rendering_function.plan.draw_cap >= 40
+    assert win.rendering_function.plan != plan_before

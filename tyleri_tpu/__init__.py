@@ -57,6 +57,12 @@ _EXPORTS = {
     "Rect2D": "tyleri_tpu.utils.math3d",
     "Viewport": "tyleri_tpu.utils.math3d",
     "RenderWindow": "tyleri_tpu.window.render_window",
+    "WindowHandle": "tyleri_tpu.window.render_window",
+    "CommonPipeline": "tyleri_tpu.pipeline.common_pipeline",
+    "UIPipeline": "tyleri_tpu.pipeline.ui_pipeline",
+    "UIElement": "tyleri_tpu.scene.ui",
+    "ParallelGroup": "tyleri_tpu.scene.parallel_group",
+    "FrameProfiler": "tyleri_tpu.utils.profiling",
 }
 
 __all__ = sorted(_EXPORTS)

@@ -1,0 +1,89 @@
+"""Multi-chip frame rendering via shard_map over a (draws, tiles) mesh.
+
+Sort-first + sort-last hybrid (see parallel/mesh.py): every device renders
+the draw subset of its ``draws`` coordinate into the framebuffer band of its
+``tiles`` coordinate, then bands are composited across the ``draws`` axis by
+depth (an all_gather of band-sized buffers over ICI — the only collective in
+the frame).  Geometry/scene inputs are replicated; the output framebuffer is
+sharded over its row axis.
+
+Semantics note: the cross-device composite resolves depth ties by device
+index rather than global draw order (draws are round-robined, ref
+ParallelGroup semantics src/render_objects/mod.rs:5-30); within a device the
+exact visibility-order rules apply.  With one draw shard the output is
+bit-identical to the single-chip path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tyleri_tpu.parallel.mesh import AXIS_DRAWS, AXIS_TILES
+from tyleri_tpu.rendering.forward import FramePlan, frame_body
+
+
+def _band_plan(plan: FramePlan, n_tile_shards: int) -> FramePlan:
+    if plan.raster.fb_h % n_tile_shards != 0:
+        raise ValueError(
+            f"framebuffer height {plan.raster.fb_h} not divisible by "
+            f"{n_tile_shards} tile shards"
+        )
+    band_h = plan.raster.fb_h // n_tile_shards
+    return dataclasses.replace(
+        plan, raster=dataclasses.replace(plan.raster, fb_h=band_h)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "mesh_state", "ui_state", "mesh"),
+)
+def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
+    """Sharded frame program. ``arrays`` is the same tuple `_render_frame`
+    takes (geometry, textures, scene SoA, UI, window rects); returns
+    (color [H, W, 4] sharded over rows, depth [H, W])."""
+    nd = mesh.shape[AXIS_DRAWS]
+    nt = mesh.shape[AXIS_TILES]
+    bplan = _band_plan(plan, nt)
+    band_h = bplan.raster.fb_h
+    C, D = plan.cam_cap, plan.draw_cap
+
+    def shard_fn(*arrs):
+        di = jax.lax.axis_index(AXIS_DRAWS)
+        ti = jax.lax.axis_index(AXIS_TILES)
+        y0 = (ti * band_h).astype(jnp.int32)
+        # round-robin draw assignment to the draws axis (ParallelGroup)
+        draw_ids = jnp.arange(D, dtype=jnp.int32)[None, :]
+        draw_keep = jnp.broadcast_to((draw_ids % nd) == di, (C, D))
+        frame = frame_body(
+            bplan, mesh_state, ui_state, *arrs,
+            band_y0=y0, draw_keep=draw_keep,
+        )
+        # composite across the draws axis: min depth wins; ties go to the
+        # higher device index (later round-robin draw)
+        depths = jax.lax.all_gather(frame.depth, AXIS_DRAWS)   # [nd, bh, W]
+        colors = jax.lax.all_gather(frame.color, AXIS_DRAWS)   # [nd, bh, W, 4]
+        rev = depths[::-1]
+        winner_rev = jnp.argmin(rev, axis=0)                   # first of reversed
+        winner = nd - 1 - winner_rev
+        color = jnp.take_along_axis(
+            colors, winner[None, ..., None], axis=0
+        )[0]
+        depth = jnp.take_along_axis(depths, winner[None], axis=0)[0]
+        return color, depth
+
+    in_specs = tuple(P() for _ in arrays)
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None)),
+        check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
+                          # all_gather composite; skip the static proof
+    )
+    return shard(*arrays)

@@ -1,0 +1,292 @@
+"""ForwardRenderingFunction — the forward render path
+(ref: src/rendering_function/forward_rendering/mod.rs).
+
+The reference records, per frame: begin render pass (clear color [0,0,0,0],
+clear depth 1.0 — mod.rs:218-229), UI into the first secondary command
+buffer (mod.rs:291-296), then per camera the mesh draws fanned over rayon
+threads (mod.rs:297-313).  The TPU-native frame program is one jitted
+function: clear -> UI pass (exact, ordered) -> per-camera mesh pass
+(visibility raster + deferred shade), compiled per (resolution, capacities,
+pipeline states) — capacities auto-grow in powers of two, which recompiles,
+exactly like swapchain/pipeline recreation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tyleri_tpu.ops.setup import transform_mesh_corners
+from tyleri_tpu.pipeline.common_pipeline import CommonPipeline
+from tyleri_tpu.pipeline.state import PipelineState
+from tyleri_tpu.pipeline.ui_pipeline import UIPipeline
+from tyleri_tpu.rendering.function import Frame
+from tyleri_tpu.rendering.passes import RasterPlan, mesh_pass, ui_pass, ui_points_to_clip
+from tyleri_tpu.utils.math3d import Rect2D, Viewport
+
+CLEAR_COLOR = (0.0, 0.0, 0.0, 0.0)  # ref: mod.rs:218-223
+CLEAR_DEPTH = 1.0                   # ref: mod.rs:224-229
+
+
+def _next_pow2(n: int, floor: int) -> int:
+    v = floor
+    while v < n:
+        v *= 2
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class FramePlan:
+    """Static capacities of one compiled frame program."""
+
+    raster: RasterPlan
+    cam_cap: int = 1
+    draw_cap: int = 16
+    tri_cap: int = 1 << 12
+    ui_tri_cap: int = 256
+
+
+def _shift_viewport(viewport, y0):
+    """Shift a viewport down-screen by y0 pixels (band-local coordinates)."""
+    return viewport.at[1].add(-y0.astype(jnp.float32))
+
+
+def _shift_scissor(scissor, y0, band_h: int):
+    """Intersect a scissor rect with the band [y0, y0+band_h) and express it
+    in band-local coordinates."""
+    sy = scissor[1] - y0
+    sy0 = jnp.clip(sy, 0, band_h)
+    sy1 = jnp.clip(sy + scissor[3], 0, band_h)
+    return jnp.stack([scissor[0], sy0, scissor[2], sy1 - sy0]).astype(jnp.int32)
+
+
+def frame_body(
+    plan: FramePlan,
+    mesh_state: PipelineState,
+    ui_state: PipelineState,
+    positions, uvs, indices,
+    texels, tex_offset, tex_width, tex_height,
+    clear_color,     # f32 [4]
+    cam_valid,       # bool [C]
+    viewports,       # f32 [C, 6]
+    scissors,        # i32 [C, 4]
+    view_projs,      # f32 [C, 4, 4] (projection @ view)
+    models,          # f32 [C, D, 4, 4]
+    first_index, vertex_offset, tri_base, tri_count, draw_tex,  # i32 [C, D]
+    ui_clip, ui_uv, ui_color, ui_tex, ui_valid,                 # [U, 3, ...]
+    window_viewport, window_scissor,
+    *,
+    band_y0=None,     # traced scalar pixel offset of this band (sharded mode)
+    draw_keep=None,   # bool [C, D] draw subset mask (sort-last mode)
+):
+    """One frame (or one band of a frame): clear -> UI -> per-camera meshes.
+
+    ``plan.raster.fb_h`` is the height actually rasterized; in sharded mode
+    it is the band height and ``band_y0`` shifts all viewports/scissors into
+    band-local coordinates.
+    """
+    H, W = plan.raster.fb_h, plan.raster.fb_w
+    color = jnp.broadcast_to(clear_color, (H, W, 4)).astype(jnp.float32)
+    depth = jnp.full((H, W), CLEAR_DEPTH, jnp.float32)
+
+    y0 = jnp.zeros((), jnp.int32) if band_y0 is None else band_y0
+    wvp = _shift_viewport(window_viewport, y0)
+    wsc = _shift_scissor(window_scissor, y0, H)
+
+    # UI records first (ref: mod.rs:291-296) — with depth write at z=0 it
+    # occludes mesh fragments behind it.
+    color, depth = ui_pass(
+        ui_state, color, depth, ui_clip, ui_uv, ui_color, ui_tex, ui_valid,
+        wvp, wsc, texels, tex_offset, tex_width, tex_height,
+    )
+
+    bin_of = jnp.zeros((), jnp.int32)
+    tile_of = jnp.zeros((), jnp.int32)
+    for c in range(plan.cam_cap):
+        mvps = jnp.einsum(
+            "ij,djk->dik", view_projs[c], models[c],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        clip, uv3, draw_ids, tvalid = transform_mesh_corners(
+            positions, uvs, indices,
+            first_index[c], vertex_offset[c], tri_base[c], tri_count[c],
+            mvps, plan.tri_cap,
+        )
+        tex_ids = draw_tex[c][draw_ids]
+        tvalid = tvalid & cam_valid[c]
+        if draw_keep is not None:
+            tvalid = tvalid & draw_keep[c][draw_ids]
+        color, depth, st = mesh_pass(
+            plan.raster, mesh_state, color, depth,
+            clip, uv3, tex_ids, tvalid,
+            _shift_viewport(viewports[c], y0),
+            _shift_scissor(scissors[c], y0, H),
+            texels, tex_offset, tex_width, tex_height,
+        )
+        bin_of = bin_of + st.bin_overflow
+        tile_of = tile_of + st.tile_overflow
+
+    return Frame(color=color, depth=depth, bin_overflow=bin_of, tile_overflow=tile_of)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
+def _render_frame(plan, mesh_state, ui_state, *arrays):
+    return frame_body(plan, mesh_state, ui_state, *arrays)
+
+
+class ForwardRenderingFunction:
+    """The only RenderingFunction impl, as in the reference (mod.rs:46-50)."""
+
+    def __init__(self, render_device, swapchain, *, exact: bool = False):
+        self.render_device = render_device
+        w, h = swapchain.resolution
+        self.common_pipeline = CommonPipeline()
+        self.ui_pipeline = UIPipeline()
+        # honor the device's configured depth format (the reference
+        # hard-codes D16 in the render pass even when configured otherwise —
+        # mod.rs:132; we fix that latent inconsistency)
+        ds = dataclasses.replace(
+            self.common_pipeline.state.depth, format=render_device.depth_format
+        )
+        self.mesh_state = dataclasses.replace(self.common_pipeline.state, depth=ds)
+        uds = dataclasses.replace(
+            self.ui_pipeline.state.depth, format=render_device.depth_format
+        )
+        self.ui_state = dataclasses.replace(self.ui_pipeline.state, depth=uds)
+        self.plan = FramePlan(
+            raster=RasterPlan.for_scene(w, h, 1 << 12, exact=exact)
+        )
+
+    def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
+        p = self.plan
+        # capacities only grow (each growth recompiles, like swapchain
+        # recreation); entries get ~2 tiles per triangle headroom
+        raster = dataclasses.replace(
+            p.raster, entry_cap=_next_pow2(2 * n_tris, p.raster.entry_cap)
+        )
+        new = FramePlan(
+            raster=raster,
+            cam_cap=_next_pow2(n_cams, p.cam_cap),
+            draw_cap=_next_pow2(n_draws, p.draw_cap),
+            tri_cap=_next_pow2(n_tris, p.tri_cap),
+            ui_tri_cap=_next_pow2(n_ui, p.ui_tri_cap),
+        )
+        if new != p:
+            self.plan = new
+
+    def record(self, render_device, render_resources, scale_factor, window_size) -> Frame:
+        """Record + submit one frame (ref: mod.rs:262-324). Returns a Frame
+        of device arrays still computing (XLA async dispatch = submission)."""
+        arrays = self.build_frame_inputs(
+            render_device, render_resources, scale_factor, window_size
+        )
+        return _render_frame(self.plan, self.mesh_state, self.ui_state, *arrays)
+
+    def build_frame_inputs(
+        self, render_device, render_resources, scale_factor, window_size
+    ):
+        """Assemble the padded device-array inputs of the frame program
+        (grows the plan first). Shared by the single-chip path and the
+        multi-chip shard_map path (tyleri_tpu.parallel.sharding)."""
+        cams = render_resources.cameras
+        n_draws = max((len(c.mesh_renderers) for c in cams), default=0)
+        n_tris = max(
+            (
+                sum(m.triangle_count for m in c.mesh_renderers)
+                for c in cams
+            ),
+            default=0,
+        )
+        ui_elements = render_resources.ui
+        n_ui = render_resources.ui_indices.len // 3
+        self._grow_plan(max(len(cams), 1), max(n_draws, 1), max(n_tris, 1), max(n_ui, 1))
+        plan = self.plan
+
+        alloc = render_device.memory_allocator
+        positions, uvs, indices = alloc.geometry_device_arrays()
+        texels, toff, tw, th = alloc.texture_device_arrays()
+
+        C, D = plan.cam_cap, plan.draw_cap
+        cam_valid = np.zeros((C,), bool)
+        viewports = np.zeros((C, 6), np.float32)
+        viewports[:, 2:4] = 1.0  # avoid 0/0 aspect for dead cameras
+        scissors = np.zeros((C, 4), np.int32)
+        view_projs = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        models = np.tile(np.eye(4, dtype=np.float32), (C, D, 1, 1))
+        first_index = np.zeros((C, D), np.int32)
+        vertex_offset = np.zeros((C, D), np.int32)
+        tri_base = np.full((C, D), plan.tri_cap, np.int32)
+        tri_count = np.zeros((C, D), np.int32)
+        draw_tex = np.zeros((C, D), np.int32)
+
+        for ci, cam in enumerate(cams):
+            cam_valid[ci] = True
+            viewports[ci] = np.asarray(cam.viewport.as_array())
+            scissors[ci] = np.asarray(cam.scissor.as_array())
+            view_projs[ci] = cam.get_projection_matrix() @ cam.view_matrix
+            base = 0
+            for di, mesh in enumerate(cam.mesh_renderers):
+                first_index[ci, di] = mesh.indices.offset
+                vertex_offset[ci, di] = mesh.vertices.offset
+                tri_base[ci, di] = base
+                tri_count[ci, di] = mesh.triangle_count
+                draw_tex[ci, di] = mesh.texture.slot
+                models[ci, di] = mesh.model
+                base += mesh.triangle_count
+            # dead draw slots: keep tri_base monotone at `base` so
+            # searchsorted maps padding triangles to a zero-count draw
+            for di in range(len(cam.mesh_renderers), D):
+                tri_base[ci, di] = base
+
+        # ---- UI assembly (points -> clip on host; ref: ui.vert:16-18) ----
+        U = plan.ui_tri_cap
+        ui_clip = np.zeros((U, 3, 4), np.float32)
+        ui_clip[..., 3] = 1.0
+        ui_uv = np.zeros((U, 3, 2), np.float32)
+        ui_colors = np.zeros((U, 3, 4), np.float32)
+        ui_tex = np.zeros((U,), np.int32)
+        ui_valid = np.zeros((U,), bool)
+        win_w, win_h = window_size
+        if ui_elements and render_resources.ui_indices.len > 0:
+            verts = render_resources.ui_vertices.data()    # [N, 8]
+            inds = render_resources.ui_indices.data()      # [M]
+            screen_pts = (
+                float(win_w) / float(scale_factor),
+                float(win_h) / float(scale_factor),
+            )
+            t = 0
+            for el in ui_elements:
+                tri_idx = inds[el.index_offset : el.index_offset + el.index_len]
+                tri_idx = tri_idx.reshape(-1, 3).astype(np.int64) + el.vertex_offset
+                for corner_ids in tri_idx:
+                    if t >= U:
+                        break
+                    v = verts[corner_ids]          # [3, 8]
+                    pts = v[:, 0:2]
+                    ui_clip[t] = np.asarray(
+                        ui_points_to_clip(pts, np.asarray(screen_pts, np.float32))
+                    )
+                    ui_uv[t] = v[:, 2:4]
+                    ui_colors[t] = v[:, 4:8]
+                    ui_tex[t] = el.texture.slot
+                    ui_valid[t] = True
+                    t += 1
+
+        window_viewport = Viewport(0, 0, float(win_w), float(win_h)).as_array()
+        window_scissor = Rect2D(0, 0, int(win_w), int(win_h)).as_array()
+
+        return (
+            positions, uvs, indices, texels, toff, tw, th,
+            jnp.asarray(CLEAR_COLOR, jnp.float32),
+            jnp.asarray(cam_valid), jnp.asarray(viewports), jnp.asarray(scissors),
+            jnp.asarray(view_projs), jnp.asarray(models),
+            jnp.asarray(first_index), jnp.asarray(vertex_offset),
+            jnp.asarray(tri_base), jnp.asarray(tri_count), jnp.asarray(draw_tex),
+            jnp.asarray(ui_clip), jnp.asarray(ui_uv), jnp.asarray(ui_colors),
+            jnp.asarray(ui_tex), jnp.asarray(ui_valid),
+            window_viewport, window_scissor,
+        )

@@ -1,0 +1,32 @@
+"""RenderingFunction protocol (ref: src/rendering_function/mod.rs:14-26).
+
+The reference's trait takes a device + swapchain at construction and records
+one frame into a primary command buffer.  The TPU analog: construction
+specializes/compiles the frame program for a target's resolution, and
+``record`` turns a RenderScene into one jitted frame execution returning the
+framebuffer (the "executable command buffer" is the XLA executable; async
+dispatch is the submission).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Protocol
+
+import jax
+
+
+class Frame(NamedTuple):
+    """The recorded+submitted frame: device arrays still being computed
+    (async dispatch), plus validation stats."""
+
+    color: jax.Array          # f32 [H, W, 4]
+    depth: jax.Array          # f32 [H, W]
+    bin_overflow: jax.Array   # i32 []
+    tile_overflow: jax.Array  # i32 []
+
+
+class RenderingFunction(Protocol):
+    def __init__(self, render_device, swapchain): ...
+
+    def record(self, render_device, render_resources, scale_factor: float,
+               window_size) -> Frame: ...

@@ -88,6 +88,19 @@ class BlockBasedAllocator:
             self._merge_locked()
 
 
+def make_block_allocator(capacity: int):
+    """Native C++ allocator when built, python free-list otherwise
+    (identical observable behavior, asserted by tests/test_native.py)."""
+    try:
+        from tyleri_tpu import native
+
+        if native.available():
+            return native.NativeBlockAllocator(capacity)
+    except Exception:
+        pass
+    return BlockBasedAllocator(capacity)
+
+
 class BindlessBuffer:
     """A suballocation handle carrying (offset, len) into an arena
     (the ``BindlessBuffer<T>`` analog consumed at draw time, ref:
@@ -124,7 +137,7 @@ class BindlessBufferAllocator:
             name: np.zeros((self.capacity, *shape), dtype)
             for name, (shape, dtype) in self.fields.items()
         }
-        self._allocator = BlockBasedAllocator(self.capacity)
+        self._allocator = make_block_allocator(self.capacity)
         self._dirty = True
         self._device = None
         self._lock = threading.Lock()

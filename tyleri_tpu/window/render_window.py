@@ -1,0 +1,175 @@
+"""RenderWindow — owner of one render target's frame loop
+(ref: src/render_window.rs).
+
+``render()`` is the per-frame hot loop (ref: render_window.rs:126-218):
+
+  reference                             TPU-native
+  ---------                             ----------
+  steal available RenderScene           take the available scene object
+  acquire_next_image (semaphore)        ring-slot index from the swapchain
+  rendering_function.record(...)        jitted frame program, async dispatch
+  queue submit (pop queue from pool)    DispatchQueue from the device pool
+  queue_present                         async device->host copy starts
+  recycle previous per-image resources  —
+  fence wait on frame N-k               block_until_ready on that slot's
+                                        previous frame + finish host copy
+  reset CBs / clear render resources    scene.clear(), stats -> validation
+
+Frames-in-flight depth = swapchain image count, exactly the reference's
+pipelining scheme (CPU records frame N while the device renders N-1..N-k).
+
+Headless presentation: the presented image lands in ``latest_image`` and/or
+a ``present_target`` callback (e.g. a PNG writer) — the lavapipe-headless
+analog the BASELINE configs use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from tyleri_tpu.rendering.forward import ForwardRenderingFunction
+from tyleri_tpu.scene.render_scene import RenderScene
+from tyleri_tpu.utils.image import to_unorm8
+from tyleri_tpu.utils.profiling import FrameProfiler
+from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class WindowHandle:
+    """Hashable window+display handle (ref: src/lib.rs:25-34). ``None``
+    fields = headless."""
+
+    window: Optional[int] = None
+    display: Optional[int] = None
+
+
+class _UsingResources:
+    """Per-swapchain-image in-flight state (ref: render_window.rs:29-43)."""
+
+    def __init__(self, frame, scene):
+        self.frame = frame          # Frame of device arrays (may still compute)
+        self.scene = scene          # the RenderScene that recorded it
+
+    def wait(self) -> np.ndarray:
+        """Fence-wait analog (ref: render_window.rs:193): block on the device
+        result and return the presented u8 image."""
+        color = jax.block_until_ready(self.frame.color)
+        return to_unorm8(np.asarray(color))
+
+
+class RenderWindow:
+    def __init__(
+        self,
+        render_device,
+        window_handle: Optional[WindowHandle] = None,
+        *,
+        resolution=(800, 600),
+        scale_factor: float = 1.0,
+        rendering_function=ForwardRenderingFunction,
+        present_target: Optional[Callable[[np.ndarray], None]] = None,
+        exact: bool = False,
+    ):
+        self.render_device = render_device
+        self.window_handle = window_handle or WindowHandle()
+        self._scale_factor = float(scale_factor)
+        self.swapchain = ImageViewSwapchain(resolution)
+        self.rendering_function = rendering_function(
+            render_device, self.swapchain, exact=exact
+        )
+        self.present_target = present_target
+        self.latest_image: Optional[np.ndarray] = None
+        self.frame_index = 0
+        # pre-populated scenes: one available + one per in-flight image
+        # (the reference pre-signals fences with fresh CBs,
+        # render_window.rs:104)
+        self._available_scene = RenderScene()
+        self._using: dict[int, _UsingResources] = {}
+        self.profiler = FrameProfiler()
+
+    # -- accessors (ref: render_window.rs:46-54,219-224) --
+
+    @property
+    def resolution(self):
+        return self.swapchain.resolution
+
+    @property
+    def scale_factor(self) -> float:
+        return self._scale_factor
+
+    def get_render_scene(self) -> RenderScene:
+        return self._available_scene
+
+    def get_swapchain_images(self) -> int:
+        return self.swapchain.image_count
+
+    # -- the frame hot loop (ref: render_window.rs:126-218) --
+
+    def render(self, render_device=None) -> int:
+        device = render_device or self.render_device
+        scene = self._available_scene
+        self._available_scene = None  # stolen (the MaybeUninit swap analog)
+        tri_count = sum(
+            sum(m.triangle_count for m in cam.mesh_renderers)
+            for cam in scene.render_resources.cameras
+        )
+
+        image_index = self.swapchain.acquire_next_image()
+
+        queue = device.present_queues.pop()
+        try:
+            frame = queue.submit(
+                self.rendering_function.record,
+                device,
+                scene.render_resources,
+                self._scale_factor,
+                self.swapchain.resolution,
+            )
+        finally:
+            device.present_queues.push(queue)
+
+        previous = self._using.pop(image_index, None)
+        self._using[image_index] = _UsingResources(frame, scene)
+
+        if previous is not None:
+            # fence wait on the frame previously using this image slot
+            img = previous.wait()
+            self.latest_image = img
+            if self.present_target is not None:
+                self.present_target(img)
+            device.debug_messenger.check_overflow(
+                "bin-entries", previous.frame.bin_overflow
+            )
+            device.debug_messenger.check_overflow(
+                "tile-entries", previous.frame.tile_overflow
+            )
+            previous.scene.clear()
+            self._available_scene = previous.scene
+        else:
+            self._available_scene = RenderScene()
+
+        self.frame_index += 1
+        self.profiler.frame(tri_count)
+        return image_index
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Drain all in-flight frames (the Drop behavior,
+        ref: render_window.rs:226-233); returns the last presented image."""
+        last_idx = (
+            self.swapchain._next - 1 + self.swapchain.image_count
+        ) % self.swapchain.image_count
+        img = None
+        for idx, using in list(self._using.items()):
+            img_i = using.wait()
+            if idx == last_idx:
+                img = img_i
+            using.scene.clear()
+        self._using.clear()
+        if img is not None:
+            self.latest_image = img
+            if self.present_target is not None:
+                self.present_target(img)
+        return self.latest_image
