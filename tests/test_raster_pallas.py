@@ -1,0 +1,117 @@
+"""Pallas visibility kernel vs the XLA reference implementation
+(interpret mode on CPU; the real compiled path runs on TPU in bench)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tyleri_tpu.pipeline.state import (
+    BlendState,
+    CompareOp,
+    DepthFormat,
+    DepthState,
+    PipelineState,
+)
+from tyleri_tpu.rendering import passes
+from tyleri_tpu.utils.math3d import Rect2D, Viewport
+
+FB_W, FB_H = 128, 32  # one column of (8, 128) tiles, 4 rows
+
+FLAT = PipelineState(
+    blend=BlendState(enable=False),
+    depth=DepthState(test_enable=True, write_enable=True,
+                     compare_op=CompareOp.LESS_OR_EQUAL,
+                     format=DepthFormat.D16_UNORM),
+)
+
+
+def random_scene(rng, T=24, grid=16):
+    xy = rng.integers(-grid - 2, grid + 3, size=(T, 3, 2)).astype(np.float64) / grid
+    z = rng.integers(1, 63, size=(T,)).astype(np.float64) / 64.0
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = z[:, None]
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2)).astype(np.float32)
+    return clip, uv
+
+
+def run(clip, uv, pallas, plan_kw=None):
+    T = clip.shape[0]
+    plan = passes.RasterPlan(
+        fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
+        entry_cap=1024, cap_per_tile=512, chunk=128,
+        pallas=pallas, **(plan_kw or {}),
+    )
+    texels = jnp.ones((4, 4), jnp.float32)
+    meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+            jnp.full((1,), 2, jnp.int32))
+    color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+    depth = jnp.ones((FB_H, FB_W), jnp.float32)
+    color, depth, stats = passes.mesh_pass(
+        plan, FLAT, color, depth,
+        jnp.asarray(clip), jnp.asarray(uv),
+        jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+        Viewport(0, 0, FB_W, FB_H).as_array(),
+        Rect2D(0, 0, FB_W, FB_H).as_array(),
+        texels, *meta,
+    )
+    return np.asarray(color), np.asarray(depth)
+
+
+def test_pallas_matches_xla_visibility():
+    rng = np.random.default_rng(21)
+    clip, uv = random_scene(rng)
+    c_ref, d_ref = run(clip, uv, pallas=False)
+    c_pal, d_pal = run(clip, uv, pallas=True)
+    np.testing.assert_array_equal(d_pal, d_ref)
+    np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
+
+
+def test_pallas_broad_triangles_and_ties():
+    # big triangle (broad list) + small ones + an exact z-tie pair
+    big = [[[-4, -4, 0.9, 1], [4, -4, 0.9, 1], [0, 4, 0.9, 1]]]
+    small = [[[-0.5, -0.5, 0.25, 1], [0.5, -0.5, 0.25, 1], [0, 0.5, 0.25, 1]]]
+    tie = small  # same geometry/z again, later draw order wins
+    clip = np.asarray(big + small + tie, np.float32)
+    uv = np.zeros((3, 3, 2), np.float32)
+    uv[2] = 0.9
+    kw = {"max_tiles_per_tri": 2, "broad_cap": 32}
+    c_ref, d_ref = run(clip, uv, pallas=False, plan_kw=kw)
+    c_pal, d_pal = run(clip, uv, pallas=True, plan_kw=kw)
+    np.testing.assert_array_equal(d_pal, d_ref)
+    np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
+
+
+def test_pallas_scissor_and_empty():
+    rng = np.random.default_rng(22)
+    clip, uv = random_scene(rng, T=8)
+    plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
+                             entry_cap=512, chunk=128, pallas=True)
+    texels = jnp.ones((4, 4), jnp.float32)
+    meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+            jnp.full((1,), 2, jnp.int32))
+    color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+    depth = jnp.ones((FB_H, FB_W), jnp.float32)
+    sc = Rect2D(16, 8, 64, 16)
+    c, d, _ = passes.mesh_pass(
+        plan, FLAT, color, depth, jnp.asarray(clip), jnp.asarray(uv),
+        jnp.zeros((8,), jnp.int32), jnp.ones((8,), bool),
+        Viewport(0, 0, FB_W, FB_H).as_array(), sc.as_array(), texels, *meta)
+    c = np.asarray(c)
+    outside = np.ones((FB_H, FB_W), bool)
+    outside[8:24, 16:80] = False
+    assert (c[outside] == 0).all()
+    # empty scene
+    c2, d2, _ = passes.mesh_pass(
+        plan, FLAT, color, depth, jnp.asarray(clip), jnp.asarray(uv),
+        jnp.zeros((8,), jnp.int32), jnp.zeros((8,), bool),
+        Viewport(0, 0, FB_W, FB_H).as_array(), sc.as_array(), texels, *meta)
+    assert float(jnp.sum(c2)) == 0.0
+
+
+def test_pallas_flag_validation():
+    plan = passes.RasterPlan(fb_w=64, fb_h=64, tile_w=8, tile_h=8, pallas=True)
+    with pytest.raises(ValueError):
+        passes._use_pallas(plan, FLAT)

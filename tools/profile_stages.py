@@ -1,0 +1,141 @@
+"""Per-stage timing of the raster pipeline on the local chip.
+
+Times transform+setup / binning / visibility / shade separately for a
+chosen BASELINE config, to direct kernel optimization. Run on TPU:
+    python tools/profile_stages.py [config] [frames]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.ops.binning import bin_triangles
+    from tyleri_tpu.ops.setup import setup_triangles, transform_mesh_corners
+    from tyleri_tpu.ops.shade import shade_visibility
+    from tyleri_tpu.ops.visibility import combined_channels
+    from tyleri_tpu.rendering import passes
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    config = sys.argv[1] if len(sys.argv) > 1 else "config4"
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    device = ty.RenderDeviceBuilder().build()
+    print("device:", device.device)
+    make = {
+        "config2": lambda: scenelib.config2_cube(device, (800, 600)),
+        "config3": lambda: scenelib.config3_suzanne(device, (800, 600)),
+        "config4": lambda: scenelib.config4_instances(device),
+        "config5": lambda: scenelib.config5_sponza(device),
+    }[config]
+    rig = make()
+    print("scene:", rig.name, "tris:", rig.triangle_count)
+
+    rf = ty.ForwardRenderingFunction(device, ImageViewSwapchain(rig.resolution))
+    scene = RenderScene()
+    rig.fill(scene, 0.5)
+    arrays = rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
+    plan = rf.plan
+    (positions, uvs, indices, texels, toff, tw, th, clear_color,
+     cam_valid, viewports, scissors, view_projs, models,
+     first_index, vertex_offset, tri_base, tri_count, draw_tex,
+     *_rest) = arrays
+    print("plan:", plan)
+
+    r = plan.raster
+
+    @jax.jit
+    def stage_setup(view_projs, models):
+        mvps = jnp.einsum("ij,djk->dik", view_projs[0], models[0],
+                          precision=jax.lax.Precision.HIGHEST)
+        clip, uv3, draw_ids, tvalid = transform_mesh_corners(
+            positions, uvs, indices, first_index[0], vertex_offset[0],
+            tri_base[0], tri_count[0], mvps, plan.tri_cap)
+        su = setup_triangles(
+            clip, uv3, draw_tex[0][draw_ids], tvalid & cam_valid[0],
+            viewports[0], scissors[0],
+            tile_w=r.tile_w, tile_h=r.tile_h, grid_w=r.grid_w, grid_h=r.grid_h)
+        return su
+
+    su = jax.block_until_ready(stage_setup(view_projs, models))
+
+    @jax.jit
+    def stage_bin(su):
+        return bin_triangles(su, grid_w=r.grid_w, grid_h=r.grid_h,
+                             entry_cap=r.entry_cap,
+                             max_tiles_per_tri=r.max_tiles_per_tri,
+                             broad_cap=r.broad_cap)
+
+    binned = jax.block_until_ready(stage_bin(su))
+    print("entries:", int(binned.num_entries), "broad:", int(binned.num_broad),
+          "overflow:", int(binned.overflow))
+
+    depth0 = jnp.ones((r.fb_h, r.fb_w), jnp.float32)
+    use_pallas = passes._use_pallas(r, rf.mesh_state)
+    if use_pallas:
+        from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+
+        @jax.jit
+        def stage_vis(binned, depth0):
+            return rasterize_visibility_pallas(
+                binned, depth0, scissors[0],
+                fb_w=r.fb_w, fb_h=r.fb_h, tile_w=r.tile_w, tile_h=r.tile_h,
+                grid_w=r.grid_w, grid_h=r.grid_h, chunk=r.chunk,
+                depth_state=rf.mesh_state.depth,
+                interpret=jax.default_backend() != "tpu")
+    else:
+        from tyleri_tpu.ops.visibility import rasterize_visibility
+
+        @jax.jit
+        def stage_vis(binned, depth0):
+            return rasterize_visibility(
+                binned, depth0, scissors[0],
+                fb_w=r.fb_w, fb_h=r.fb_h, tile_w=r.tile_w, tile_h=r.tile_h,
+                grid_w=r.grid_w, grid_h=r.grid_h,
+                cap_per_tile=r.cap_per_tile, chunk=r.chunk,
+                depth_state=rf.mesh_state.depth)
+    print("visibility backend:", "pallas" if use_pallas else "xla")
+
+    vis, _ = jax.block_until_ready(stage_vis(binned, depth0))
+
+    color0 = jnp.zeros((r.fb_h, r.fb_w, 4), jnp.float32)
+
+    @jax.jit
+    def stage_shade(vis_owner, binned, color0):
+        all_ch = combined_channels(binned)
+        return shade_visibility(vis_owner, all_ch, texels, toff, tw, th,
+                                rf.mesh_state.blend, color0)
+
+    jax.block_until_ready(stage_shade(vis.owner, binned, color0))
+
+    def timeit(name, fn, *args):
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / frames
+        print(f"{name:12s} {dt * 1000:9.2f} ms")
+        return dt
+
+    total = 0.0
+    total += timeit("setup", stage_setup, view_projs, models)
+    total += timeit("binning", stage_bin, su)
+    total += timeit("visibility", stage_vis, binned, depth0)
+    total += timeit("shade", stage_shade, vis.owner, binned, color0)
+    print(f"{'sum':12s} {total * 1000:9.2f} ms  ({1.0 / total:.1f} fps equivalent)")
+
+
+if __name__ == "__main__":
+    main()

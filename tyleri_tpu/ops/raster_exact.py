@@ -39,6 +39,7 @@ def rasterize_exact(
     state: PipelineState,
     with_vertex_color: bool = False,
     vertex_color=None,  # f32 [T, 3, 4] when with_vertex_color
+    order=None,         # f32 [T] draw order override (near-clip splits)
 ):
     """Returns (color, depth) after drawing the triangles in order."""
     H, W = depth.shape
@@ -49,6 +50,7 @@ def rasterize_exact(
     su = S.setup_triangles(
         clip, uv, tex_id, tri_valid, viewport, scissor,
         tile_w=max(W, 1), tile_h=max(H, 1), grid_w=1, grid_h=1,
+        order=order,
     )
     if with_vertex_color:
         vc = vertex_color

@@ -1,0 +1,297 @@
+"""Pallas TPU kernel for the per-tile visibility resolve — the hot loop.
+
+Functionally identical to ops/visibility.py (the XLA reference
+implementation; tests assert agreement), but hand-scheduled for TPU:
+
+* the framebuffer tile is (8, 128) pixels — one VPU native vector — and each
+  grid program owns one tile's resolve end-to-end in VMEM registers
+* the sorted entry table is channel-major [NUM_CHANNELS, E] in HBM; each
+  tile DMAs its segment in [NUM_CHANNELS, CHUNK] slices into SMEM
+  (double-buffered DMA overlapped with compute) and processes entries
+  sequentially: per entry, plane evaluation + coverage + depth test are ~30
+  native vector ops over the whole tile, with coefficients as SMEM scalar
+  loads (Mosaic cannot scalar-index VMEM lanes dynamically, and DMA lane
+  offsets must be 128-aligned — hence SMEM staging + floor-aligned chunks)
+* sequential processing gives *exact* Vulkan submission-order semantics for
+  the depth test by construction (later fragments at equal LESS_OR_EQUAL
+  depth overwrite); the CH_ORDER channel arbitrates between the narrow and
+  broad lists
+* chunk overrun at segment ends is handled by clamping the slice start;
+  re-processing a duplicate entry is idempotent under the resolve
+* the huge-triangle ("broad") side list lives wholly in VMEM and is scanned
+  by every tile with a scalar bbox test
+
+Depth semantics: LESS_OR_EQUAL / LESS with depth test+write (the reference
+pipelines' configuration, ref: src/pipeline/common_pipeline.rs:107-116).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tyleri_tpu.ops import setup as S
+from tyleri_tpu.ops.binning import BinnedEntries
+from tyleri_tpu.ops.visibility import VisibilityBuffer
+from tyleri_tpu.pipeline.state import CompareOp, DepthFormat, DepthState
+
+
+def _visibility_kernel(
+    # scalar prefetch
+    tile_start_ref,   # i32 [ntiles + 1] (SMEM)
+    scissor_ref,      # i32 [4] (SMEM)
+    nbroad_ref,       # i32 [1] live broad-entry count (SMEM)
+    # inputs
+    entries_ref,      # f32 [NUM_CHANNELS, E] (HBM/ANY)
+    broad_ch_ref,     # f32 [NUM_CHANNELS, B] (VMEM)
+    broad_bbox_ref,   # f32 [B, 4] (VMEM)
+    depth_init_ref,   # f32 [th, tw] (VMEM block)
+    # outputs
+    owner_ref,        # i32 [th, tw]
+    z_ref,            # f32 [th, tw]
+    order_ref,        # f32 [th, tw]
+    # scratch
+    ebuf,             # f32 [2, NUM_CHANNELS, CHUNK]
+    sem,              # DMA sems [2]
+    *,
+    tile_w: int,
+    tile_h: int,
+    grid_w: int,
+    chunk: int,
+    e_cap: int,
+    depth_state: DepthState,
+    le: bool,
+):
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+    t = gy * grid_w + gx
+    start = tile_start_ref[t]
+    end = tile_start_ref[t + 1]
+
+    xc = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    yc = gy * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    in_scissor = (
+        (xc >= scissor_ref[0])
+        & (xc < scissor_ref[0] + scissor_ref[2])
+        & (yc >= scissor_ref[1])
+        & (yc < scissor_ref[1] + scissor_ref[3])
+    )
+    xf = xc.astype(jnp.float32) + 0.5   # [th, tw]
+    yf = yc.astype(jnp.float32) + 0.5
+
+    d16 = depth_state.format == DepthFormat.D16_UNORM
+
+    def resolve_entry(coeff, eid, live, zbuf, owner, obuf):
+        """One entry vs the whole tile. ``coeff(row)`` is a scalar load from
+        the entry's column (must read through a Ref — Mosaic has no dynamic
+        slicing of loaded vectors)."""
+        def plane(row):
+            return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
+
+        e0 = plane(S.CH_E0)
+        e1 = plane(S.CH_E1)
+        e2 = plane(S.CH_E2)
+        cov = (
+            ((e0 > 0) | ((e0 == 0) & (coeff(S.CH_TOPLEFT) > 0)))
+            & ((e1 > 0) | ((e1 == 0) & (coeff(S.CH_TOPLEFT + 1) > 0)))
+            & ((e2 > 0) | ((e2 == 0) & (coeff(S.CH_TOPLEFT + 2) > 0)))
+        )
+        z = plane(S.CH_Z)
+        zc = jnp.clip(z, 0.0, 1.0)
+        zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
+        order = coeff(S.CH_ORDER)
+        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor & live
+        if le:
+            # exact LESS_OR_EQUAL with cross-list ordering: a fragment at
+            # equal depth wins only if its draw order is >= the incumbent's
+            passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
+        else:
+            passing = frag & (zq < zbuf)
+        zbuf = jnp.where(passing, zq, zbuf)
+        owner = jnp.where(passing, eid, owner)
+        obuf = jnp.where(passing, order, obuf)
+        return zbuf, owner, obuf
+
+    zbuf0 = depth_init_ref[:]
+    owner0 = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    obuf0 = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+
+    # ---- narrow entries: double-buffered DMA over the tile's segment ----
+    # DMA lane offsets must be 128-aligned: cover [start, end) with
+    # chunk-aligned windows (chunk % 128 == 0); the live mask trims edges.
+    base = start - jax.lax.rem(start, chunk)
+    nchunks = jnp.where(end > start, pl.cdiv(end - base, chunk), 0)
+
+    def chunk_slice(k):
+        s = jnp.minimum(base + k * chunk, e_cap - chunk)
+        return pl.multiple_of(s, chunk)
+
+    def start_dma(slot, k):
+        return pltpu.make_async_copy(
+            entries_ref.at[:, pl.ds(chunk_slice(k), chunk)],
+            ebuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def chunk_body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        start_dma(slot, k).wait()
+        s = chunk_slice(k)
+
+        def entry_body(j, inner):
+            zbuf, owner, obuf = inner
+            idx = s + j
+            live = (idx >= start) & (idx < end)
+            coeff = lambda row: ebuf[slot, row, j]  # noqa: E731
+            return resolve_entry(coeff, idx, live, zbuf, owner, obuf)
+
+        return jax.lax.fori_loop(0, chunk, entry_body, carry)
+
+    zbuf, owner, obuf = jax.lax.fori_loop(
+        0, nchunks, chunk_body, (zbuf0, owner0, obuf0)
+    )
+
+    # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
+    # live count (zero-cost when no huge triangles exist) ----
+    B = broad_ch_ref.shape[1]
+    if B > 0:
+        gxf = gx.astype(jnp.float32)
+        gyf = gy.astype(jnp.float32)
+
+        def broad_body(j, carry):
+            zbuf, owner, obuf = carry
+            live = (
+                (gxf >= broad_bbox_ref[j, 0])
+                & (gxf <= broad_bbox_ref[j, 2])
+                & (gyf >= broad_bbox_ref[j, 1])
+                & (gyf <= broad_bbox_ref[j, 3])
+            )
+            coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
+            return resolve_entry(coeff, e_cap + j, live, zbuf, owner, obuf)
+
+        zbuf, owner, obuf = jax.lax.fori_loop(
+            0, jnp.minimum(nbroad_ref[0], B), broad_body, (zbuf, owner, obuf)
+        )
+
+    owner_ref[:] = owner
+    z_ref[:] = zbuf
+    order_ref[:] = obuf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
+        "chunk", "depth_state", "interpret",
+    ),
+)
+def rasterize_visibility_pallas(
+    binned: BinnedEntries,
+    init_depth,   # f32 [fb_h, fb_w]
+    scissor,      # i32 [4]
+    *,
+    fb_w: int,
+    fb_h: int,
+    tile_w: int,
+    tile_h: int,
+    grid_w: int,
+    grid_h: int,
+    chunk: int = 64,
+    depth_state: DepthState,
+    interpret: bool = False,
+):
+    """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
+
+    Unlike the XLA path there is no per-tile capacity (tiles stream their
+    whole segment), so tile overflow cannot occur.
+    """
+    if depth_state.compare_op not in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL):
+        raise NotImplementedError(
+            "pallas visibility supports LESS/LESS_OR_EQUAL; use exact mode"
+        )
+    if not (depth_state.test_enable and depth_state.write_enable):
+        raise NotImplementedError("pallas visibility needs depth test+write")
+
+    e_cap = binned.entry_channels.shape[1]
+    if e_cap % chunk != 0:
+        raise ValueError(f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
+
+    pad_h = grid_h * tile_h
+    pad_w = grid_w * tile_w
+    depth0 = jnp.pad(
+        init_depth.astype(jnp.float32),
+        ((0, pad_h - fb_h), (0, pad_w - fb_w)),
+        constant_values=jnp.float32(-jnp.inf),
+    )
+
+    kernel = functools.partial(
+        _visibility_kernel,
+        tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
+        chunk=chunk, e_cap=e_cap, depth_state=depth_state,
+        le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # entries stay in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # broad channels (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # broad bboxes (f32)
+            pl.BlockSpec(
+                (tile_h, tile_w), lambda i, j, *_: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, S.NUM_CHANNELS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    owner, z, order = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        binned.tile_start,
+        scissor,
+        binned.num_broad.reshape(1),
+        binned.entry_channels,
+        binned.broad_channels,
+        binned.broad_tiles.astype(jnp.float32),
+        depth0,
+    )
+
+    vis = VisibilityBuffer(
+        owner=owner[:fb_h, :fb_w],
+        depth=z[:fb_h, :fb_w],
+        order=order[:fb_h, :fb_w],
+    )
+    return vis, jnp.zeros((), jnp.int32)

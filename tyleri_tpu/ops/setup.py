@@ -80,9 +80,12 @@ def setup_triangles(
     tile_h: int,
     grid_w: int,
     grid_h: int,
+    order=None,  # f32 [T] draw order (defaults to the slot index); near-plane
+                 # clipping passes the ORIGINAL order for split halves
 ) -> TriangleSetup:
     T = clip.shape[0]
-    order = jnp.arange(T, dtype=jnp.float32)
+    if order is None:
+        order = jnp.arange(T, dtype=jnp.float32)
 
     w = clip[..., 3]
     in_front = jnp.all(w > W_EPS, axis=1)

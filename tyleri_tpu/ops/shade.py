@@ -28,19 +28,29 @@ def shade_visibility(
     H, W = vis_owner.shape
     valid = vis_owner >= 0
     safe = jnp.clip(vis_owner, 0, all_channels.shape[1] - 1)
-    ch = all_channels[:, safe]  # [NUM_CHANNELS, H, W]
+    # gather only the rows shading needs (10 of NUM_CHANNELS) — the owner
+    # gather is the dominant HBM traffic of this pass
+    rows = jnp.array(
+        [S.CH_INVW, S.CH_INVW + 1, S.CH_INVW + 2,
+         S.CH_UW, S.CH_UW + 1, S.CH_UW + 2,
+         S.CH_VW, S.CH_VW + 1, S.CH_VW + 2,
+         S.CH_TEX],
+        jnp.int32,
+    )
+    sub = all_channels[rows]     # [10, E]
+    ch = sub[:, safe]            # [10, H, W]
 
     xc = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
     yc = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
 
-    def plane(row):
-        return ch[row] * xc + ch[row + 1] * yc + ch[row + 2]
+    def plane(i):
+        return ch[i] * xc + ch[i + 1] * yc + ch[i + 2]
 
-    inv_w = plane(S.CH_INVW)
+    inv_w = plane(0)
     denom = jnp.where(inv_w == 0, 1.0, inv_w)
-    u = plane(S.CH_UW) / denom
-    v = plane(S.CH_VW) / denom
-    tex_id = ch[S.CH_TEX].astype(jnp.int32)
+    u = plane(3) / denom
+    v = plane(6) / denom
+    tex_id = ch[9].astype(jnp.int32)
 
     src = sample_bilinear(texels, tex_offset, tex_width, tex_height, tex_id, u, v)
     out = apply_blend(blend_state, src, dst_color)

@@ -25,8 +25,7 @@ from tyleri_tpu.pipeline.common_pipeline import CommonPipeline
 from tyleri_tpu.pipeline.state import PipelineState
 from tyleri_tpu.pipeline.ui_pipeline import UIPipeline
 from tyleri_tpu.rendering.function import Frame
-from tyleri_tpu.rendering.passes import RasterPlan, mesh_pass, ui_pass, ui_points_to_clip
-from tyleri_tpu.utils.math3d import Rect2D, Viewport
+from tyleri_tpu.rendering.passes import RasterPlan, mesh_pass, ui_pass
 
 CLEAR_COLOR = (0.0, 0.0, 0.0, 0.0)  # ref: mod.rs:218-223
 CLEAR_DEPTH = 1.0                   # ref: mod.rs:224-229
@@ -166,7 +165,9 @@ class ForwardRenderingFunction:
         # capacities only grow (each growth recompiles, like swapchain
         # recreation); entries get ~2 tiles per triangle headroom
         raster = dataclasses.replace(
-            p.raster, entry_cap=_next_pow2(2 * n_tris, p.raster.entry_cap)
+            p.raster,
+            entry_cap=_next_pow2(2 * n_tris, p.raster.entry_cap),
+            clip_cap=_next_pow2(max(n_tris // 8, 1), p.raster.clip_cap),
         )
         new = FramePlan(
             raster=raster,
@@ -184,6 +185,9 @@ class ForwardRenderingFunction:
         arrays = self.build_frame_inputs(
             render_device, render_resources, scale_factor, window_size
         )
+        # single batched async upload: per-array transfers each pay the full
+        # host->device round-trip latency (brutal over a tunnelled TPU)
+        arrays = jax.device_put(arrays)
         return _render_frame(self.plan, self.mesh_state, self.ui_state, *arrays)
 
     def build_frame_inputs(
@@ -225,8 +229,11 @@ class ForwardRenderingFunction:
 
         for ci, cam in enumerate(cams):
             cam_valid[ci] = True
-            viewports[ci] = np.asarray(cam.viewport.as_array())
-            scissors[ci] = np.asarray(cam.scissor.as_array())
+            vp = cam.viewport
+            viewports[ci] = [vp.x, vp.y, vp.width, vp.height,
+                             vp.min_depth, vp.max_depth]
+            sc = cam.scissor
+            scissors[ci] = [sc.x, sc.y, sc.width, sc.height]
             view_projs[ci] = cam.get_projection_matrix() @ cam.view_matrix
             base = 0
             for di, mesh in enumerate(cam.mesh_renderers):
@@ -262,31 +269,33 @@ class ForwardRenderingFunction:
             for el in ui_elements:
                 tri_idx = inds[el.index_offset : el.index_offset + el.index_len]
                 tri_idx = tri_idx.reshape(-1, 3).astype(np.int64) + el.vertex_offset
-                for corner_ids in tri_idx:
-                    if t >= U:
-                        break
-                    v = verts[corner_ids]          # [3, 8]
-                    pts = v[:, 0:2]
-                    ui_clip[t] = np.asarray(
-                        ui_points_to_clip(pts, np.asarray(screen_pts, np.float32))
-                    )
-                    ui_uv[t] = v[:, 2:4]
-                    ui_colors[t] = v[:, 4:8]
-                    ui_tex[t] = el.texture.slot
-                    ui_valid[t] = True
-                    t += 1
+                n = min(len(tri_idx), U - t)
+                if n <= 0:
+                    break
+                v = verts[tri_idx[:n]]             # [n, 3, 8]
+                # UI vertex shader on host (ref: ui.vert:16-18)
+                ui_clip[t : t + n, :, 0] = 2.0 * v[..., 0] / screen_pts[0] - 1.0
+                ui_clip[t : t + n, :, 1] = 2.0 * v[..., 1] / screen_pts[1] - 1.0
+                ui_clip[t : t + n, :, 2] = 0.0
+                ui_uv[t : t + n] = v[..., 2:4]
+                ui_colors[t : t + n] = v[..., 4:8]
+                ui_tex[t : t + n] = el.texture.slot
+                ui_valid[t : t + n] = True
+                t += n
 
-        window_viewport = Viewport(0, 0, float(win_w), float(win_h)).as_array()
-        window_scissor = Rect2D(0, 0, int(win_w), int(win_h)).as_array()
+        window_viewport = np.array(
+            [0, 0, float(win_w), float(win_h), 0.0, 1.0], np.float32
+        )
+        window_scissor = np.array([0, 0, int(win_w), int(win_h)], np.int32)
 
+        # host numpy throughout — record() ships the whole tuple in one
+        # batched device_put (geometry/texture arrays are already device
+        # resident and pass through untouched)
         return (
             positions, uvs, indices, texels, toff, tw, th,
-            jnp.asarray(CLEAR_COLOR, jnp.float32),
-            jnp.asarray(cam_valid), jnp.asarray(viewports), jnp.asarray(scissors),
-            jnp.asarray(view_projs), jnp.asarray(models),
-            jnp.asarray(first_index), jnp.asarray(vertex_offset),
-            jnp.asarray(tri_base), jnp.asarray(tri_count), jnp.asarray(draw_tex),
-            jnp.asarray(ui_clip), jnp.asarray(ui_uv), jnp.asarray(ui_colors),
-            jnp.asarray(ui_tex), jnp.asarray(ui_valid),
+            np.asarray(CLEAR_COLOR, np.float32),
+            cam_valid, viewports, scissors, view_projs, models,
+            first_index, vertex_offset, tri_base, tri_count, draw_tex,
+            ui_clip, ui_uv, ui_colors, ui_tex, ui_valid,
             window_viewport, window_scissor,
         )

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from tyleri_tpu.ops.binning import bin_triangles
+from tyleri_tpu.ops.clip import near_clip_triangles
 from tyleri_tpu.ops.raster_exact import rasterize_exact
 from tyleri_tpu.ops.setup import setup_triangles
 from tyleri_tpu.ops.shade import shade_visibility
@@ -47,7 +48,11 @@ class RasterPlan:
     max_tiles_per_tri: int = 32
     broad_cap: int = 64
     chunk: int = 32
+    clip_cap: int = 256  # extra triangle slots for near-plane splits
     exact: bool = False  # ordered per-fragment blending (slow, parity mode)
+    # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
+    # True forces Pallas (interpret-mode off-TPU), False forces XLA
+    pallas: object = "auto"
 
     @property
     def grid_w(self) -> int:
@@ -59,13 +64,50 @@ class RasterPlan:
 
     @staticmethod
     def for_scene(fb_w: int, fb_h: int, tri_capacity: int, **kw) -> "RasterPlan":
-        """Heuristic capacities: ~2 tiles per small triangle on average."""
+        """Heuristic capacities: ~2 tiles per small triangle on average.
+        On TPU the tile is (8, 128) px — one VPU native vector — for the
+        Pallas kernel; elsewhere small square tiles suit the XLA path."""
+        import jax
+
         entry_cap = max(1024, 2 * tri_capacity)
         cap_per_tile = max(128, min(4096, entry_cap // 8))
+        if jax.default_backend() == "tpu":
+            kw.setdefault("tile_w", 128)
+            kw.setdefault("tile_h", 8)
+            kw.setdefault("chunk", 128)  # DMA alignment granule
         return RasterPlan(
             fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
             cap_per_tile=cap_per_tile, **kw,
         )
+
+
+def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
+    """Pick the visibility backend. The Pallas kernel needs the standard
+    depth config (test+write, LESS/LESS_OR_EQUAL) and hardware-shaped
+    tiles; anything else routes to the XLA implementation."""
+    from tyleri_tpu.pipeline.state import CompareOp
+
+    supported = (
+        state.depth.test_enable
+        and state.depth.write_enable
+        and state.depth.compare_op in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL)
+        and plan.tile_w % 128 == 0
+        and plan.chunk % 128 == 0
+        and plan.entry_cap % plan.chunk == 0
+    )
+    if plan.pallas is True:
+        if not supported:
+            raise ValueError(
+                "RasterPlan.pallas=True but the plan/pipeline-state is not "
+                "supported by the Pallas kernel (needs depth test+write with "
+                "LESS/LESS_OR_EQUAL, tile_w % 128 == 0, entry_cap % chunk == 0)"
+            )
+        return True
+    if plan.pallas == "auto":
+        import jax
+
+        return supported and jax.default_backend() == "tpu"
+    return False
 
 
 class PassStats(NamedTuple):
@@ -89,18 +131,22 @@ def mesh_pass(
     texels, tex_offset, tex_width, tex_height,
 ):
     """Draw a batch of mesh triangles; returns (color, depth, PassStats)."""
+    ct = near_clip_triangles(clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
+
     if plan.exact:
         color, depth = rasterize_exact(
-            color, depth, clip, uv, tex_id, tri_valid, viewport, scissor,
+            color, depth, ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
             texels, tex_offset, tex_width, tex_height, state=state,
+            order=ct.order,
         )
         zero = jnp.zeros((), jnp.int32)
-        return color, depth, PassStats(zero, zero)
+        return color, depth, PassStats(ct.overflow, zero)
 
     su = setup_triangles(
-        clip, uv, tex_id, tri_valid, viewport, scissor,
+        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
         tile_w=plan.tile_w, tile_h=plan.tile_h,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
+        order=ct.order,
     )
     binned = bin_triangles(
         su,
@@ -109,21 +155,36 @@ def mesh_pass(
         max_tiles_per_tri=plan.max_tiles_per_tri,
         broad_cap=plan.broad_cap,
     )
-    vis, tile_overflow = rasterize_visibility(
-        binned, depth, scissor,
-        fb_w=plan.fb_w, fb_h=plan.fb_h,
-        tile_w=plan.tile_w, tile_h=plan.tile_h,
-        grid_w=plan.grid_w, grid_h=plan.grid_h,
-        cap_per_tile=plan.cap_per_tile, chunk=plan.chunk,
-        depth_state=state.depth,
-    )
+    if _use_pallas(plan, state):
+        import jax
+
+        from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+
+        vis, tile_overflow = rasterize_visibility_pallas(
+            binned, depth, scissor,
+            fb_w=plan.fb_w, fb_h=plan.fb_h,
+            tile_w=plan.tile_w, tile_h=plan.tile_h,
+            grid_w=plan.grid_w, grid_h=plan.grid_h,
+            chunk=plan.chunk,
+            depth_state=state.depth,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        vis, tile_overflow = rasterize_visibility(
+            binned, depth, scissor,
+            fb_w=plan.fb_w, fb_h=plan.fb_h,
+            tile_w=plan.tile_w, tile_h=plan.tile_h,
+            grid_w=plan.grid_w, grid_h=plan.grid_h,
+            cap_per_tile=plan.cap_per_tile, chunk=plan.chunk,
+            depth_state=state.depth,
+        )
     all_ch = combined_channels(binned)
     color = shade_visibility(
         vis.owner, all_ch, texels, tex_offset, tex_width, tex_height,
         state.blend, color,
     )
     depth = vis.depth if state.depth.write_enable else depth
-    return color, depth, PassStats(binned.overflow, tile_overflow)
+    return color, depth, PassStats(binned.overflow + ct.overflow, tile_overflow)
 
 
 def ui_pass(
@@ -142,13 +203,23 @@ def ui_pass(
     Matches the reference quirk of recording UI before any meshes with depth
     test+write enabled at z = 0 (ref: forward_rendering/mod.rs:291-296,
     ui.vert:16-18) — UI pixels occlude mesh fragments behind them.
+
+    The whole pass is skipped at runtime when no UI triangle is live — the
+    padded scan is full-screen work per slot, so an empty overlay must not
+    cost a thing (the reference early-outs the same way, stages.rs:39-45).
     """
-    color, depth = rasterize_exact(
-        color, depth, ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
-        texels, tex_offset, tex_width, tex_height,
-        state=state, with_vertex_color=True, vertex_color=ui_color,
+    import jax
+
+    def run(cd):
+        return rasterize_exact(
+            cd[0], cd[1], ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
+            texels, tex_offset, tex_width, tex_height,
+            state=state, with_vertex_color=True, vertex_color=ui_color,
+        )
+
+    return jax.lax.cond(
+        jnp.any(ui_valid), run, lambda cd: cd, (color, depth)
     )
-    return color, depth
 
 
 def ui_points_to_clip(ui_pos_points, screen_size_points):

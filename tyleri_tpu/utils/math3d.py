@@ -1,23 +1,26 @@
 """3D math: Mat4 helpers with glam-compatible conventions.
 
 The reference uses ``glam`` (ref: src/render_objects/camera.rs:4,40-47) with
-column-vector math and the Vulkan [0,1] NDC depth range.  All functions here
-return row-major ``(4, 4)`` arrays ``M`` acting on column vectors:
-``clip = M @ [x, y, z, 1]``.  They accept/return either numpy or jax arrays
-(everything is expressed in jnp; under jit they trace, on host they eagerly
-evaluate).
+column-vector math and the Vulkan [0,1] NDC depth range.  All functions
+return row-major f32 ``(4, 4)`` arrays ``M`` acting on column vectors:
+``clip = M @ [x, y, z, 1]``.
+
+Implemented in NUMPY on purpose: scene assembly runs on the host every frame
+(immediate-mode, like the reference), and eager jnp math on tiny matrices
+costs a device round trip per op — fatal when the accelerator is remote.
+The jitted frame program does its own matrix math in jnp
+(rendering/forward.py) with HIGHEST precision.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 
-def identity(dtype=jnp.float32):
-    return jnp.eye(4, dtype=dtype)
+def identity(dtype=np.float32):
+    return np.eye(4, dtype=dtype)
 
 
 def perspective_rh(fov_y_radians, aspect_ratio, z_near, z_far):
@@ -27,120 +30,91 @@ def perspective_rh(fov_y_radians, aspect_ratio, z_near, z_far):
     reference camera (ref: src/render_objects/camera.rs:40-47): looking down
     -Z, ``z = -z_near`` maps to NDC depth 0 and ``z = -z_far`` to 1.
     """
-    fov = jnp.asarray(fov_y_radians, jnp.float32)
-    h = jnp.cos(fov * 0.5) / jnp.sin(fov * 0.5)
-    w = h / jnp.asarray(aspect_ratio, jnp.float32)
-    zn = jnp.asarray(z_near, jnp.float32)
-    zf = jnp.asarray(z_far, jnp.float32)
-    r = zf / (zn - zf)
-    zero = jnp.zeros_like(w)
-    one = jnp.ones_like(w)
-    return jnp.stack(
-        [
-            jnp.stack([w, zero, zero, zero]),
-            jnp.stack([zero, h, zero, zero]),
-            jnp.stack([zero, zero, r, r * zn]),
-            jnp.stack([zero, zero, -one, zero]),
-        ]
-    )
+    fov = np.float32(fov_y_radians)
+    h = np.float32(np.cos(fov * 0.5) / np.sin(fov * 0.5))
+    w = np.float32(h / np.float32(aspect_ratio))
+    zn = np.float32(z_near)
+    zf = np.float32(z_far)
+    r = np.float32(zf / (zn - zf))
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = w
+    m[1, 1] = h
+    m[2, 2] = r
+    m[2, 3] = r * zn
+    m[3, 2] = -1.0
+    return m
 
 
 def look_at_rh(eye, center, up):
     """Right-handed view matrix (glam ``Mat4::look_at_rh`` semantics)."""
-    eye = jnp.asarray(eye, jnp.float32)
-    center = jnp.asarray(center, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
+    eye = np.asarray(eye, np.float32)
+    center = np.asarray(center, np.float32)
+    up = np.asarray(up, np.float32)
     f = center - eye
-    f = f / jnp.linalg.norm(f)
-    s = jnp.cross(f, up)
-    s = s / jnp.linalg.norm(s)
-    u = jnp.cross(s, f)
-    m = jnp.stack(
-        [
-            jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
-            jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
-            jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
-            jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
-        ]
-    )
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = s
+    m[1, :3] = u
+    m[2, :3] = -f
+    m[0, 3] = -np.dot(s, eye)
+    m[1, 3] = -np.dot(u, eye)
+    m[2, 3] = np.dot(f, eye)
     return m
 
 
 def translation(v):
-    v = jnp.asarray(v, jnp.float32)
-    m = jnp.eye(4, dtype=jnp.float32)
-    return m.at[:3, 3].set(v)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = np.asarray(v, np.float32)
+    return m
 
 
 def scale(v):
-    v = jnp.asarray(v, jnp.float32)
-    return jnp.diag(jnp.concatenate([v, jnp.ones((1,), jnp.float32)]))
+    v = np.asarray(v, np.float32)
+    return np.diag(np.array([v[0], v[1], v[2], 1.0], np.float32))
+
+
+def _rot(c, s, axis):
+    m = np.eye(4, dtype=np.float32)
+    if axis == 0:
+        m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+    elif axis == 1:
+        m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+    else:
+        m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
+    return m
 
 
 def rotation_x(angle):
-    a = jnp.asarray(angle, jnp.float32)
-    c, s = jnp.cos(a), jnp.sin(a)
-    zero = jnp.zeros_like(c)
-    one = jnp.ones_like(c)
-    return jnp.stack(
-        [
-            jnp.stack([one, zero, zero, zero]),
-            jnp.stack([zero, c, -s, zero]),
-            jnp.stack([zero, s, c, zero]),
-            jnp.stack([zero, zero, zero, one]),
-        ]
-    )
+    a = np.float32(angle)
+    return _rot(np.cos(a, dtype=np.float32), np.sin(a, dtype=np.float32), 0)
 
 
 def rotation_y(angle):
-    a = jnp.asarray(angle, jnp.float32)
-    c, s = jnp.cos(a), jnp.sin(a)
-    zero = jnp.zeros_like(c)
-    one = jnp.ones_like(c)
-    return jnp.stack(
-        [
-            jnp.stack([c, zero, s, zero]),
-            jnp.stack([zero, one, zero, zero]),
-            jnp.stack([-s, zero, c, zero]),
-            jnp.stack([zero, zero, zero, one]),
-        ]
-    )
+    a = np.float32(angle)
+    return _rot(np.cos(a, dtype=np.float32), np.sin(a, dtype=np.float32), 1)
 
 
 def rotation_z(angle):
-    a = jnp.asarray(angle, jnp.float32)
-    c, s = jnp.cos(a), jnp.sin(a)
-    zero = jnp.zeros_like(c)
-    one = jnp.ones_like(c)
-    return jnp.stack(
-        [
-            jnp.stack([c, -s, zero, zero]),
-            jnp.stack([s, c, zero, zero]),
-            jnp.stack([zero, zero, one, zero]),
-            jnp.stack([zero, zero, zero, one]),
-        ]
-    )
+    a = np.float32(angle)
+    return _rot(np.cos(a, dtype=np.float32), np.sin(a, dtype=np.float32), 2)
 
 
 def compose(*mats):
-    """Matrix product ``mats[0] @ mats[1] @ ...`` (applied right-to-left).
-
-    Uses HIGHEST matmul precision: camera/model matrix products feed raster
-    coverage math, where TPU bf16 MXU rounding is visible.
-    """
-    out = jnp.asarray(mats[0], jnp.float32)
+    """Matrix product ``mats[0] @ mats[1] @ ...`` (applied right-to-left)."""
+    out = np.asarray(mats[0], np.float32)
     for m in mats[1:]:
-        out = jnp.matmul(out, jnp.asarray(m, jnp.float32),
-                         precision=jax.lax.Precision.HIGHEST)
+        out = out @ np.asarray(m, np.float32)
     return out
 
 
 def transform_points(m, pts):
     """Apply a 4x4 to ``[N, 3]`` points; returns homogeneous ``[N, 4]``."""
-    pts = jnp.asarray(pts, jnp.float32)
-    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
-    h = jnp.concatenate([pts, ones], axis=-1)
-    return jnp.matmul(h, m.T, precision=jax.lax.Precision.HIGHEST)
+    pts = np.asarray(pts, np.float32)
+    h = np.concatenate([pts, np.ones(pts.shape[:-1] + (1,), pts.dtype)], axis=-1)
+    return h @ np.asarray(m, np.float32).T
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,9 +134,9 @@ class Viewport:
     max_depth: float = 1.0
 
     def as_array(self):
-        return jnp.array(
+        return np.array(
             [self.x, self.y, self.width, self.height, self.min_depth, self.max_depth],
-            jnp.float32,
+            np.float32,
         )
 
 
@@ -176,4 +150,4 @@ class Rect2D:
     height: int = 0
 
     def as_array(self):
-        return jnp.array([self.x, self.y, self.width, self.height], jnp.int32)
+        return np.array([self.x, self.y, self.width, self.height], np.int32)
