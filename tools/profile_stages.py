@@ -46,7 +46,9 @@ def main():
     rf = ty.ForwardRenderingFunction(device, ImageViewSwapchain(rig.resolution))
     scene = RenderScene()
     rig.fill(scene, 0.5)
-    arrays = rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
+    arrays = jax.device_put(
+        rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
+    )
     plan = rf.plan
     (positions, uvs, indices, texels, toff, tw, th, clear_color,
      cam_valid, viewports, scissors, view_projs, models,

@@ -95,16 +95,25 @@ class RenderDevice:
 
     def create_indices(self, items):
         """items: [(count, writer), ...]; writer(buf) gets a u32 [count]
-        view (ref: resource/mod.rs:45-58)."""
+        view (ref: resource/mod.rs:45-58).
+
+        Allocations are padded to multiples of 3 so every suballocation
+        offset stays triangle-aligned — the vertex stage fetches each
+        triangle's indices as one row of the [I/3, 3]-viewed arena."""
         arena = self.memory_allocator.static_indices_buffer
 
-        def adapt(writer):
+        def adapt(writer, n):
             def idx_writer(view):
-                writer(view)
+                writer(view[:n])
 
             return idx_writer
 
-        return arena.allocate([(n, adapt(w)) for n, w in items])
+        padded = [(-(-n // 3) * 3, adapt(w, n)) for n, w in items]
+        handles = arena.allocate(padded)
+        for h, (n, _) in zip(handles, items):
+            h._alloc_len = h.len
+            h.len = n
+        return handles
 
     def create_textures(self, items):
         """items: [((width, height), writer), ...]; writer(buf) gets an

@@ -32,12 +32,15 @@ from tyleri_tpu.ops.setup import TriangleSetup
 
 
 class BinnedEntries(NamedTuple):
-    entry_channels: jax.Array  # f32 [NUM_CHANNELS, E_cap] sorted by tile
+    entry_channels: jax.Array  # f32 [E_cap, NUM_CHANNELS] sorted by tile
+    entry_channels_cm: jax.Array  # f32 [NUM_CHANNELS, E_cap] transpose for
+                               # the Pallas kernel's 128-aligned lane DMA
     entry_tile: jax.Array      # i32 [E_cap] tile id per sorted entry (ntiles = dead)
     tile_start: jax.Array      # i32 [ntiles + 1] segment offsets into entries
     num_entries: jax.Array     # i32 [] total live entries
     overflow: jax.Array        # i32 [] entries dropped (capacity exceeded)
-    broad_channels: jax.Array  # f32 [NUM_CHANNELS, B_cap] huge-triangle list
+    broad_channels: jax.Array  # f32 [B_cap, NUM_CHANNELS] huge-triangle list
+    broad_channels_cm: jax.Array  # f32 [NUM_CHANNELS, B_cap] kernel layout
     broad_tiles: jax.Array     # i32 [B_cap, 4] tile bbox (tx0, ty0, tx1, ty1)
     num_broad: jax.Array       # i32 [] live broad entries
 
@@ -76,29 +79,32 @@ def bin_triangles(
     offsets = offsets[:-1]
     overflow = jnp.maximum(total - entry_cap, 0)
 
-    # Expansion: candidate j of triangle t covers tile
-    # (tx0 + j % tw, ty0 + j // tw); scatter to slot offsets[t] + j.
-    j = jnp.arange(K, dtype=jnp.int32)[None, :]            # [1, K]
-    cand_live = j < counts[:, None]                        # [T, K]
-    ctx = tx0[:, None] + jnp.where(tw[:, None] > 0, j % jnp.maximum(tw[:, None], 1), 0)
-    cty = ty0[:, None] + jnp.where(tw[:, None] > 0, j // jnp.maximum(tw[:, None], 1), 0)
-    tile_id = cty * grid_w + ctx                           # [T, K]
-    slot = offsets[:, None] + j                            # [T, K]
-    slot = jnp.where(cand_live, slot, entry_cap)           # dropped by mode="drop"
-
-    flat_slot = slot.reshape(-1)
-    flat_tile = tile_id.reshape(-1).astype(jnp.int32)
-    flat_tri = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, K)
-    ).reshape(-1)
-
-    entry_tile = jnp.full((entry_cap,), jnp.int32(ntiles), jnp.int32)
-    entry_tri = jnp.zeros((entry_cap,), jnp.int32)
-    entry_live = jnp.zeros((entry_cap,), jnp.int32)
-    entry_tile = entry_tile.at[flat_slot].set(flat_tile, mode="drop")
-    entry_tri = entry_tri.at[flat_slot].set(flat_tri, mode="drop")
-    entry_live = entry_live.at[flat_slot].set(1, mode="drop")
-    # Padding slots (beyond `total`) keep tile id = ntiles and sort last.
+    # Expansion via repeat + rank arithmetic. TPU gathers/scatters cost fixed
+    # latency per ROW, so the expansion uses exactly one row gather: ranks
+    # come from a cummax over segment boundaries (entries leave jnp.repeat
+    # grouped by triangle in ascending order), and the per-entry bbox fields
+    # arrive in a single packed [E, 4] row gather.
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    entry_tri = jnp.repeat(
+        tri_ids, counts, total_repeat_length=entry_cap
+    ).astype(jnp.int32)
+    eidx = jnp.arange(entry_cap, dtype=jnp.int32)
+    entry_live = (eidx < jnp.minimum(total, entry_cap)).astype(jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), entry_tri[1:] != entry_tri[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(boundary, eidx, 0))
+    rank = eidx - seg_start
+    bbox_tbl = jnp.concatenate(
+        [tx0[:, None], ty0[:, None], jnp.maximum(tw, 1)[:, None]], axis=1
+    ).astype(jnp.int32)                       # [T, 3]
+    ebox = bbox_tbl[entry_tri]                # ONE row gather [E, 3]
+    twr = ebox[:, 2]
+    ctx = ebox[:, 0] + rank % twr
+    cty = ebox[:, 1] + rank // twr
+    entry_tile = jnp.where(
+        entry_live > 0, cty * grid_w + ctx, jnp.int32(ntiles)
+    ).astype(jnp.int32)
 
     # Stable sort by tile id preserves draw order within each tile.
     entry_tile, entry_tri, entry_live = jax.lax.sort(
@@ -109,22 +115,27 @@ def bin_triangles(
         entry_tile, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # Gather the per-entry channel table in sorted order (channel-major so the
-    # raster kernel reads [NUM_CHANNELS, chunk] blocks with 128-lane last dim).
-    entry_channels = setup.channels[:, entry_tri]
-    entry_channels = jnp.where(entry_live[None, :] > 0, entry_channels, 0.0)
+    # Gather the per-entry channel table in sorted order (entry-major rows:
+    # one contiguous row gather per entry; the raster kernel DMAs
+    # [chunk, NUM_CHANNELS] slices).
+    entry_channels = setup.channels[entry_tri]
+    entry_channels = jnp.where(entry_live[:, None] > 0, entry_channels, 0.0)
+    # channel-major copy for the Pallas kernel (a transpose pass is far
+    # cheaper than gathering strided columns)
+    entry_channels_cm = jnp.transpose(entry_channels)
 
     # Broad (huge) triangles: dense side list, every covered tile scans it.
+    # Compacted by inverse lookup (searchsorted over B queries) — a [T]
+    # scatter would cost per-source-row latency at millions of triangles.
     num_broad = jnp.sum(is_broad.astype(jnp.int32))
-    broad_rank = jnp.cumsum(is_broad.astype(jnp.int32)) - 1
-    broad_slot = jnp.where(is_broad, broad_rank, broad_cap)
-    broad_src = jnp.full((broad_cap,), 0, jnp.int32)
-    broad_live = jnp.zeros((broad_cap,), jnp.int32)
-    tri_ids = jnp.arange(T, dtype=jnp.int32)
-    broad_src = broad_src.at[broad_slot].set(tri_ids, mode="drop")
-    broad_live = broad_live.at[broad_slot].set(1, mode="drop")
-    broad_channels = setup.channels[:, broad_src]
-    broad_channels = jnp.where(broad_live[None, :] > 0, broad_channels, 0.0)
+    bcum = jnp.cumsum(is_broad.astype(jnp.int32))
+    broad_src = jnp.searchsorted(
+        bcum, jnp.arange(1, broad_cap + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    broad_live = (broad_src < T).astype(jnp.int32)
+    broad_src = jnp.clip(broad_src, 0, T - 1)
+    broad_channels = setup.channels[broad_src]
+    broad_channels = jnp.where(broad_live[:, None] > 0, broad_channels, 0.0)
     bbox = jnp.stack([tx0, ty0, tx1, ty1], axis=1)
     broad_tiles = jnp.where(
         broad_live[:, None] > 0,
@@ -135,11 +146,13 @@ def bin_triangles(
 
     return BinnedEntries(
         entry_channels=entry_channels,
+        entry_channels_cm=entry_channels_cm,
         entry_tile=entry_tile,
         tile_start=tile_start,
         num_entries=jnp.minimum(total, entry_cap).astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         broad_channels=broad_channels,
+        broad_channels_cm=jnp.transpose(broad_channels),
         broad_tiles=broad_tiles,
         num_broad=jnp.minimum(num_broad, broad_cap).astype(jnp.int32),
     )

@@ -71,11 +71,11 @@ def rasterize_exact(
     scx, scy, scw, sch = (scissor[i] for i in range(4))
     in_scissor = (xi >= scx) & (xi < scx + scw) & (yi >= scy) & (yi < scy + sch)
 
-    chT = su.channels  # [NUM_CHANNELS, T]
+    chT = su.channels  # [T, NUM_CHANNELS]
 
     def body(carry, t):
         color, depth = carry
-        ch = chT[:, t]
+        ch = chT[t]
 
         def plane(row):
             return ch[row] * xc + ch[row + 1] * yc + ch[row + 2]

@@ -5,8 +5,9 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
 
 * the framebuffer tile is (8, 128) pixels — one VPU native vector — and each
   grid program owns one tile's resolve end-to-end in VMEM registers
-* the sorted entry table is channel-major [NUM_CHANNELS, E] in HBM; each
-  tile DMAs its segment in [NUM_CHANNELS, CHUNK] slices into SMEM
+* the sorted entry table reaches the kernel channel-major [NUM_CHANNELS, E]
+  (binning keeps a row-major twin for gathers and transposes once); each
+  tile DMAs its segment in [NUM_CHANNELS, CHUNK] lane-aligned slices into SMEM
   (double-buffered DMA overlapped with compute) and processes entries
   sequentially: per entry, plane evaluation + coverage + depth test are ~30
   native vector ops over the whole tile, with coefficients as SMEM scalar
@@ -18,7 +19,7 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
   broad lists
 * chunk overrun at segment ends is handled by clamping the slice start;
   re-processing a duplicate entry is idempotent under the resolve
-* the huge-triangle ("broad") side list lives wholly in VMEM and is scanned
+* the huge-triangle ("broad") side list lives wholly in SMEM and is scanned
   by every tile with a scalar bbox test
 
 Depth semantics: LESS_OR_EQUAL / LESS with depth test+write (the reference
@@ -46,16 +47,18 @@ def _visibility_kernel(
     scissor_ref,      # i32 [4] (SMEM)
     nbroad_ref,       # i32 [1] live broad-entry count (SMEM)
     # inputs
-    entries_ref,      # f32 [NUM_CHANNELS, E] (HBM/ANY)
-    broad_ch_ref,     # f32 [NUM_CHANNELS, B] (VMEM)
-    broad_bbox_ref,   # f32 [B, 4] (VMEM)
+    entries_ref,      # f32 [NUM_CHANNELS, E] (HBM/ANY) channel-major:
+                      # DMA slices the 128-aligned lane dim, the only
+                      # slicing form Mosaic accepts for this table
+    broad_ch_ref,     # f32 [NUM_CHANNELS, B] (SMEM)
+    broad_bbox_ref,   # f32 [B, 4] (SMEM)
     depth_init_ref,   # f32 [th, tw] (VMEM block)
     # outputs
     owner_ref,        # i32 [th, tw]
     z_ref,            # f32 [th, tw]
     order_ref,        # f32 [th, tw]
     # scratch
-    ebuf,             # f32 [2, NUM_CHANNELS, CHUNK]
+    ebuf,             # f32 [2, NUM_CHANNELS, CHUNK] (SMEM)
     sem,              # DMA sems [2]
     *,
     tile_w: int,
@@ -225,7 +228,7 @@ def rasterize_visibility_pallas(
     if not (depth_state.test_enable and depth_state.write_enable):
         raise NotImplementedError("pallas visibility needs depth test+write")
 
-    e_cap = binned.entry_channels.shape[1]
+    e_cap = binned.entry_channels.shape[0]
     if e_cap % chunk != 0:
         raise ValueError(f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
 
@@ -283,8 +286,8 @@ def rasterize_visibility_pallas(
         binned.tile_start,
         scissor,
         binned.num_broad.reshape(1),
-        binned.entry_channels,
-        binned.broad_channels,
+        binned.entry_channels_cm,
+        binned.broad_channels_cm,
         binned.broad_tiles.astype(jnp.float32),
         depth0,
     )

@@ -38,6 +38,13 @@ CH_VW = 18   # v/w plane
 CH_TOPLEFT = 21  # rows 21..23: 1.0 if edge i is a top-left edge
 CH_TEX = 24  # texture slot id (exact small int as f32)
 CH_ORDER = 25  # draw-order id (diagnostics)
+# Tile-bbox fields ride in the spare columns so binning needs exactly ONE
+# row gather per entry (TPU gathers cost ~fixed latency per ROW, so packing
+# wide beats separate lookups): values are small ints, exact in f32.
+CH_TX0 = 26
+CH_TY0 = 27
+CH_TW = 28   # bbox width in tiles
+CH_TH = 29   # bbox height in tiles
 NUM_CHANNELS = 32  # padded for TPU sublane alignment
 
 W_EPS = 1e-6
@@ -47,7 +54,8 @@ class TriangleSetup(NamedTuple):
     """Per-triangle rasterization data, [T]-leading static shapes."""
 
     valid: jax.Array      # bool [T]
-    channels: jax.Array   # f32 [NUM_CHANNELS, T] channel-major plane table
+    channels: jax.Array   # f32 [T, NUM_CHANNELS] entry-major plane table
+                          # (row per triangle: gathers/DMAs stay contiguous)
     tile_lo: jax.Array    # i32 [T, 2] inclusive tile bbox (tx0, ty0)
     tile_hi: jax.Array    # i32 [T, 2] inclusive tile bbox (tx1, ty1)
     lam: jax.Array        # f32 [T, 3, 3] barycentric planes: lam[t, i] = (A, B, C)
@@ -155,22 +163,27 @@ def setup_triangles(
 
     valid = tri_valid & in_front & nondegenerate & on_screen
 
-    channels = jnp.zeros((NUM_CHANNELS, T), jnp.float32)
-    rows = {
-        CH_E0: eA[:, 0], CH_E0 + 1: eB[:, 0], CH_E0 + 2: eC[:, 0],
-        CH_E1: eA[:, 1], CH_E1 + 1: eB[:, 1], CH_E1 + 2: eC[:, 1],
-        CH_E2: eA[:, 2], CH_E2 + 1: eB[:, 2], CH_E2 + 2: eC[:, 2],
-        CH_Z: zA, CH_Z + 1: zB, CH_Z + 2: zC,
-        CH_INVW: wA, CH_INVW + 1: wB, CH_INVW + 2: wC,
-        CH_UW: uwA, CH_UW + 1: uwB, CH_UW + 2: uwC,
-        CH_VW: vwA, CH_VW + 1: vwB, CH_VW + 2: vwC,
-        CH_TOPLEFT: topleft[:, 0],
-        CH_TOPLEFT + 1: topleft[:, 1],
-        CH_TOPLEFT + 2: topleft[:, 2],
-        CH_TEX: tex_id.astype(jnp.float32),
-        CH_ORDER: order,
-    }
-    channels = channels.at[jnp.array(list(rows.keys()))].set(jnp.stack(list(rows.values())))
+    # stack in channel order (scatter-free: a scatter here costs ~300 ms at
+    # 2M triangles on TPU); columns must follow the CH_* layout above
+    zero = jnp.zeros((T,), jnp.float32)
+    channels = jnp.stack([
+        eA[:, 0], eB[:, 0], eC[:, 0],          # CH_E0
+        eA[:, 1], eB[:, 1], eC[:, 1],          # CH_E1
+        eA[:, 2], eB[:, 2], eC[:, 2],          # CH_E2
+        zA, zB, zC,                            # CH_Z
+        wA, wB, wC,                            # CH_INVW
+        uwA, uwB, uwC,                         # CH_UW
+        vwA, vwB, vwC,                         # CH_VW
+        topleft[:, 0], topleft[:, 1], topleft[:, 2],  # CH_TOPLEFT
+        tex_id.astype(jnp.float32),            # CH_TEX
+        order,                                 # CH_ORDER
+        tx0.astype(jnp.float32),               # CH_TX0
+        ty0.astype(jnp.float32),               # CH_TY0
+        jnp.maximum(tx1 - tx0 + 1, 0).astype(jnp.float32),  # CH_TW
+        jnp.maximum(ty1 - ty0 + 1, 0).astype(jnp.float32),  # CH_TH
+        zero, zero,                            # padding to NUM_CHANNELS
+    ], axis=1)
+    assert channels.shape[1] == NUM_CHANNELS
 
     return TriangleSetup(
         valid=valid,
@@ -207,16 +220,33 @@ def transform_mesh_corners(positions, uvs, indices, first_index, vertex_offset,
     local = t - tri_base[draw]
     in_draw = (local >= 0) & (local < tri_count[draw])
 
+    # TPU gathers cost fixed latency per ROW: fetch each triangle's three
+    # indices as ONE row of the [I/3, 3]-viewed index arena (the allocator
+    # keeps index suballocations 3-aligned), and each corner's attributes as
+    # one joined pos+uv row.
+    i3 = (I // 3) * 3
     ipos = first_index[draw] + 3 * local
-    ipos = jnp.clip(ipos, 0, I - 3)
-    idx = indices[ipos[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]]  # [T, 3]
+    ipos = jnp.clip(ipos, 0, max(i3 - 3, 0))
+    idx = indices.astype(jnp.int32)[:i3].reshape(-1, 3)[ipos // 3]  # [T, 3]
     vtx = jnp.clip(idx + vertex_offset[draw][:, None], 0, positions.shape[0] - 1)
-    corner_pos = positions[vtx]          # [T, 3, 3]
-    corner_uv = uvs[vtx]                 # [T, 3, 2]
+    verts5 = jnp.concatenate([positions, uvs], axis=1)   # [V, 5]
+    corner = verts5[vtx]                                 # [T, 3, 5] row gathers
+    corner_pos = corner[..., :3]
+    corner_uv = corner[..., 3:5]
     ones = jnp.ones(corner_pos.shape[:-1] + (1,), corner_pos.dtype)
     h = jnp.concatenate([corner_pos, ones], axis=-1)  # [T, 3, 4]
-    # precision=HIGHEST: on TPU the MXU would otherwise run this in bf16,
-    # which visibly corrupts raster coverage/interpolation (~1e-3 error).
-    clip = jnp.einsum("tij,tkj->tki", mvps[draw], h,
+    # Per-triangle MVP: for small draw counts a one-hot matmul beats a
+    # [T, 4, 4] row gather (MXU vs per-row gather latency); HIGHEST
+    # precision everywhere — bf16 corrupts raster coverage.
+    if D <= 64:
+        onehot = (draw[:, None] == jnp.arange(D, dtype=jnp.int32)[None, :]).astype(
+            jnp.float32
+        )
+        tri_mvp = jnp.dot(
+            onehot, mvps.reshape(D, 16), precision=jax.lax.Precision.HIGHEST
+        ).reshape(Tcap, 4, 4)
+    else:
+        tri_mvp = mvps[draw]
+    clip = jnp.einsum("tij,tkj->tki", tri_mvp, h,
                       precision=jax.lax.Precision.HIGHEST)
     return clip, corner_uv, draw, in_draw

@@ -43,7 +43,7 @@ class VisibilityBuffer(NamedTuple):
 
 def combined_channels(binned: BinnedEntries):
     """Narrow entries followed by broad entries: owner ids index this table."""
-    return jnp.concatenate([binned.entry_channels, binned.broad_channels], axis=1)
+    return jnp.concatenate([binned.entry_channels, binned.broad_channels], axis=0)
 
 
 def build_tile_lists(binned: BinnedEntries, ntiles: int, cap_per_tile: int):
@@ -69,7 +69,9 @@ def build_tile_lists(binned: BinnedEntries, ntiles: int, cap_per_tile: int):
 
 def _eval_plane(ch, row, xc, yc):
     """Evaluate plane rows [K] over pixels [P]: returns [P, K]."""
-    return ch[row][None, :] * xc[:, None] + ch[row + 1][None, :] * yc[:, None] + ch[row + 2][None, :]
+    return (ch[:, row][None, :] * xc[:, None]
+            + ch[:, row + 1][None, :] * yc[:, None]
+            + ch[:, row + 2][None, :])
 
 
 def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
@@ -82,9 +84,9 @@ def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
     e0 = _eval_plane(ch, S.CH_E0, xc, yc)
     e1 = _eval_plane(ch, S.CH_E1, xc, yc)
     e2 = _eval_plane(ch, S.CH_E2, xc, yc)
-    tl0 = ch[S.CH_TOPLEFT][None, :] > 0
-    tl1 = ch[S.CH_TOPLEFT + 1][None, :] > 0
-    tl2 = ch[S.CH_TOPLEFT + 2][None, :] > 0
+    tl0 = ch[:, S.CH_TOPLEFT][None, :] > 0
+    tl1 = ch[:, S.CH_TOPLEFT + 1][None, :] > 0
+    tl2 = ch[:, S.CH_TOPLEFT + 2][None, :] > 0
     cov = (
         ((e0 > 0) | ((e0 == 0) & tl0))
         & ((e1 > 0) | ((e1 == 0) & tl1))
@@ -183,8 +185,8 @@ def rasterize_visibility(
     cap = -(-cap_per_tile // chunk) * chunk  # round capacity up to chunk
     tile_lists, overflow = build_tile_lists(binned, ntiles, cap)
     all_ch = combined_channels(binned)
-    E_cap = binned.entry_channels.shape[1]
-    B_cap = binned.broad_channels.shape[1]
+    E_cap = binned.entry_channels.shape[0]
+    B_cap = binned.broad_channels.shape[0]
     bchunk = min(chunk, B_cap)
 
     pad_h = grid_h * tile_h
@@ -223,8 +225,8 @@ def rasterize_visibility(
             zbuf, owner, obuf = carry
             live = eids_chunk >= 0
             safe = jnp.clip(eids_chunk, 0, E_cap - 1)
-            ch = all_ch[:, safe]
-            order = ch[S.CH_ORDER]
+            ch = all_ch[safe]
+            order = ch[:, S.CH_ORDER]
             out = _resolve_chunk(
                 ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf,
                 safe, depth_state,
@@ -241,8 +243,8 @@ def rasterize_visibility(
             def broad_body(carry, args):
                 zbuf, owner, obuf = carry
                 bids, bbox = args  # bids [bchunk], bbox [bchunk, 4]
-                ch = all_ch[:, E_cap + bids]
-                order = ch[S.CH_ORDER]
+                ch = all_ch[E_cap + bids]
+                order = ch[:, S.CH_ORDER]
                 live = (
                     (bids < B_cap)
                     & (tx >= bbox[:, 0]) & (tx <= bbox[:, 2])

@@ -38,6 +38,15 @@ def _next_pow2(n: int, floor: int) -> int:
     return v
 
 
+def _cap_growth(n: int, granule: int, floor: int) -> int:
+    """Monotone capacity growth: pow2 below `granule` (small scenes stay
+    small), then `granule`-sized steps (pow2 would overshoot the big
+    per-entry arrays by up to 2x, costing real milliseconds per frame)."""
+    if n <= granule:
+        return _next_pow2(n, floor)
+    return max(floor, -(-n // granule) * granule)
+
+
 @dataclasses.dataclass(frozen=True)
 class FramePlan:
     """Static capacities of one compiled frame program."""
@@ -166,7 +175,7 @@ class ForwardRenderingFunction:
         # recreation); entries get ~2 tiles per triangle headroom
         raster = dataclasses.replace(
             p.raster,
-            entry_cap=_next_pow2(2 * n_tris, p.raster.entry_cap),
+            entry_cap=_cap_growth(2 * n_tris, 1 << 18, p.raster.entry_cap),
             clip_cap=_next_pow2(max(n_tris // 8, 1), p.raster.clip_cap),
         )
         new = FramePlan(

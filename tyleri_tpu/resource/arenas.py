@@ -117,7 +117,11 @@ class BindlessBuffer:
 
     def free(self) -> None:
         if not self._freed:
-            self.arena._allocator.free(self.offset, self.len)
+            # _alloc_len covers allocations padded beyond the logical length
+            # (e.g. triangle-aligned index buffers)
+            self.arena._allocator.free(
+                self.offset, getattr(self, "_alloc_len", self.len)
+            )
             self._freed = True
 
 
