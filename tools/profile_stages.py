@@ -22,7 +22,7 @@ def main():
     import tyleri_tpu as ty
     from tyleri_tpu.models import scenes as scenelib
     from tyleri_tpu.ops.binning import bin_triangles
-    from tyleri_tpu.ops.setup import setup_triangles, transform_mesh_corners
+    from tyleri_tpu.ops.setup import setup_triangles
     from tyleri_tpu.ops.shade import shade_visibility
     from tyleri_tpu.ops.visibility import combined_channels
     from tyleri_tpu.rendering import passes
@@ -50,25 +50,29 @@ def main():
         rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
     )
     plan = rf.plan
-    (positions, uvs, indices, texels, toff, tw, th, clear_color,
+    (texels, toff, tw, th, clear_color,
      cam_valid, viewports, scissors, view_projs, models,
-     first_index, vertex_offset, tri_base, tri_count, draw_tex,
+     corners, tri_draw, tri_valid0, tri_tex,
      *_rest) = arrays
     print("plan:", plan)
 
     r = plan.raster
+    from tyleri_tpu.ops.setup import transform_corner_table
+    from tyleri_tpu.ops.clip import near_clip_triangles
 
     @jax.jit
     def stage_setup(view_projs, models):
         mvps = jnp.einsum("ij,djk->dik", view_projs[0], models[0],
                           precision=jax.lax.Precision.HIGHEST)
-        clip, uv3, draw_ids, tvalid = transform_mesh_corners(
-            positions, uvs, indices, first_index[0], vertex_offset[0],
-            tri_base[0], tri_count[0], mvps, plan.tri_cap)
+        clip, uv3 = transform_corner_table(corners[0], tri_draw[0], mvps)
+        ct = near_clip_triangles(clip, uv3, tri_tex[0],
+                                 tri_valid0[0] & cam_valid[0],
+                                 extra_cap=r.clip_cap)
         su = setup_triangles(
-            clip, uv3, draw_tex[0][draw_ids], tvalid & cam_valid[0],
+            ct.clip, ct.uv, ct.tex_id, ct.valid,
             viewports[0], scissors[0],
-            tile_w=r.tile_w, tile_h=r.tile_h, grid_w=r.grid_w, grid_h=r.grid_h)
+            tile_w=r.tile_w, tile_h=r.tile_h, grid_w=r.grid_w, grid_h=r.grid_h,
+            order=ct.order)
         return su
 
     su = jax.block_until_ready(stage_setup(view_projs, models))

@@ -194,6 +194,66 @@ def setup_triangles(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("tri_capacity",))
+def build_triangle_table(positions, uvs, indices, first_index, vertex_offset,
+                         tri_base, tri_count, *, tri_capacity: int):
+    """Materialize the per-triangle corner table for a draw list.
+
+    Geometry and topology are static between scene edits (the reference's
+    bindless arenas + per-frame matrices, ref: mesh_renderer.rs:52-78), so
+    the expensive corner gathers run once per draw-list change and the
+    per-frame vertex stage (transform_corner_table) is pure matrix math.
+
+    Returns (corner f32 [Tcap, 3, 5] = pos+uv per corner, draw i32 [Tcap],
+    valid bool [Tcap]).
+    """
+    D = first_index.shape[0]
+    I = indices.shape[0]
+    Tcap = tri_capacity
+
+    t = jnp.arange(Tcap, dtype=jnp.int32)
+    draw = jnp.clip(
+        jnp.searchsorted(tri_base, t, side="right") - 1, 0, D - 1
+    ).astype(jnp.int32)
+    local = t - tri_base[draw]
+    in_draw = (local >= 0) & (local < tri_count[draw])
+
+    i3 = (I // 3) * 3
+    ipos = first_index[draw] + 3 * local
+    ipos = jnp.clip(ipos, 0, max(i3 - 3, 0))
+    idx = indices.astype(jnp.int32)[:i3].reshape(-1, 3)[ipos // 3]  # [T, 3]
+    vtx = jnp.clip(idx + vertex_offset[draw][:, None], 0, positions.shape[0] - 1)
+    verts5 = jnp.concatenate([positions, uvs], axis=1)   # [V, 5]
+    corner = verts5[vtx]                                 # [T, 3, 5] row gathers
+    return corner, draw, in_draw
+
+
+def transform_corner_table(corner, draw, mvps):
+    """Per-frame vertex stage over a cached triangle table: gather-free.
+
+    corner f32 [T, 3, 5], draw i32 [T], mvps f32 [D, 4, 4].
+    Returns (clip [T, 3, 4], uv [T, 3, 2]).
+    """
+    T = corner.shape[0]
+    D = mvps.shape[0]
+    corner_pos = corner[..., :3]
+    corner_uv = corner[..., 3:5]
+    ones = jnp.ones(corner_pos.shape[:-1] + (1,), corner_pos.dtype)
+    h = jnp.concatenate([corner_pos, ones], axis=-1)  # [T, 3, 4]
+    if D <= 64:
+        onehot = (draw[:, None] == jnp.arange(D, dtype=jnp.int32)[None, :]).astype(
+            jnp.float32
+        )
+        tri_mvp = jnp.dot(
+            onehot, mvps.reshape(D, 16), precision=jax.lax.Precision.HIGHEST
+        ).reshape(T, 4, 4)
+    else:
+        tri_mvp = mvps[draw]
+    clip = jnp.einsum("tij,tkj->tki", tri_mvp, h,
+                      precision=jax.lax.Precision.HIGHEST)
+    return clip, corner_uv
+
+
 def transform_mesh_corners(positions, uvs, indices, first_index, vertex_offset,
                            tri_base, tri_count, mvps, tri_capacity: int):
     """Assemble per-triangle clip corners + uvs for a padded draw list.
@@ -209,44 +269,13 @@ def transform_mesh_corners(positions, uvs, indices, first_index, vertex_offset,
     tri_capacity: static number of triangle slots (>= sum of tri_count).
 
     Returns (clip [Tcap,3,4], uv [Tcap,3,2], tri_draw i32[Tcap],
-    tri_valid bool[Tcap]).
+    tri_valid bool[Tcap]).  Equivalent to build_triangle_table +
+    transform_corner_table; production code caches the table across frames
+    (rendering/forward.py) and only runs the transform per frame.
     """
-    D = first_index.shape[0]
-    I = indices.shape[0]
-    Tcap = tri_capacity
-
-    t = jnp.arange(Tcap, dtype=jnp.int32)
-    draw = jnp.clip(jnp.searchsorted(tri_base, t, side="right") - 1, 0, D - 1).astype(jnp.int32)
-    local = t - tri_base[draw]
-    in_draw = (local >= 0) & (local < tri_count[draw])
-
-    # TPU gathers cost fixed latency per ROW: fetch each triangle's three
-    # indices as ONE row of the [I/3, 3]-viewed index arena (the allocator
-    # keeps index suballocations 3-aligned), and each corner's attributes as
-    # one joined pos+uv row.
-    i3 = (I // 3) * 3
-    ipos = first_index[draw] + 3 * local
-    ipos = jnp.clip(ipos, 0, max(i3 - 3, 0))
-    idx = indices.astype(jnp.int32)[:i3].reshape(-1, 3)[ipos // 3]  # [T, 3]
-    vtx = jnp.clip(idx + vertex_offset[draw][:, None], 0, positions.shape[0] - 1)
-    verts5 = jnp.concatenate([positions, uvs], axis=1)   # [V, 5]
-    corner = verts5[vtx]                                 # [T, 3, 5] row gathers
-    corner_pos = corner[..., :3]
-    corner_uv = corner[..., 3:5]
-    ones = jnp.ones(corner_pos.shape[:-1] + (1,), corner_pos.dtype)
-    h = jnp.concatenate([corner_pos, ones], axis=-1)  # [T, 3, 4]
-    # Per-triangle MVP: for small draw counts a one-hot matmul beats a
-    # [T, 4, 4] row gather (MXU vs per-row gather latency); HIGHEST
-    # precision everywhere — bf16 corrupts raster coverage.
-    if D <= 64:
-        onehot = (draw[:, None] == jnp.arange(D, dtype=jnp.int32)[None, :]).astype(
-            jnp.float32
-        )
-        tri_mvp = jnp.dot(
-            onehot, mvps.reshape(D, 16), precision=jax.lax.Precision.HIGHEST
-        ).reshape(Tcap, 4, 4)
-    else:
-        tri_mvp = mvps[draw]
-    clip = jnp.einsum("tij,tkj->tki", tri_mvp, h,
-                      precision=jax.lax.Precision.HIGHEST)
+    corner, draw, in_draw = build_triangle_table(
+        positions, uvs, indices, first_index, vertex_offset,
+        tri_base, tri_count, tri_capacity=tri_capacity,
+    )
+    clip, corner_uv = transform_corner_table(corner, draw, mvps)
     return clip, corner_uv, draw, in_draw

@@ -58,11 +58,9 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         ti = jax.lax.axis_index(AXIS_TILES)
         y0 = (ti * band_h).astype(jnp.int32)
         # round-robin draw assignment to the draws axis (ParallelGroup)
-        draw_ids = jnp.arange(D, dtype=jnp.int32)[None, :]
-        draw_keep = jnp.broadcast_to((draw_ids % nd) == di, (C, D))
         frame = frame_body(
             bplan, mesh_state, ui_state, *arrs,
-            band_y0=y0, draw_keep=draw_keep,
+            band_y0=y0, draw_keep=lambda ids: (ids % nd) == di,
         )
         # composite across the draws axis: min depth wins; ties go to the
         # higher device index (later round-robin draw)

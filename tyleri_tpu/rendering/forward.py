@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tyleri_tpu.ops.setup import transform_mesh_corners
+from tyleri_tpu.ops.setup import build_triangle_table, transform_corner_table
 from tyleri_tpu.pipeline.common_pipeline import CommonPipeline
 from tyleri_tpu.pipeline.state import PipelineState
 from tyleri_tpu.pipeline.ui_pipeline import UIPipeline
@@ -76,7 +76,6 @@ def frame_body(
     plan: FramePlan,
     mesh_state: PipelineState,
     ui_state: PipelineState,
-    positions, uvs, indices,
     texels, tex_offset, tex_width, tex_height,
     clear_color,     # f32 [4]
     cam_valid,       # bool [C]
@@ -84,12 +83,15 @@ def frame_body(
     scissors,        # i32 [C, 4]
     view_projs,      # f32 [C, 4, 4] (projection @ view)
     models,          # f32 [C, D, 4, 4]
-    first_index, vertex_offset, tri_base, tri_count, draw_tex,  # i32 [C, D]
+    corners,         # f32 [C, T, 3, 5] cached triangle tables (pos+uv)
+    tri_draw,        # i32 [C, T]
+    tri_valid0,      # bool [C, T]
+    tri_tex,         # i32 [C, T]
     ui_clip, ui_uv, ui_color, ui_tex, ui_valid,                 # [U, 3, ...]
     window_viewport, window_scissor,
     *,
     band_y0=None,     # traced scalar pixel offset of this band (sharded mode)
-    draw_keep=None,   # bool [C, D] draw subset mask (sort-last mode)
+    draw_keep=None,   # callable(draw_ids [T]) -> bool [T] (sort-last mode)
 ):
     """One frame (or one band of a frame): clear -> UI -> per-camera meshes.
 
@@ -119,15 +121,13 @@ def frame_body(
             "ij,djk->dik", view_projs[c], models[c],
             precision=jax.lax.Precision.HIGHEST,
         )
-        clip, uv3, draw_ids, tvalid = transform_mesh_corners(
-            positions, uvs, indices,
-            first_index[c], vertex_offset[c], tri_base[c], tri_count[c],
-            mvps, plan.tri_cap,
-        )
-        tex_ids = draw_tex[c][draw_ids]
-        tvalid = tvalid & cam_valid[c]
+        # gather-free per-frame vertex stage over the cached triangle table
+        clip, uv3 = transform_corner_table(corners[c], tri_draw[c], mvps)
+        tex_ids = tri_tex[c]
+        tvalid = tri_valid0[c] & cam_valid[c]
         if draw_keep is not None:
-            tvalid = tvalid & draw_keep[c][draw_ids]
+            # round-robin draw sharding without a gather: draw id mod n
+            tvalid = tvalid & draw_keep(tri_draw[c])
         color, depth, st = mesh_pass(
             plan.raster, mesh_state, color, depth,
             clip, uv3, tex_ids, tvalid,
@@ -144,6 +144,17 @@ def frame_body(
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
 def _render_frame(plan, mesh_state, ui_state, *arrays):
     return frame_body(plan, mesh_state, ui_state, *arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("tri_capacity",))
+def _build_table(positions, uvs, indices, first_index, vertex_offset,
+                 tri_base, tri_count, draw_tex, *, tri_capacity: int):
+    corner, draw, valid = build_triangle_table(
+        positions, uvs, indices, first_index, vertex_offset,
+        tri_base, tri_count, tri_capacity=tri_capacity,
+    )
+    tex = draw_tex[draw]
+    return corner, draw, valid, tex
 
 
 class ForwardRenderingFunction:
@@ -220,7 +231,6 @@ class ForwardRenderingFunction:
         plan = self.plan
 
         alloc = render_device.memory_allocator
-        positions, uvs, indices = alloc.geometry_device_arrays()
         texels, toff, tw, th = alloc.texture_device_arrays()
 
         C, D = plan.cam_cap, plan.draw_cap
@@ -230,12 +240,8 @@ class ForwardRenderingFunction:
         scissors = np.zeros((C, 4), np.int32)
         view_projs = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         models = np.tile(np.eye(4, dtype=np.float32), (C, D, 1, 1))
-        first_index = np.zeros((C, D), np.int32)
-        vertex_offset = np.zeros((C, D), np.int32)
-        tri_base = np.full((C, D), plan.tri_cap, np.int32)
-        tri_count = np.zeros((C, D), np.int32)
-        draw_tex = np.zeros((C, D), np.int32)
 
+        cam_sigs = []
         for ci, cam in enumerate(cams):
             cam_valid[ci] = True
             vp = cam.viewport
@@ -244,19 +250,17 @@ class ForwardRenderingFunction:
             sc = cam.scissor
             scissors[ci] = [sc.x, sc.y, sc.width, sc.height]
             view_projs[ci] = cam.get_projection_matrix() @ cam.view_matrix
-            base = 0
             for di, mesh in enumerate(cam.mesh_renderers):
-                first_index[ci, di] = mesh.indices.offset
-                vertex_offset[ci, di] = mesh.vertices.offset
-                tri_base[ci, di] = base
-                tri_count[ci, di] = mesh.triangle_count
-                draw_tex[ci, di] = mesh.texture.slot
                 models[ci, di] = mesh.model
-                base += mesh.triangle_count
-            # dead draw slots: keep tri_base monotone at `base` so
-            # searchsorted maps padding triangles to a zero-count draw
-            for di in range(len(cam.mesh_renderers), D):
-                tri_base[ci, di] = base
+            cam_sigs.append(tuple(
+                (m.indices.offset, m.indices.len, m.vertices.offset,
+                 m.texture.slot)
+                for m in cam.mesh_renderers
+            ))
+
+        corners, tri_draw, tri_valid0, tri_tex = self._triangle_tables(
+            render_device, cams, cam_sigs, plan
+        )
 
         # ---- UI assembly (points -> clip on host; ref: ui.vert:16-18) ----
         U = plan.ui_tri_cap
@@ -298,13 +302,68 @@ class ForwardRenderingFunction:
         window_scissor = np.array([0, 0, int(win_w), int(win_h)], np.int32)
 
         # host numpy throughout — record() ships the whole tuple in one
-        # batched device_put (geometry/texture arrays are already device
-        # resident and pass through untouched)
+        # batched device_put (texture/triangle-table arrays are already
+        # device resident and pass through untouched)
         return (
-            positions, uvs, indices, texels, toff, tw, th,
+            texels, toff, tw, th,
             np.asarray(CLEAR_COLOR, np.float32),
             cam_valid, viewports, scissors, view_projs, models,
-            first_index, vertex_offset, tri_base, tri_count, draw_tex,
+            corners, tri_draw, tri_valid0, tri_tex,
             ui_clip, ui_uv, ui_colors, ui_tex, ui_valid,
             window_viewport, window_scissor,
         )
+
+    def _triangle_tables(self, render_device, cams, cam_sigs, plan):
+        """Cached per-frame triangle tables [C, T, 3, 5] etc.
+
+        Geometry is static between scene edits; the table is rebuilt only
+        when a camera's draw list or the geometry arenas change (the key
+        includes arena versions). This removes all per-frame gathers from
+        the vertex stage — the TPU analog of baked command buffers.
+        """
+        alloc = render_device.memory_allocator
+        varena = alloc.static_vertices_buffer
+        iarena = alloc.static_indices_buffer
+        key = (
+            plan.cam_cap, plan.tri_cap, tuple(cam_sigs),
+            varena.version, iarena.version,
+        )
+        cached = getattr(self, "_tri_table_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        positions, uvs, indices = alloc.geometry_device_arrays()
+        C, D, Tcap = plan.cam_cap, plan.draw_cap, plan.tri_cap
+        per_cam = []
+        for ci in range(C):
+            meshes = cams[ci].mesh_renderers if ci < len(cams) else []
+            first_index = np.zeros((D,), np.int32)
+            vertex_offset = np.zeros((D,), np.int32)
+            tri_base = np.full((D,), Tcap, np.int32)
+            tri_count = np.zeros((D,), np.int32)
+            draw_tex = np.zeros((D,), np.int32)
+            base = 0
+            for di, mesh in enumerate(meshes):
+                first_index[di] = mesh.indices.offset
+                vertex_offset[di] = mesh.vertices.offset
+                tri_base[di] = base
+                tri_count[di] = mesh.triangle_count
+                draw_tex[di] = mesh.texture.slot
+                base += mesh.triangle_count
+            # dead draw slots keep tri_base monotone at `base` so
+            # searchsorted maps padding triangles to a zero-count draw
+            for di in range(len(meshes), D):
+                tri_base[di] = base
+            per_cam.append(_build_table(
+                positions, uvs, indices,
+                *jax.device_put((first_index, vertex_offset, tri_base,
+                                 tri_count, draw_tex)),
+                tri_capacity=Tcap,
+            ))
+
+        tables = tuple(
+            jnp.stack([per_cam[ci][k] for ci in range(C)]) for k in range(4)
+        )
+        tables = jax.block_until_ready(tables)
+        self._tri_table_cache = (key, tables)
+        return tables

@@ -145,6 +145,8 @@ class BindlessBufferAllocator:
         self._dirty = True
         self._device = None
         self._lock = threading.Lock()
+        # monotonically increasing content version (cache keys downstream)
+        self.version = 0
 
     def _ensure(self, needed_end: int) -> None:
         if needed_end <= self.capacity:
@@ -181,6 +183,7 @@ class BindlessBufferAllocator:
                 writer(*views) if len(views) > 1 else writer(views[0])
                 handles.append(BindlessBuffer(self, off, n))
             self._dirty = True
+            self.version += 1
             return handles
 
     def _used_upper_bound(self) -> int:
@@ -191,6 +194,7 @@ class BindlessBufferAllocator:
             views = tuple(self._staging[name][offset : offset + length] for name in self.fields)
             writer(*views) if len(views) > 1 else writer(views[0])
             self._dirty = True
+            self.version += 1
 
     def device_arrays(self) -> dict:
         """Upload-if-dirty and return the HBM snapshot (dict name -> array)."""
