@@ -261,3 +261,51 @@ def test_ui_pass_matches_oracle():
     assert_images_close(np.asarray(color), o_color, budget=0.003, tol=1e-3, msg="ui color")
     # UI wrote depth 0 where covered
     assert np.asarray(depth)[6, 10] == 0.0
+
+
+def test_ui_windowed_raster_matches_oracle():
+    """At framebuffers larger than the raster window, small UI quads take the
+    dynamic-slice window path; output must match the full-screen path."""
+    FBW, FBH = 320, 288  # > window=256 in one... both dims must exceed? window<=min dim
+    screen_pts = (FBW, FBH)
+    rng = np.random.default_rng(3)
+    pos, uvs, cols, idx = [], [], [], []
+    for qi in range(6):
+        x0, y0 = rng.integers(0, FBW - 40), rng.integers(0, FBH - 40)
+        x1, y1 = x0 + rng.integers(8, 40), y0 + rng.integers(8, 40)
+        c = rng.random(4)
+        base = 4 * qi
+        pos += [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        uvs += [(0, 0), (1, 0), (1, 1), (0, 1)]
+        cols += [tuple(c)] * 4
+        idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+    pos = np.asarray(pos, np.float64)
+    uvs = np.asarray(uvs, np.float64)
+    cols = np.asarray(cols, np.float64)
+    tri = np.asarray(idx).reshape(-1, 3)
+    tex = checker_texture()
+
+    o_clip = oracle.make_ui_clip(pos, np.asarray(idx), screen_pts)
+    o_color = np.zeros((FBH, FBW, 4), np.float64)
+    o_depth = np.ones((FBH, FBW), np.float64)
+    oracle.rasterize(o_color, o_depth, o_clip, uvs[tri], UI_PIPELINE_STATE,
+                     Viewport(0, 0, FBW, FBH), Rect2D(0, 0, FBW, FBH),
+                     texture=tex, vertex_color=cols[tri])
+
+    texels, toff, tw, th = arena_from([tex])
+    clip = np.asarray(passes.ui_points_to_clip(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(screen_pts, jnp.float32)))[tri]
+    color = jnp.zeros((FBH, FBW, 4), jnp.float32)
+    depth = jnp.ones((FBH, FBW), jnp.float32)
+    color, depth = passes.ui_pass(
+        UI_PIPELINE_STATE, color, depth,
+        jnp.asarray(clip, jnp.float32), jnp.asarray(uvs[tri], jnp.float32),
+        jnp.asarray(cols[tri], jnp.float32),
+        jnp.zeros((len(tri),), jnp.int32), jnp.ones((len(tri),), bool),
+        Viewport(0, 0, FBW, FBH).as_array(), Rect2D(0, 0, FBW, FBH).as_array(),
+        texels, toff, tw, th,
+    )
+    assert_images_close(np.asarray(color), o_color, budget=0.005, tol=1e-3,
+                        msg="windowed ui")
+    # windowed depth writes landed where quads are
+    assert float(np.asarray(depth).min()) == 0.0

@@ -215,6 +215,9 @@ def ui_pass(
             cd[0], cd[1], ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
             texels, tex_offset, tex_width, tex_height,
             state=state, with_vertex_color=True, vertex_color=ui_color,
+            # UI quads are small; per-window bilinear taps dominate the cost
+            # and scale with window area, so keep windows tight
+            window=64,
         )
 
     return jax.lax.cond(

@@ -29,11 +29,11 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tyleri_tpu.rendering.forward import ForwardRenderingFunction
 from tyleri_tpu.scene.render_scene import RenderScene
-from tyleri_tpu.utils.image import to_unorm8
 from tyleri_tpu.utils.profiling import FrameProfiler
 from tyleri_tpu.window.swapchain import ImageViewSwapchain
 
@@ -47,18 +47,26 @@ class WindowHandle:
     display: Optional[int] = None
 
 
+@jax.jit
+def _quantize_unorm8(color):
+    """On-device UNORM8 store (round-to-nearest), so presenting fetches 1/4
+    of the bytes — the host copy is the presentation bottleneck when the
+    accelerator is remote."""
+    return jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.uint8)
+
+
 class _UsingResources:
     """Per-swapchain-image in-flight state (ref: render_window.rs:29-43)."""
 
     def __init__(self, frame, scene):
         self.frame = frame          # Frame of device arrays (may still compute)
         self.scene = scene          # the RenderScene that recorded it
+        self.u8 = _quantize_unorm8(frame.color)  # async, on device
 
     def wait(self) -> np.ndarray:
         """Fence-wait analog (ref: render_window.rs:193): block on the device
         result and return the presented u8 image."""
-        color = jax.block_until_ready(self.frame.color)
-        return to_unorm8(np.asarray(color))
+        return np.asarray(jax.block_until_ready(self.u8))
 
 
 class RenderWindow:
