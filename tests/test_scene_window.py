@@ -133,3 +133,22 @@ def test_plan_growth_recompiles_transparently():
     win.flush()
     assert win.rendering_function.plan.draw_cap >= 40
     assert win.rendering_function.plan != plan_before
+
+
+def test_two_windows_share_one_device():
+    """The reference supports several windows per device (builder window
+    targets, ref: builders.rs:73-80); windows must not corrupt each other."""
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    rig2 = scenelib.config1_triangle(dev, (32, 32))
+    w1 = RenderWindow(dev, resolution=RES)
+    w2 = RenderWindow(dev, resolution=(32, 32))
+    for f in range(3):
+        rig.fill(w1.get_render_scene(), 0.1 * f)
+        w1.render()
+        rig2.fill(w2.get_render_scene(), 0.2 * f)
+        w2.render()
+    i1 = w1.flush()
+    i2 = w2.flush()
+    assert i1.shape == (64, 64, 4) and i2.shape == (32, 32, 4)
+    assert i1[32, 32, 0] > 0 and i2[16, 16, 0] > 0

@@ -116,8 +116,8 @@ def bin_triangles(
     ).astype(jnp.int32)
 
     # Gather the per-entry channel table in sorted order (entry-major rows:
-    # one contiguous row gather per entry; the raster kernel DMAs
-    # [chunk, NUM_CHANNELS] slices).
+    # one contiguous row gather per entry — shade and the XLA visibility
+    # path consume this layout directly).
     entry_channels = setup.channels[entry_tri]
     entry_channels = jnp.where(entry_live[:, None] > 0, entry_channels, 0.0)
     # channel-major copy for the Pallas kernel (a transpose pass is far
