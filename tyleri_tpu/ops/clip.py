@@ -80,8 +80,10 @@ def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
         sel2 = (r == 2)[:, None, None]
 
         def rotate(a):
-            a1 = a[:, (1, 2, 0)]
-            a2 = a[:, (2, 0, 1)]
+            # slice+concat, not fancy indexing: TPU lowers static-permutation
+            # gathers to per-row latency-bound gathers
+            a1 = jnp.concatenate([a[:, 1:3], a[:, 0:1]], axis=1)
+            a2 = jnp.concatenate([a[:, 2:3], a[:, 0:2]], axis=1)
             return jnp.where(sel1, a1, jnp.where(sel2, a2, a))
 
         cr = rotate(clip)

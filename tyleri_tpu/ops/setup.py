@@ -111,11 +111,17 @@ def setup_triangles(
 
     # Edge i (opposite vertex i) from a=(i+1)%3 to b=(i+2)%3:
     #   E_i(p) = ((py - ay)*dx - (px - ax)*dy) * sgn
-    #   A = dx * -? ... expanded: A = -dy*sgn, B = dx*sgn, C = (ax*dy - ay*dx)*sgn
-    ia = jnp.array([1, 2, 0])
-    ib = jnp.array([2, 0, 1])
-    ax_, ay_ = sx[:, ia], sy[:, ia]   # [T, 3]
-    bx_, by_ = sx[:, ib], sy[:, ib]
+    #   expanded: A = -dy*sgn, B = dx*sgn, C = (ax*dy - ay*dx)*sgn
+    # (slice+concat cyclic rotations: static-permutation fancy indexing
+    # lowers to per-row latency-bound gathers on TPU)
+    def rot1(a):
+        return jnp.concatenate([a[:, 1:3], a[:, 0:1]], axis=1)
+
+    def rot2(a):
+        return jnp.concatenate([a[:, 2:3], a[:, 0:2]], axis=1)
+
+    ax_, ay_ = rot1(sx), rot1(sy)     # [T, 3]
+    bx_, by_ = rot2(sx), rot2(sy)
     dx = bx_ - ax_
     dy = by_ - ay_
     eA = -dy * sgn[:, None]
