@@ -64,8 +64,10 @@ def arena_from(textures):
         ws.append(w)
         hs.append(h)
         off += h * w
+    from tyleri_tpu.ops.sampling import make_texel_pairs
+
     return (
-        jnp.asarray(np.concatenate(texels), jnp.float32),
+        make_texel_pairs(jnp.asarray(np.concatenate(texels), jnp.float32)),
         jnp.asarray(offs, jnp.int32),
         jnp.asarray(ws, jnp.int32),
         jnp.asarray(hs, jnp.int32),

@@ -44,7 +44,7 @@ def run(clip, uv, pallas, plan_kw=None):
         entry_cap=1024, cap_per_tile=512, chunk=128,
         pallas=pallas, **(plan_kw or {}),
     )
-    texels = jnp.ones((4, 4), jnp.float32)
+    texels = jnp.ones((4, 8), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
             jnp.full((1,), 2, jnp.int32))
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
@@ -89,7 +89,7 @@ def test_pallas_scissor_and_empty():
     clip, uv = random_scene(rng, T=8)
     plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
                              entry_cap=512, chunk=128, pallas=True)
-    texels = jnp.ones((4, 4), jnp.float32)
+    texels = jnp.ones((4, 8), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
             jnp.full((1,), 2, jnp.int32))
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)

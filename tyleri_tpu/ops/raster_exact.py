@@ -127,7 +127,7 @@ def rasterize_exact(
         def solid_tex(_):
             # 1x1 texture (solid-color UI quads): one texel, no per-pixel
             # gathers — bilinear taps dominate exact-raster cost otherwise
-            texel = texels[tex_offset[tid_safe]]
+            texel = texels[tex_offset[tid_safe]][:4]
             return jnp.broadcast_to(texel, u.shape + (4,)).astype(jnp.float32)
 
         is_solid = (tex_width[tid_safe] == 1) & (tex_height[tid_safe] == 1)

@@ -20,10 +20,21 @@ def mirror_repeat(i, n):
     return jnp.where(m >= n, 2 * n - 1 - m, m)
 
 
-def sample_bilinear(texels, tex_offset, tex_width, tex_height, tex_id, u, v):
-    """Bilinear mirrored-repeat sample.
+def make_texel_pairs(texels):
+    """[cap, 4] rgba -> [cap, 8] (texel i, texel i+1) pair rows.
 
-    texels: f32 [cap, 4] flat rgba arena (row-major per texture)
+    TPU gathers cost fixed latency per ROW, and the mirror function is
+    1-Lipschitz (adjacent taps land on neighboring-or-equal texels), so one
+    pair-row gather serves both horizontal bilinear taps — half the gathers.
+    """
+    nxt = jnp.concatenate([texels[1:], texels[-1:]], axis=0)
+    return jnp.concatenate([texels, nxt], axis=1)
+
+
+def sample_bilinear(texel_pairs, tex_offset, tex_width, tex_height, tex_id, u, v):
+    """Bilinear mirrored-repeat sample from the PAIR arena.
+
+    texel_pairs: f32 [cap, 8] from make_texel_pairs (row-major per texture)
     tex_offset/width/height: i32 [slots]
     tex_id: i32 [...] per-sample slot; u, v: f32 [...]
     Returns rgba f32 [..., 4].
@@ -45,13 +56,17 @@ def sample_bilinear(texels, tex_offset, tex_width, tex_height, tex_id, u, v):
     iv0m = mirror_repeat(iv0, h)
     iv1m = mirror_repeat(iv0 + 1, h)
 
-    def tap(yy, xx):
-        return texels[off + yy * w + xx]
+    bx = jnp.minimum(iu0m, iu1m)
+    sel0 = (iu0m - bx)[..., None] > 0   # which half of the pair is tap 0
+    sel1 = (iu1m - bx)[..., None] > 0
 
-    t00 = tap(iv0m, iu0m)
-    t01 = tap(iv0m, iu1m)
-    t10 = tap(iv1m, iu0m)
-    t11 = tap(iv1m, iu1m)
+    def taps(yy):
+        pair = texel_pairs[off + yy * w + bx]       # [..., 8]
+        lo, hi = pair[..., :4], pair[..., 4:]
+        return jnp.where(sel0, hi, lo), jnp.where(sel1, hi, lo)
+
+    t00, t01 = taps(iv0m)
+    t10, t11 = taps(iv1m)
     top = t00 * (1.0 - fu) + t01 * fu
     bot = t10 * (1.0 - fu) + t11 * fu
     return top * (1.0 - fv) + bot * fv

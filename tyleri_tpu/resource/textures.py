@@ -78,7 +78,9 @@ class TextureArena:
             return out
 
     def device_arrays(self):
-        """(texels [cap,4], offsets [S], widths [S], heights [S]) on device.
+        """(texel_pairs [cap,8], offsets [S], widths [S], heights [S]) on
+        device — pair rows (texel i, texel i+1) so the sampler fetches both
+        horizontal bilinear taps in one row gather (ops/sampling.py).
         A white 1x1 fallback occupies slot capacity when no textures exist."""
         import jax.numpy as jnp
 
@@ -90,8 +92,10 @@ class TextureArena:
                 else:
                     texels = np.ones((1, 4), np.float32)
                     offs, ws, hs = [0], [1], [1]
+                nxt = np.concatenate([texels[1:], texels[-1:]], axis=0)
+                pairs = np.concatenate([texels, nxt], axis=1)
                 self._device = (
-                    jnp.asarray(texels),
+                    jnp.asarray(pairs),
                     jnp.asarray(offs, jnp.int32),
                     jnp.asarray(ws, jnp.int32),
                     jnp.asarray(hs, jnp.int32),
