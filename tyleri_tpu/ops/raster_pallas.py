@@ -154,14 +154,19 @@ def _visibility_kernel(
         start_dma(slot, k).wait()
         s = chunk_slice(k)
 
-        def entry_body(j, inner):
-            zbuf, owner, obuf = inner
+        # 2-entry unroll: halves loop overhead and lets the second entry's
+        # SMEM scalar loads overlap the first entry's vector work
+        def entry_body(jj, inner):
+            j = jj * 2
             idx = s + j
-            live = (idx >= start) & (idx < end)
-            coeff = lambda row: ebuf[slot, row, j]  # noqa: E731
-            return resolve_entry(coeff, idx, live, zbuf, owner, obuf)
+            live0 = (idx >= start) & (idx < end)
+            live1 = (idx + 1 >= start) & (idx + 1 < end)
+            c0 = lambda row: ebuf[slot, row, j]      # noqa: E731
+            c1 = lambda row: ebuf[slot, row, j + 1]  # noqa: E731
+            zbuf, owner, obuf = resolve_entry(c0, idx, live0, *inner)
+            return resolve_entry(c1, idx + 1, live1, zbuf, owner, obuf)
 
-        return jax.lax.fori_loop(0, chunk, entry_body, carry)
+        return jax.lax.fori_loop(0, chunk // 2, entry_body, carry)
 
     zbuf, owner, obuf = jax.lax.fori_loop(
         0, nchunks, chunk_body, (zbuf0, owner0, obuf0)
