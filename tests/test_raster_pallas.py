@@ -115,3 +115,44 @@ def test_pallas_flag_validation():
     plan = passes.RasterPlan(fb_w=64, fb_h=64, tile_w=8, tile_h=8, pallas=True)
     with pytest.raises(ValueError):
         passes._use_pallas(plan, FLAT)
+
+
+def test_pallas_less_compare_first_draw_wins_ties():
+    """CompareOp.LESS: equal-depth later draws must NOT overwrite."""
+    from tyleri_tpu.pipeline.state import BlendState, DepthState
+
+    less = PipelineState(
+        blend=BlendState(enable=False),
+        depth=DepthState(test_enable=True, write_enable=True,
+                         compare_op=CompareOp.LESS,
+                         format=DepthFormat.D16_UNORM),
+    )
+    quad = [[[-1, -1, 0.5, 1], [1, -1, 0.5, 1], [1, 1, 0.5, 1]],
+            [[-1, -1, 0.5, 1], [1, 1, 0.5, 1], [-1, 1, 0.5, 1]]]
+    clip = np.asarray(quad + quad, np.float32)  # same geometry twice
+    uv = np.zeros((4, 3, 2), np.float32)
+    uv[2:] = 0.9
+    tex = np.zeros((4, 8), np.float32)
+    tex[0, :4] = [1, 0, 0, 1]   # texel 0 red (pair layout)
+    tex[3, :4] = [0, 1, 0, 1]   # texel 3 green
+
+    def run_state(pallas):
+        plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
+                                 entry_cap=1024, chunk=128, pallas=pallas)
+        meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+                jnp.full((1,), 2, jnp.int32))
+        color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+        depth = jnp.ones((FB_H, FB_W), jnp.float32)
+        c, d, _ = passes.mesh_pass(
+            plan, less, color, depth, jnp.asarray(clip), jnp.asarray(uv),
+            jnp.zeros((4,), jnp.int32), jnp.ones((4,), bool),
+            Viewport(0, 0, FB_W, FB_H).as_array(),
+            Rect2D(0, 0, FB_W, FB_H).as_array(),
+            jnp.asarray(tex), *meta)
+        return np.asarray(c)
+
+    c_ref = run_state(False)
+    c_pal = run_state(True)
+    np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
+    # first draw (red) won the tie everywhere covered
+    assert c_ref[16, 64, 0] == 1.0 and c_ref[16, 64, 1] == 0.0

@@ -10,7 +10,6 @@ except "recording" is tracing into one XLA program.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
