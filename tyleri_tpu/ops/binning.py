@@ -107,9 +107,12 @@ def bin_triangles(
     ).astype(jnp.int32)
 
     # Stable sort by tile id preserves draw order within each tile.
-    entry_tile, entry_tri, entry_live = jax.lax.sort(
-        (entry_tile, entry_tri, entry_live), dimension=0, num_keys=1, is_stable=True
+    # (liveness is recomputed from the sorted keys: dead entries carry the
+    # ntiles sentinel, so they sort last — one fewer sort operand)
+    entry_tile, entry_tri = jax.lax.sort(
+        (entry_tile, entry_tri), dimension=0, num_keys=1, is_stable=True
     )
+    entry_live = (entry_tile < ntiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
         entry_tile, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"

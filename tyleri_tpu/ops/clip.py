@@ -120,8 +120,11 @@ def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
         # extra slot x belongs to the triangle whose cumulative extra count
         # first exceeds x.
         cum = jnp.cumsum(wants_extra.astype(jnp.int32))
+        # method="sort": binary search does ~21 gather rounds over the
+        # queries; a merge-sort pass is bandwidth-bound instead
         src = jnp.searchsorted(
-            cum, jnp.arange(1, extra_cap + 1, dtype=jnp.int32), side="left"
+            cum, jnp.arange(1, extra_cap + 1, dtype=jnp.int32), side="left",
+            method="sort",
         ).astype(jnp.int32)
         src_ok = src < T
         src_c = jnp.clip(src, 0, T - 1)

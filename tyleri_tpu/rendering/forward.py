@@ -187,7 +187,7 @@ class ForwardRenderingFunction:
         raster = dataclasses.replace(
             p.raster,
             entry_cap=_cap_growth(2 * n_tris, 1 << 18, p.raster.entry_cap),
-            clip_cap=_next_pow2(max(n_tris // 8, 1), p.raster.clip_cap),
+            clip_cap=_next_pow2(max(n_tris // 32, 1), p.raster.clip_cap),
         )
         new = FramePlan(
             raster=raster,
