@@ -21,8 +21,13 @@ NORTH_STAR_FPS = 60.0
 
 
 def bench_rig(device, rig, warmup=2, frames=16, budget_s=180.0):
-    """Measure steady-state FPS of one scene rig (headless)."""
+    """Measure steady-state pipelined FPS of one scene rig (headless).
+
+    Synchronization fetches a pixel from the final frame:
+    jax.block_until_ready does not reliably wait on remote runtimes, so a
+    tiny device_get is the only honest fence."""
     import jax
+    import numpy as np
 
     from tyleri_tpu.scene.render_scene import RenderScene
     from tyleri_tpu.window.swapchain import ImageViewSwapchain
@@ -36,16 +41,19 @@ def bench_rig(device, rig, warmup=2, frames=16, budget_s=180.0):
         rig.fill(scene, t)
         return rf.record(device, scene.render_resources, 1.0, rig.resolution)
 
+    def sync(frame):
+        np.asarray(jax.device_get(frame.color[0, 0]))
+
     t0 = time.perf_counter()
     for k in range(warmup):
-        jax.block_until_ready(one_frame(0.1 * k).color)
+        sync(one_frame(0.1 * k))
         if time.perf_counter() - t0 > budget_s:
             return None
     start = time.perf_counter()
     last = None
     for k in range(frames):
         last = one_frame(0.3 + 0.05 * k)
-    jax.block_until_ready(last.color)
+    sync(last)
     dt = time.perf_counter() - start
     fps = frames / dt
     return {

@@ -127,10 +127,17 @@ def main():
     jax.block_until_ready(stage_shade(vis.owner, binned, color0))
 
     def timeit(name, fn, *args):
+        def sync(out):
+            # block_until_ready is unreliable on the tunnelled runtime for
+            # small programs; fetching one leaf truly synchronizes
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+        sync(fn(*args))
         t0 = time.perf_counter()
         for _ in range(frames):
             out = fn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.perf_counter() - t0) / frames
         print(f"{name:12s} {dt * 1000:9.2f} ms")
         return dt
