@@ -153,6 +153,10 @@ def _visibility_kernel(
 
         start_dma(slot, k).wait()
         s = chunk_slice(k)
+        # dynamic trip count: only live entries are processed (alignment can
+        # leave dead slots at both chunk ends — sparse tiles would otherwise
+        # pay for a full 128-entry chunk)
+        n_here = jnp.clip(end - s, 0, chunk)
 
         # 2-entry unroll: halves loop overhead and lets the second entry's
         # SMEM scalar loads overlap the first entry's vector work
@@ -166,7 +170,7 @@ def _visibility_kernel(
             zbuf, owner, obuf = resolve_entry(c0, idx, live0, *inner)
             return resolve_entry(c1, idx + 1, live1, zbuf, owner, obuf)
 
-        return jax.lax.fori_loop(0, chunk // 2, entry_body, carry)
+        return jax.lax.fori_loop(0, (n_here + 1) // 2, entry_body, carry)
 
     zbuf, owner, obuf = jax.lax.fori_loop(
         0, nchunks, chunk_body, (zbuf0, owner0, obuf0)
