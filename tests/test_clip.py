@@ -71,7 +71,7 @@ def run_pipeline(clip, uv, exact):
     T = clip.shape[0]
     plan = passes.RasterPlan(fb_w=FB, fb_h=FB, entry_cap=4096, clip_cap=8,
                              exact=exact)
-    texels = jnp.ones((1, 8), jnp.float32)
+    texels = jnp.ones((1, 16), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
             jnp.ones((1,), jnp.int32))
     color = jnp.zeros((FB, FB, 4), jnp.float32)

@@ -64,10 +64,10 @@ def arena_from(textures):
         ws.append(w)
         hs.append(h)
         off += h * w
-    from tyleri_tpu.ops.sampling import make_texel_pairs
+    from tyleri_tpu.ops.sampling import make_texel_quads
 
     return (
-        make_texel_pairs(jnp.asarray(np.concatenate(texels), jnp.float32)),
+        jnp.asarray(make_texel_quads(np.concatenate(texels), offs, ws, hs)),
         jnp.asarray(offs, jnp.int32),
         jnp.asarray(ws, jnp.int32),
         jnp.asarray(hs, jnp.int32),

@@ -44,7 +44,7 @@ def run(clip, uv, pallas, plan_kw=None):
         entry_cap=1024, cap_per_tile=512, chunk=128,
         pallas=pallas, **(plan_kw or {}),
     )
-    texels = jnp.ones((4, 8), jnp.float32)
+    texels = jnp.ones((4, 16), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
             jnp.full((1,), 2, jnp.int32))
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
@@ -89,7 +89,7 @@ def test_pallas_scissor_and_empty():
     clip, uv = random_scene(rng, T=8)
     plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
                              entry_cap=512, chunk=128, pallas=True)
-    texels = jnp.ones((4, 8), jnp.float32)
+    texels = jnp.ones((4, 16), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
             jnp.full((1,), 2, jnp.int32))
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
@@ -132,8 +132,8 @@ def test_pallas_less_compare_first_draw_wins_ties():
     clip = np.asarray(quad + quad, np.float32)  # same geometry twice
     uv = np.zeros((4, 3, 2), np.float32)
     uv[2:] = 0.9
-    tex = np.zeros((4, 8), np.float32)
-    tex[0, :4] = [1, 0, 0, 1]   # texel 0 red (pair layout)
+    tex = np.zeros((4, 16), np.float32)
+    tex[0, :4] = [1, 0, 0, 1]   # texel 0 red (quad layout)
     tex[3, :4] = [0, 1, 0, 1]   # texel 3 green
 
     def run_state(pallas):

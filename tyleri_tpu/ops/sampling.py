@@ -20,21 +20,35 @@ def mirror_repeat(i, n):
     return jnp.where(m >= n, 2 * n - 1 - m, m)
 
 
-def make_texel_pairs(texels):
-    """[cap, 4] rgba -> [cap, 8] (texel i, texel i+1) pair rows.
+def make_texel_quads(texels, offsets, widths, heights):
+    """[cap, 4] rgba (numpy) -> [cap, 16] quad rows: the 2x2 texel block
+    (i, i+1, i+w, i+w+1), with the next-row half clamped to the same row at
+    each texture's last row.
 
     TPU gathers cost fixed latency per ROW, and the mirror function is
     1-Lipschitz (adjacent taps land on neighboring-or-equal texels), so one
-    pair-row gather serves both horizontal bilinear taps — half the gathers.
+    quad-row gather serves all four bilinear taps.
     """
-    nxt = jnp.concatenate([texels[1:], texels[-1:]], axis=0)
-    return jnp.concatenate([texels, nxt], axis=1)
+    import numpy as np
+
+    texels = np.asarray(texels, np.float32)
+    n = len(texels)
+    nxt = np.concatenate([texels[1:], texels[-1:]], axis=0)
+    pairs = np.concatenate([texels, nxt], axis=1)          # [cap, 8]
+    row2 = np.arange(n, dtype=np.int64)
+    for off, w, h in zip(offsets, widths, heights):
+        end = off + w * h
+        idx = np.arange(off, min(end, n))
+        local_row = (idx - off) // max(w, 1)
+        down = np.where(local_row + 1 < h, idx + w, idx)
+        row2[off:min(end, n)] = np.minimum(down, n - 1)
+    return np.concatenate([pairs, pairs[row2]], axis=1)     # [cap, 16]
 
 
-def sample_bilinear(texel_pairs, tex_offset, tex_width, tex_height, tex_id, u, v):
-    """Bilinear mirrored-repeat sample from the PAIR arena.
+def sample_bilinear(texel_quads, tex_offset, tex_width, tex_height, tex_id, u, v):
+    """Bilinear mirrored-repeat sample from the QUAD arena.
 
-    texel_pairs: f32 [cap, 8] from make_texel_pairs (row-major per texture)
+    texel_quads: f32 [cap, 16] from make_texel_quads (row-major per texture)
     tex_offset/width/height: i32 [slots]
     tex_id: i32 [...] per-sample slot; u, v: f32 [...]
     Returns rgba f32 [..., 4].
@@ -57,16 +71,22 @@ def sample_bilinear(texel_pairs, tex_offset, tex_width, tex_height, tex_id, u, v
     iv1m = mirror_repeat(iv0 + 1, h)
 
     bx = jnp.minimum(iu0m, iu1m)
-    sel0 = (iu0m - bx)[..., None] > 0   # which half of the pair is tap 0
-    sel1 = (iu1m - bx)[..., None] > 0
+    by = jnp.minimum(iv0m, iv1m)
+    quad = texel_quads[off + by * w + bx]           # [..., 16] ONE gather
+    row_lo, row_hi = quad[..., :8], quad[..., 8:]
 
-    def taps(yy):
-        pair = texel_pairs[off + yy * w + bx]       # [..., 8]
-        lo, hi = pair[..., :4], pair[..., 4:]
-        return jnp.where(sel0, hi, lo), jnp.where(sel1, hi, lo)
+    def row(yy):
+        return jnp.where((yy != by)[..., None], row_hi, row_lo)
 
-    t00, t01 = taps(iv0m)
-    t10, t11 = taps(iv1m)
+    def tap(r, xx):
+        return jnp.where((xx != bx)[..., None], r[..., 4:8], r[..., :4])
+
+    r0 = row(iv0m)
+    r1 = row(iv1m)
+    t00 = tap(r0, iu0m)
+    t01 = tap(r0, iu1m)
+    t10 = tap(r1, iu0m)
+    t11 = tap(r1, iu1m)
     top = t00 * (1.0 - fu) + t01 * fu
     bot = t10 * (1.0 - fu) + t11 * fu
     return top * (1.0 - fv) + bot * fv

@@ -78,11 +78,13 @@ class TextureArena:
             return out
 
     def device_arrays(self):
-        """(texel_pairs [cap,8], offsets [S], widths [S], heights [S]) on
-        device — pair rows (texel i, texel i+1) so the sampler fetches both
-        horizontal bilinear taps in one row gather (ops/sampling.py).
+        """(texel_quads [cap,16], offsets [S], widths [S], heights [S]) on
+        device — 2x2 quad rows so the sampler fetches all four bilinear taps
+        in one row gather (ops/sampling.py::make_texel_quads).
         A white 1x1 fallback occupies slot capacity when no textures exist."""
         import jax.numpy as jnp
+
+        from tyleri_tpu.ops.sampling import make_texel_quads
 
         with self._lock:
             if self._dirty or self._device is None:
@@ -92,10 +94,9 @@ class TextureArena:
                 else:
                     texels = np.ones((1, 4), np.float32)
                     offs, ws, hs = [0], [1], [1]
-                nxt = np.concatenate([texels[1:], texels[-1:]], axis=0)
-                pairs = np.concatenate([texels, nxt], axis=1)
+                quads = make_texel_quads(texels, offs, ws, hs)
                 self._device = (
-                    jnp.asarray(pairs),
+                    jnp.asarray(quads),
                     jnp.asarray(offs, jnp.int32),
                     jnp.asarray(ws, jnp.int32),
                     jnp.asarray(hs, jnp.int32),
