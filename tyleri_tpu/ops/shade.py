@@ -20,7 +20,7 @@ from tyleri_tpu.pipeline.state import BlendState
 def shade_visibility(
     vis_owner,      # i32 [H, W] combined-table entry index, -1 = background
     all_channels,   # f32 [E+B, NUM_CHANNELS] (entry-major rows)
-    texels,         # f32 [cap, 4] texture arena
+    texels,         # f32 [cap, 16] texel-quad arena (ops/sampling.py)
     tex_offset, tex_width, tex_height,  # i32 [slots]
     blend_state: BlendState,
     dst_color,      # f32 [H, W, 4] framebuffer to blend into
