@@ -24,7 +24,6 @@ def main():
     from tyleri_tpu.ops.binning import bin_triangles
     from tyleri_tpu.ops.setup import setup_triangles
     from tyleri_tpu.ops.shade import shade_visibility
-    from tyleri_tpu.ops.visibility import combined_channels
     from tyleri_tpu.rendering import passes
     from tyleri_tpu.scene.render_scene import RenderScene
     from tyleri_tpu.window.swapchain import ImageViewSwapchain
@@ -119,12 +118,11 @@ def main():
     color0 = jnp.zeros((r.fb_h, r.fb_w, 4), jnp.float32)
 
     @jax.jit
-    def stage_shade(vis_owner, binned, color0):
-        all_ch = combined_channels(binned)
-        return shade_visibility(vis_owner, all_ch, texels, toff, tw, th,
+    def stage_shade(vis, color0):
+        return shade_visibility(vis, texels, toff, tw, th,
                                 rf.mesh_state.blend, color0)
 
-    jax.block_until_ready(stage_shade(vis.owner, binned, color0))
+    jax.block_until_ready(stage_shade(vis, color0))
 
     def timeit(name, fn, *args):
         def sync(out):
@@ -146,7 +144,7 @@ def main():
     total += timeit("setup", stage_setup, view_projs, models)
     total += timeit("binning", stage_bin, su)
     total += timeit("visibility", stage_vis, binned, depth0)
-    total += timeit("shade", stage_shade, vis.owner, binned, color0)
+    total += timeit("shade", stage_shade, vis, color0)
     print(f"{'sum':12s} {total * 1000:9.2f} ms  ({1.0 / total:.1f} fps equivalent)")
 
 

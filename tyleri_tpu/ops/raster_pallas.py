@@ -57,6 +57,10 @@ def _visibility_kernel(
     owner_ref,        # i32 [th, tw]
     z_ref,            # f32 [th, tw]
     order_ref,        # f32 [th, tw]
+    uw_ref,           # f32 [th, tw] winner u/w
+    vw_ref,           # f32 [th, tw] winner v/w
+    iw_ref,           # f32 [th, tw] winner 1/w
+    tex_ref,          # i32 [th, tw] winner texture slot
     # scratch
     ebuf,             # f32 [2, NUM_CHANNELS, CHUNK] (SMEM)
     sem,              # DMA sems [2]
@@ -88,10 +92,14 @@ def _visibility_kernel(
 
     d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_entry(coeff, eid, live, zbuf, owner, obuf):
+    def resolve_entry(coeff, eid, live, st):
         """One entry vs the whole tile. ``coeff(row)`` is a scalar load from
         the entry's column (must read through a Ref — Mosaic has no dynamic
-        slicing of loaded vectors)."""
+        slicing of loaded vectors).  The carry also tracks the winner's
+        shading attributes (u/w, v/w, 1/w, tex) so the deferred shade pass
+        needs no per-pixel table gather at all."""
+        zbuf, owner, obuf, uwb, vwb, iwb, texb = st
+
         def plane(row):
             return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
 
@@ -117,11 +125,19 @@ def _visibility_kernel(
         zbuf = jnp.where(passing, zq, zbuf)
         owner = jnp.where(passing, eid, owner)
         obuf = jnp.where(passing, order, obuf)
-        return zbuf, owner, obuf
+        uwb = jnp.where(passing, plane(S.CH_UW), uwb)
+        vwb = jnp.where(passing, plane(S.CH_VW), vwb)
+        iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
+        texb = jnp.where(passing, jnp.full_like(texb, 0) + coeff(S.CH_TEX).astype(jnp.int32), texb)
+        return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
     zbuf0 = depth_init_ref[:]
     owner0 = jnp.full((tile_h, tile_w), -1, jnp.int32)
     obuf0 = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+    uw0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    vw0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    iw0 = jnp.ones((tile_h, tile_w), jnp.float32)
+    tex0 = jnp.zeros((tile_h, tile_w), jnp.int32)
 
     # ---- narrow entries: double-buffered DMA over the tile's segment ----
     # DMA lane offsets must be 128-aligned: cover [start, end) with
@@ -167,13 +183,14 @@ def _visibility_kernel(
             live1 = (idx + 1 >= start) & (idx + 1 < end)
             c0 = lambda row: ebuf[slot, row, j]      # noqa: E731
             c1 = lambda row: ebuf[slot, row, j + 1]  # noqa: E731
-            zbuf, owner, obuf = resolve_entry(c0, idx, live0, *inner)
-            return resolve_entry(c1, idx + 1, live1, zbuf, owner, obuf)
+            st = resolve_entry(c0, idx, live0, inner)
+            return resolve_entry(c1, idx + 1, live1, st)
 
         return jax.lax.fori_loop(0, (n_here + 1) // 2, entry_body, carry)
 
-    zbuf, owner, obuf = jax.lax.fori_loop(
-        0, nchunks, chunk_body, (zbuf0, owner0, obuf0)
+    state = jax.lax.fori_loop(
+        0, nchunks, chunk_body,
+        (zbuf0, owner0, obuf0, uw0, vw0, iw0, tex0),
     )
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
@@ -184,7 +201,6 @@ def _visibility_kernel(
         gyf = gy.astype(jnp.float32)
 
         def broad_body(j, carry):
-            zbuf, owner, obuf = carry
             live = (
                 (gxf >= broad_bbox_ref[j, 0])
                 & (gxf <= broad_bbox_ref[j, 2])
@@ -192,15 +208,20 @@ def _visibility_kernel(
                 & (gyf <= broad_bbox_ref[j, 3])
             )
             coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
-            return resolve_entry(coeff, e_cap + j, live, zbuf, owner, obuf)
+            return resolve_entry(coeff, e_cap + j, live, carry)
 
-        zbuf, owner, obuf = jax.lax.fori_loop(
-            0, jnp.minimum(nbroad_ref[0], B), broad_body, (zbuf, owner, obuf)
+        state = jax.lax.fori_loop(
+            0, jnp.minimum(nbroad_ref[0], B), broad_body, state
         )
 
+    zbuf, owner, obuf, uwb, vwb, iwb, texb = state
     owner_ref[:] = owner
     z_ref[:] = zbuf
     order_ref[:] = obuf
+    uw_ref[:] = uwb
+    vw_ref[:] = vwb
+    iw_ref[:] = iwb
+    tex_ref[:] = texb
 
 
 @functools.partial(
@@ -270,11 +291,8 @@ def rasterize_visibility_pallas(
         ],
         out_specs=[
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(7)
         ],
         scratch_shapes=[
             pltpu.SMEM((2, S.NUM_CHANNELS, chunk), jnp.float32),
@@ -282,13 +300,17 @@ def rasterize_visibility_pallas(
         ],
     )
 
-    owner, z, order = pl.pallas_call(
+    owner, z, order, uw, vw, iw, tex = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -305,5 +327,9 @@ def rasterize_visibility_pallas(
         owner=owner[:fb_h, :fb_w],
         depth=z[:fb_h, :fb_w],
         order=order[:fb_h, :fb_w],
+        uw=uw[:fb_h, :fb_w],
+        vw=vw[:fb_h, :fb_w],
+        iw=iw[:fb_h, :fb_w],
+        tex=tex[:fb_h, :fb_w],
     )
     return vis, jnp.zeros((), jnp.int32)

@@ -39,6 +39,38 @@ class VisibilityBuffer(NamedTuple):
     owner: jax.Array  # i32 [H, W]; index into the combined channel table, -1 = none
     depth: jax.Array  # f32 [H, W]; quantized depth after the pass
     order: jax.Array  # f32 [H, W]; draw order of the owner (-1 = none)
+    uw: jax.Array     # f32 [H, W]; winner u/w at the pixel center
+    vw: jax.Array     # f32 [H, W]; winner v/w
+    iw: jax.Array     # f32 [H, W]; winner 1/w
+    tex: jax.Array    # i32 [H, W]; winner texture slot
+
+
+def attribute_maps(owner, all_channels, fb_w, fb_h):
+    """Reconstruct winner shading attributes from the channel table (the
+    XLA visibility path uses this; the Pallas kernel carries them directly).
+    """
+    valid = owner >= 0
+    safe = jnp.clip(owner, 0, all_channels.shape[0] - 1)
+    rows = jnp.array(
+        [S.CH_INVW, S.CH_INVW + 1, S.CH_INVW + 2,
+         S.CH_UW, S.CH_UW + 1, S.CH_UW + 2,
+         S.CH_VW, S.CH_VW + 1, S.CH_VW + 2,
+         S.CH_TEX],
+        jnp.int32,
+    )
+    table = all_channels[:, rows]               # [E, 10] static column slice
+    ch = table[safe]                            # [H, W, 10] row gathers
+    xc = (jnp.arange(fb_w, dtype=jnp.float32) + 0.5)[None, :]
+    yc = (jnp.arange(fb_h, dtype=jnp.float32) + 0.5)[:, None]
+
+    def plane(i):
+        return ch[..., i] * xc + ch[..., i + 1] * yc + ch[..., i + 2]
+
+    iw = jnp.where(valid, plane(0), 1.0)
+    uw = jnp.where(valid, plane(3), 0.0)
+    vw = jnp.where(valid, plane(6), 0.0)
+    tex = jnp.where(valid, ch[..., 9].astype(jnp.int32), 0)
+    return uw, vw, iw, tex
 
 
 def combined_channels(binned: BinnedEntries):
@@ -278,5 +310,8 @@ def rasterize_visibility(
             .reshape(pad_h, pad_w)[:fb_h, :fb_w]
         )
 
-    vis = VisibilityBuffer(owner=untile(ot), depth=untile(zt), order=untile(rt))
+    owner = untile(ot)
+    uw, vw, iw, tex = attribute_maps(owner, all_ch, fb_w, fb_h)
+    vis = VisibilityBuffer(owner=owner, depth=untile(zt), order=untile(rt),
+                           uw=uw, vw=vw, iw=iw, tex=tex)
     return vis, overflow

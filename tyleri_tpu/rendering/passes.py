@@ -20,7 +20,7 @@ from tyleri_tpu.ops.clip import near_clip_triangles
 from tyleri_tpu.ops.raster_exact import rasterize_exact
 from tyleri_tpu.ops.setup import setup_triangles
 from tyleri_tpu.ops.shade import shade_visibility
-from tyleri_tpu.ops.visibility import combined_channels, rasterize_visibility
+from tyleri_tpu.ops.visibility import rasterize_visibility
 from tyleri_tpu.pipeline.state import PipelineState
 
 
@@ -177,10 +177,8 @@ def mesh_pass(
             cap_per_tile=plan.cap_per_tile, chunk=plan.chunk,
             depth_state=state.depth,
         )
-    all_ch = combined_channels(binned)
     color = shade_visibility(
-        vis.owner, all_ch, texels, tex_offset, tex_width, tex_height,
-        state.blend, color,
+        vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
     )
     depth = vis.depth if state.depth.write_enable else depth
     return color, depth, PassStats(binned.overflow + ct.overflow, tile_overflow)
