@@ -311,3 +311,25 @@ def test_ui_windowed_raster_matches_oracle():
                         msg="windowed ui")
     # windowed depth writes landed where quads are
     assert float(np.asarray(depth).min()) == 0.0
+
+
+def test_d32_depth_format_matches_oracle():
+    """DepthFormat.D32_SFLOAT (builder-configurable, ref builders.rs:81-84)
+    through both raster paths."""
+    d32 = PipelineState(
+        blend=BlendState(enable=False),
+        depth=DepthState(test_enable=True, write_enable=True,
+                         compare_op=CompareOp.LESS_OR_EQUAL,
+                         format=DepthFormat.D32_SFLOAT),
+    )
+    rng = np.random.default_rng(12)
+    clip, uv = random_scene(rng, T=16)
+    # distinct z per triangle: equal-z overlaps tie-break differently in
+    # f32 (pipeline) vs f64 (oracle) without D16 bucketing
+    clip[..., 2] = (1 + np.arange(16))[:, None] / 20.0
+    tex = checker_texture()
+    want_c, want_d = run_oracle(clip, uv, d32, tex)
+    for exact in (False, True):
+        got_c, got_d, _ = run_pipeline(clip, uv, d32, tex, exact=exact)
+        assert_images_close(got_c, want_c, msg=f"d32 color exact={exact}")
+        assert_images_close(got_d, want_d, msg=f"d32 depth exact={exact}")
