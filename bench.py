@@ -75,9 +75,11 @@ def main():
 
     results = {}
     # cheapest-first so something always completes inside the budget
+    # frame counts chosen so the single end-of-run sync fetch (one tunnel
+    # round-trip, tens of ms) is amortized to <5% of the measured window
     plans = [
-        ("cube_800x600", lambda: scenelib.config2_cube(device, (800, 600)), 16),
-        ("instances_100_1080p", lambda: scenelib.config4_instances(device), 8),
+        ("cube_800x600", lambda: scenelib.config2_cube(device, (800, 600)), 48),
+        ("instances_100_1080p", lambda: scenelib.config4_instances(device), 32),
     ]
     for name, make, frames in plans:
         remaining = deadline - time.monotonic()
