@@ -49,6 +49,13 @@ def main():
         rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
     )
     plan = rf.plan
+    # experiment knobs: override raster geometry without touching the library
+    if os.environ.get("TILE_H"):
+        import dataclasses
+
+        plan = dataclasses.replace(
+            plan, raster=dataclasses.replace(
+                plan.raster, tile_h=int(os.environ["TILE_H"])))
     (texels, toff, tw, th, clear_color,
      cam_valid, viewports, scissors, view_projs, models,
      corners, tri_draw, tri_valid0, tri_tex,

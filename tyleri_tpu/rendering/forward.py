@@ -184,6 +184,9 @@ class ForwardRenderingFunction:
         p = self.plan
         # capacities only grow (each growth recompiles, like swapchain
         # recreation); entries get ~2 tiles per triangle headroom
+        # entry headroom: ~1.1 entries/tri measured on sponza-scale scenes
+        # with 16-row tiles, but mid-size triangles (tens of px) straddle
+        # several tiles each, so 2x is the safe general-scene bound
         raster = dataclasses.replace(
             p.raster,
             entry_cap=_cap_growth(2 * n_tris, 1 << 18, p.raster.entry_cap),

@@ -72,7 +72,11 @@ class RasterPlan:
         cap_per_tile = max(128, min(4096, entry_cap // 8))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
-            kw.setdefault("tile_h", 8)
+            # 16 rows (two native sublane tiles): measured on sponza-scale
+            # scenes, tall tiles cut bin entries ~24% and visibility time
+            # ~27% vs 8-row tiles — per-entry setup (scalar coefficient
+            # loads) dominates the kernel, so more pixels per entry wins
+            kw.setdefault("tile_h", 16)
             kw.setdefault("chunk", 128)  # DMA alignment granule
         return RasterPlan(
             fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
