@@ -71,6 +71,44 @@ def test_draw_shard_only():
     assert badc < 0.01
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_equal_z_tie_resolves_by_draw_order_across_devices():
+    """Two identical triangles (equal depth everywhere) as two draws that
+    round-robin to DIFFERENT devices: LESS_OR_EQUAL submission-order
+    semantics say the later draw wins every tie.  The lexicographic
+    (z, order) composite must reproduce the single-chip result exactly
+    (zero pixel budget — ref: src/pipeline/common_pipeline.rs:107-116)."""
+    from tyleri_tpu.models import primitives as prim
+    from tyleri_tpu.models.scenes import _camera, _upload, _upload_texture
+    from tyleri_tpu.scene.mesh_renderer import MeshRenderer
+
+    dev = ty.RenderDeviceBuilder().build()
+    verts, idx = prim.triangle(z=0.5)
+    v, i = _upload(dev, verts, idx)
+    red = _upload_texture(dev, np.full((1, 1, 4), [1.0, 0.0, 0.0, 1.0], np.float32))
+    green = _upload_texture(dev, np.full((1, 1, 4), [0.0, 1.0, 0.0, 1.0], np.float32))
+
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    scene = RenderScene()
+    cam = _camera(RES, [0, 0, 2.2], [0, 0, 0])
+    cam.mesh_renderers.append(MeshRenderer(v, i, red))    # draw 0 -> device 0
+    cam.mesh_renderers.append(MeshRenderer(v, i, green))  # draw 1 -> device 1
+    scene.add_camera(cam)
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, RES)
+
+    want_c, want_d = single_chip(rf, arrays)
+    assert (want_c[..., 1] > 0).any() and not (want_c[..., 0] > 0).any(), (
+        "single-chip sanity: the later (green) draw must win all ties"
+    )
+
+    mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
+    color, depth = render_frame_sharded(
+        rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays
+    )
+    np.testing.assert_array_equal(np.asarray(color), want_c)
+    np.testing.assert_array_equal(np.asarray(depth), want_d)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 

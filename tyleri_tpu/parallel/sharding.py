@@ -7,11 +7,12 @@ depth (an all_gather of band-sized buffers over ICI — the only collective in
 the frame).  Geometry/scene inputs are replicated; the output framebuffer is
 sharded over its row axis.
 
-Semantics note: the cross-device composite resolves depth ties by device
-index rather than global draw order (draws are round-robined, ref
-ParallelGroup semantics src/render_objects/mod.rs:5-30); within a device the
-exact visibility-order rules apply.  With one draw shard the output is
-bit-identical to the single-chip path.
+Semantics note: the cross-device composite resolves depth ties
+lexicographically on (depth, global draw order) using the Frame.order map,
+so round-robined draws (ref ParallelGroup semantics
+src/render_objects/mod.rs:5-30) resolve exactly as single-chip submission
+order would.  Exception: plan.exact mode has no order map (order stays -1
+for meshes) and equal-depth ties then fall back to the lowest device index.
 """
 
 from __future__ import annotations
@@ -62,13 +63,17 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
             bplan, mesh_state, ui_state, *arrs,
             band_y0=y0, draw_keep=lambda ids: (ids % nd) == di,
         )
-        # composite across the draws axis: min depth wins; ties go to the
-        # higher device index (later round-robin draw)
+        # composite across the draws axis: lexicographic (depth, order) —
+        # min depth wins; equal-depth ties go to the max GLOBAL draw order
+        # (Frame.order), reproducing LESS_OR_EQUAL submission-order
+        # semantics (ref: src/pipeline/common_pipeline.rs:107-116) exactly,
+        # independent of which device a draw round-robined to
         depths = jax.lax.all_gather(frame.depth, AXIS_DRAWS)   # [nd, bh, W]
         colors = jax.lax.all_gather(frame.color, AXIS_DRAWS)   # [nd, bh, W, 4]
-        rev = depths[::-1]
-        winner_rev = jnp.argmin(rev, axis=0)                   # first of reversed
-        winner = nd - 1 - winner_rev
+        orders = jax.lax.all_gather(frame.order, AXIS_DRAWS)   # [nd, bh, W]
+        zmin = jnp.min(depths, axis=0)
+        okey = jnp.where(depths == zmin[None], orders, -jnp.inf)
+        winner = jnp.argmax(okey, axis=0)
         color = jnp.take_along_axis(
             colors, winner[None, ..., None], axis=0
         )[0]

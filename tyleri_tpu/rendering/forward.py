@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tyleri_tpu.device import debug
 from tyleri_tpu.ops.setup import build_triangle_table, transform_corner_table
 from tyleri_tpu.pipeline.common_pipeline import CommonPipeline
 from tyleri_tpu.pipeline.state import PipelineState
@@ -56,6 +57,11 @@ class FramePlan:
     draw_cap: int = 16
     tri_cap: int = 1 << 12
     ui_tri_cap: int = 256
+    # Host-known per-frame fact, not a capacity: whether any UI triangle is
+    # live.  A traced `lax.cond` may be flattened to a select by XLA (both
+    # branches execute), so an empty overlay must be skipped statically —
+    # toggling recompiles, like the reference rebuilding command buffers.
+    has_ui: bool = True
 
 
 def _shift_viewport(viewport, y0):
@@ -102,18 +108,27 @@ def frame_body(
     H, W = plan.raster.fb_h, plan.raster.fb_w
     color = jnp.broadcast_to(clear_color, (H, W, 4)).astype(jnp.float32)
     depth = jnp.full((H, W), CLEAR_DEPTH, jnp.float32)
+    # global draw order of each pixel's winner: -1 clear, 0 UI, >=1 meshes
+    # (camera-major; later camera passes overwrite equal-depth fragments)
+    order = jnp.full((H, W), -1.0, jnp.float32)
 
     y0 = jnp.zeros((), jnp.int32) if band_y0 is None else band_y0
     wvp = _shift_viewport(window_viewport, y0)
     wsc = _shift_scissor(window_scissor, y0, H)
 
     # UI records first (ref: mod.rs:291-296) — with depth write at z=0 it
-    # occludes mesh fragments behind it.
-    color, depth = ui_pass(
-        ui_state, color, depth, ui_clip, ui_uv, ui_color, ui_tex, ui_valid,
-        wvp, wsc, texels, tex_offset, tex_width, tex_height,
-    )
+    # occludes mesh fragments behind it.  Skipped statically when the frame
+    # has no UI (plan.has_ui is host-known per frame).
+    if plan.has_ui:
+        color, depth = ui_pass(
+            ui_state, color, depth, ui_clip, ui_uv, ui_color, ui_tex, ui_valid,
+            wvp, wsc, texels, tex_offset, tex_width, tex_height,
+        )
+        order = jnp.where(depth < CLEAR_DEPTH, 0.0, order)
 
+    # camera-pass order stride: per-pass order values are triangle-table
+    # slots in [0, tri_cap + clip extras)
+    span = float(plan.tri_cap + plan.raster.clip_cap + 1)
     bin_of = jnp.zeros((), jnp.int32)
     tile_of = jnp.zeros((), jnp.int32)
     for c in range(plan.cam_cap):
@@ -128,17 +143,22 @@ def frame_body(
         if draw_keep is not None:
             # round-robin draw sharding without a gather: draw id mod n
             tvalid = tvalid & draw_keep(tri_draw[c])
-        color, depth, st = mesh_pass(
+        color, depth, st, pass_order = mesh_pass(
             plan.raster, mesh_state, color, depth,
             clip, uv3, tex_ids, tvalid,
             _shift_viewport(viewports[c], y0),
             _shift_scissor(scissors[c], y0, H),
             texels, tex_offset, tex_width, tex_height,
         )
+        if pass_order is not None:
+            order = jnp.where(
+                pass_order >= 0.0, c * span + pass_order + 1.0, order
+            )
         bin_of = bin_of + st.bin_overflow
         tile_of = tile_of + st.tile_overflow
 
-    return Frame(color=color, depth=depth, bin_overflow=bin_of, tile_overflow=tile_of)
+    return Frame(color=color, depth=depth, bin_overflow=bin_of,
+                 tile_overflow=tile_of, order=order)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
@@ -179,6 +199,26 @@ class ForwardRenderingFunction:
         self.plan = FramePlan(
             raster=RasterPlan.for_scene(w, h, 1 << 12, exact=exact)
         )
+        # occupancy-aware entry capacity: start tight (measured ~1.1
+        # entries/tri on 16-row tiles for 1M-tri scenes) and grow on
+        # REPORTED bin overflow (note_overflow) — binning's sort/gather
+        # cost scales with the static cap, not with live entries, so a
+        # blanket 2x-tris cap taxes every frame of big scenes
+        self._entry_headroom = 1.25
+        if not exact and self.mesh_state.blend.enable:
+            # ADVICE r1: the visibility path blends only the final visible
+            # fragment against the pre-pass framebuffer; order-dependent
+            # blends with overdraw deviate from per-fragment sequential
+            # blending (use exact=True for parity-critical rendering)
+            render_device.debug_messenger.emit(
+                debug.Severity.WARNING,
+                "blend-order-deviation",
+                "order-dependent color blend on the visibility path: only "
+                "the final visible fragment is blended; overlapping "
+                "fragments that each pass the depth test would accumulate "
+                "differently (exact mode reproduces per-fragment blending)",
+                debug.MessageType.PERFORMANCE,
+            )
 
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
         p = self.plan
@@ -189,7 +229,9 @@ class ForwardRenderingFunction:
         # several tiles each, so 2x is the safe general-scene bound
         raster = dataclasses.replace(
             p.raster,
-            entry_cap=_cap_growth(2 * n_tris, 1 << 18, p.raster.entry_cap),
+            entry_cap=_cap_growth(
+                int(self._entry_headroom * n_tris), 1 << 18, p.raster.entry_cap
+            ),
             clip_cap=_next_pow2(max(n_tris // 32, 1), p.raster.clip_cap),
         )
         new = FramePlan(
@@ -198,10 +240,27 @@ class ForwardRenderingFunction:
             draw_cap=_next_pow2(n_draws, p.draw_cap),
             tri_cap=_next_pow2(n_tris, p.tri_cap),
             ui_tri_cap=_next_pow2(n_ui, p.ui_tri_cap),
+            has_ui=p.has_ui,
         )
         if new != p:
             self.plan = new
 
+    def note_overflow(self, bin_overflow: int, tile_overflow: int) -> None:
+        """Occupancy feedback from the frame loop (RenderWindow recycle):
+        a reported bin overflow grows the entry headroom so the next plan
+        re-bins with more capacity (recompiles, like swapchain recreation —
+        the VariableLengthBuffer.expand_to analog for the raster tables).
+        A tile overflow (XLA backend's per-tile lists) doubles that cap."""
+        if bin_overflow > 0:
+            self._entry_headroom = min(self._entry_headroom * 1.5, 4.0)
+        if tile_overflow > 0:
+            self.plan = dataclasses.replace(
+                self.plan,
+                raster=dataclasses.replace(
+                    self.plan.raster,
+                    cap_per_tile=self.plan.raster.cap_per_tile * 2,
+                ),
+            )
     def record(self, render_device, render_resources, scale_factor, window_size) -> Frame:
         """Record + submit one frame (ref: mod.rs:262-324). Returns a Frame
         of device arrays still computing (XLA async dispatch = submission)."""
@@ -231,6 +290,9 @@ class ForwardRenderingFunction:
         ui_elements = render_resources.ui
         n_ui = render_resources.ui_indices.len // 3
         self._grow_plan(max(len(cams), 1), max(n_draws, 1), max(n_tris, 1), max(n_ui, 1))
+        has_ui = bool(ui_elements) and render_resources.ui_indices.len > 0
+        if has_ui != self.plan.has_ui:
+            self.plan = dataclasses.replace(self.plan, has_ui=has_ui)
         plan = self.plan
 
         alloc = render_device.memory_allocator

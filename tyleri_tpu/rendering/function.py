@@ -23,6 +23,9 @@ class Frame(NamedTuple):
     depth: jax.Array          # f32 [H, W]
     bin_overflow: jax.Array   # i32 []
     tile_overflow: jax.Array  # i32 []
+    order: jax.Array          # f32 [H, W] global draw order of the pixel's
+                              # winner (-1 = clear, 0 = UI, >=1 meshes);
+                              # consumed by the cross-device depth composite
 
 
 class RenderingFunction(Protocol):

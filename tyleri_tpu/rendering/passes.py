@@ -133,7 +133,11 @@ def mesh_pass(
     scissor,     # i32 [4]
     texels, tex_offset, tex_width, tex_height,
 ):
-    """Draw a batch of mesh triangles; returns (color, depth, PassStats)."""
+    """Draw a batch of mesh triangles.
+
+    Returns (color, depth, PassStats, order_map) — order_map is the
+    per-pixel draw order of this pass's winner (-1 where the pass wrote
+    nothing; None in exact mode, which has no visibility buffer)."""
     ct = near_clip_triangles(clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
 
     if plan.exact:
@@ -143,7 +147,7 @@ def mesh_pass(
             order=ct.order,
         )
         zero = jnp.zeros((), jnp.int32)
-        return color, depth, PassStats(ct.overflow, zero)
+        return color, depth, PassStats(ct.overflow, zero), None
 
     su = setup_triangles(
         ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
@@ -185,7 +189,9 @@ def mesh_pass(
         vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
     )
     depth = vis.depth if state.depth.write_enable else depth
-    return color, depth, PassStats(binned.overflow + ct.overflow, tile_overflow)
+    pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
+    return (color, depth, PassStats(binned.overflow + ct.overflow, tile_overflow),
+            pass_order)
 
 
 def ui_pass(
@@ -205,24 +211,18 @@ def ui_pass(
     test+write enabled at z = 0 (ref: forward_rendering/mod.rs:291-296,
     ui.vert:16-18) — UI pixels occlude mesh fragments behind them.
 
-    The whole pass is skipped at runtime when no UI triangle is live — the
-    padded scan is full-screen work per slot, so an empty overlay must not
-    cost a thing (the reference early-outs the same way, stages.rs:39-45).
+    Empty-overlay skipping is STATIC: the caller gates this pass on
+    FramePlan.has_ui (host-known per frame).  A traced lax.cond here would
+    risk being flattened to a select by XLA, paying the full padded scan
+    every frame (the reference early-outs host-side too, stages.rs:39-45).
     """
-    import jax
-
-    def run(cd):
-        return rasterize_exact(
-            cd[0], cd[1], ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
-            texels, tex_offset, tex_width, tex_height,
-            state=state, with_vertex_color=True, vertex_color=ui_color,
-            # UI quads are small; per-window bilinear taps dominate the cost
-            # and scale with window area, so keep windows tight
-            window=64,
-        )
-
-    return jax.lax.cond(
-        jnp.any(ui_valid), run, lambda cd: cd, (color, depth)
+    return rasterize_exact(
+        color, depth, ui_clip, ui_uv, ui_tex, ui_valid, viewport, scissor,
+        texels, tex_offset, tex_width, tex_height,
+        state=state, with_vertex_color=True, vertex_color=ui_color,
+        # UI quads are small; per-window bilinear taps dominate the cost
+        # and scale with window area, so keep windows tight
+        window=64,
     )
 
 
