@@ -49,7 +49,7 @@ def run(clip, uv, pallas, plan_kw=None):
             jnp.full((1,), 2, jnp.int32))
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
     depth = jnp.ones((FB_H, FB_W), jnp.float32)
-    color, depth, stats = passes.mesh_pass(
+    color, depth, stats, _ = passes.mesh_pass(
         plan, FLAT, color, depth,
         jnp.asarray(clip), jnp.asarray(uv),
         jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
@@ -95,7 +95,7 @@ def test_pallas_scissor_and_empty():
     color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
     depth = jnp.ones((FB_H, FB_W), jnp.float32)
     sc = Rect2D(16, 8, 64, 16)
-    c, d, _ = passes.mesh_pass(
+    c, d, _, _ = passes.mesh_pass(
         plan, FLAT, color, depth, jnp.asarray(clip), jnp.asarray(uv),
         jnp.zeros((8,), jnp.int32), jnp.ones((8,), bool),
         Viewport(0, 0, FB_W, FB_H).as_array(), sc.as_array(), texels, *meta)
@@ -104,7 +104,7 @@ def test_pallas_scissor_and_empty():
     outside[8:24, 16:80] = False
     assert (c[outside] == 0).all()
     # empty scene
-    c2, d2, _ = passes.mesh_pass(
+    c2, d2, _, _ = passes.mesh_pass(
         plan, FLAT, color, depth, jnp.asarray(clip), jnp.asarray(uv),
         jnp.zeros((8,), jnp.int32), jnp.zeros((8,), bool),
         Viewport(0, 0, FB_W, FB_H).as_array(), sc.as_array(), texels, *meta)
@@ -143,7 +143,7 @@ def test_pallas_less_compare_first_draw_wins_ties():
                 jnp.full((1,), 2, jnp.int32))
         color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
         depth = jnp.ones((FB_H, FB_W), jnp.float32)
-        c, d, _ = passes.mesh_pass(
+        c, d, _, _ = passes.mesh_pass(
             plan, less, color, depth, jnp.asarray(clip), jnp.asarray(uv),
             jnp.zeros((4,), jnp.int32), jnp.ones((4,), bool),
             Viewport(0, 0, FB_W, FB_H).as_array(),
@@ -156,3 +156,52 @@ def test_pallas_less_compare_first_draw_wins_ties():
     np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
     # first draw (red) won the tie everywhere covered
     assert c_ref[16, 64, 0] == 1.0 and c_ref[16, 64, 1] == 0.0
+
+
+def test_less_tie_across_broad_and_narrow_lists():
+    """CompareOp.LESS cross-list ordering: a huge (broad-list) triangle
+    drawn FIRST is processed after the tile-sorted narrow list, yet must
+    still win an equal-z tie against a later-drawn small triangle —
+    lexicographic (z, order) min in both backends."""
+    less = PipelineState(
+        blend=BlendState(enable=False),
+        depth=DepthState(test_enable=True, write_enable=True,
+                         compare_op=CompareOp.LESS,
+                         format=DepthFormat.D16_UNORM),
+    )
+    # z chosen so z*65535 is far from a rounding boundary: f32 plane-eval
+    # noise must not flip the D16 bucket between the two triangles
+    z = 16384.0 / 65535.0
+    big = [[[-4, -4, z, 1], [4, -4, z, 1], [0, 4, z, 1]]]   # draw 0
+    # small spans 2 tiles -> stays in the NARROW list (true cross-list tie)
+    small = [[[-0.5, -0.9, z, 1], [0.5, -0.9, z, 1], [0, -0.25, z, 1]]]
+    clip = np.asarray(big + small, np.float32)
+    uv = np.zeros((2, 3, 2), np.float32)
+    uv[1] = 0.9
+    tex = np.zeros((4, 16), np.float32)
+    tex[0, :4] = [1, 0, 0, 1]   # texel 0 red: big triangle samples uv=0
+    tex[3, :4] = [0, 1, 0, 1]   # texel 3 green: small samples uv=0.9
+
+    def run_state(pallas):
+        plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
+                                 entry_cap=1024, chunk=128, pallas=pallas,
+                                 max_tiles_per_tri=2, broad_cap=32)
+        meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+                jnp.full((1,), 2, jnp.int32))
+        color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+        depth = jnp.ones((FB_H, FB_W), jnp.float32)
+        c, d, _, _ = passes.mesh_pass(
+            plan, less, color, depth, jnp.asarray(clip), jnp.asarray(uv),
+            jnp.zeros((2,), jnp.int32), jnp.ones((2,), bool),
+            Viewport(0, 0, FB_W, FB_H).as_array(),
+            Rect2D(0, 0, FB_W, FB_H).as_array(),
+            jnp.asarray(tex), *meta)
+        return np.asarray(c)
+
+    for pallas in (False, True):
+        c = run_state(pallas)
+        covered = c[..., 3] > 0
+        assert covered.any()
+        # the earlier-drawn broad triangle wins every equal-z pixel
+        assert (c[covered][:, 1] == 0).all(), f"green leaked (pallas={pallas})"
+        assert (c[covered][:, 0] == 1.0).all()

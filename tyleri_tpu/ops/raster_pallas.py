@@ -121,7 +121,14 @@ def _visibility_kernel(
             # equal depth wins only if its draw order is >= the incumbent's
             passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
         else:
-            passing = frag & (zq < zbuf)
+            # LESS: sequential semantics = the EARLIEST drawn fragment at
+            # the min depth wins.  The broad list and clip-tail entries are
+            # processed after the tile-sorted narrow list, so an
+            # earlier-drawn entry processed later must still be able to
+            # take an equal-z tie: lexicographic (z, order) min.  The
+            # incumbent from a previous pass carries obuf = -1, so equal-z
+            # fragments correctly fail against pre-pass depth.
+            passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
         zbuf = jnp.where(passing, zq, zbuf)
         owner = jnp.where(passing, eid, owner)
         obuf = jnp.where(passing, order, obuf)

@@ -134,7 +134,18 @@ def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
         if cmp == CompareOp.LESS_OR_EQUAL:
             passing = frag & (zq <= zbuf[:, None])
         elif cmp == CompareOp.LESS:
-            passing = frag & (zq < zbuf[:, None])
+            # strict less vs the incumbent depth, EXCEPT when the incumbent
+            # was resolved this pass out of draw order (narrow/broad/clip
+            # lists): an earlier-drawn fragment may still take an equal-z
+            # tie — lexicographic (z, order).  obuf = -1 for pre-pass depth,
+            # so equal-z vs prior content correctly fails.
+            if depth_state.write_enable:
+                passing = frag & (
+                    (zq < zbuf[:, None])
+                    | ((zq == zbuf[:, None]) & (order[None, :] < obuf[:, None]))
+                )
+            else:
+                passing = frag & (zq < zbuf[:, None])
         elif cmp == CompareOp.ALWAYS:
             passing = frag
         elif cmp == CompareOp.NEVER:
@@ -155,20 +166,21 @@ def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
         zmask = jnp.where(passing, zq, jnp.inf)
         m = jnp.min(zmask, axis=1)                      # [P]
         cand = passing & (zq == m[:, None])
+        hit = jnp.any(cand, axis=1)
         if depth_state.compare_op == CompareOp.LESS_OR_EQUAL:
             key = jnp.where(cand, order[None, :], -1.0)
             sel = jnp.argmax(key, axis=1)               # max order among cand
             worder = jnp.max(key, axis=1)
-        else:
-            sel = jnp.argmax(cand, axis=1)              # first drawn among cand
-            worder = jnp.where(
-                jnp.any(cand, axis=1), order[sel], -1.0
-            )
-        hit = jnp.any(cand, axis=1)
-        if depth_state.compare_op == CompareOp.LESS_OR_EQUAL:
             upd = hit & ((m < zbuf) | ((m == zbuf) & (worder >= obuf)))
         else:
-            upd = hit  # strict less already guaranteed vs zbuf
+            # LESS: the earliest drawn fragment at min z wins (lexicographic
+            # (z, order) min — entries may be processed out of draw order
+            # across the narrow/broad/clip-tail lists).  obuf = -1 for
+            # pre-pass depth, so equal-z vs the incumbent correctly fails.
+            key = jnp.where(cand, order[None, :], jnp.inf)
+            sel = jnp.argmin(key, axis=1)               # min order among cand
+            worder = jnp.where(hit, jnp.min(key, axis=1), -1.0)
+            upd = hit & ((m < zbuf) | ((m == zbuf) & (worder < obuf)))
         new_owner = jnp.where(upd, eids[sel], owner)
         new_zbuf = jnp.where(upd, m, zbuf)
         new_obuf = jnp.where(upd, worder, obuf)
