@@ -148,12 +148,16 @@ class RenderWindow:
             self.latest_image = img
             if self.present_target is not None:
                 self.present_target(img)
-            device.debug_messenger.check_overflow(
-                "bin-entries", previous.frame.bin_overflow
-            )
-            device.debug_messenger.check_overflow(
-                "tile-entries", previous.frame.tile_overflow
-            )
+            bin_of = int(previous.frame.bin_overflow)
+            tile_of = int(previous.frame.tile_overflow)
+            device.debug_messenger.check_overflow("bin-entries", bin_of)
+            device.debug_messenger.check_overflow("tile-entries", tile_of)
+            # occupancy feedback: a reported overflow grows the raster
+            # capacities for subsequent frames (recompile, like swapchain
+            # recreation)
+            note = getattr(self.rendering_function, "note_overflow", None)
+            if note is not None:
+                note(bin_of, tile_of)
             previous.scene.clear()
             self._available_scene = previous.scene
         else:
