@@ -31,10 +31,25 @@ def test_mesh_blend_equation_by_hand():
 
 
 def test_ui_blend_equation_by_hand():
-    # out = src + dst*(1-src.a)  (ref: src/pipeline/ui_pipeline.rs:115-129)
+    # rgb = src + dst*(1-src.a); alpha = 0 — the reference's EFFECTIVE
+    # state: its alpha factor lines are commented out, so Vulkan zero
+    # defaults apply (ref: src/pipeline/ui_pipeline.rs:115-129)
     src = np.array([[0.2, 0.4, 0.1, 0.5]])
     dst = np.array([[1.0, 0.0, 0.6, 1.0]])
     out = np.asarray(apply_blend(UI_PIPELINE_STATE.blend, src, dst))
+    expect = src[0] + dst[0] * (1 - src[0, 3])
+    np.testing.assert_allclose(out[0, :3], np.clip(expect, 0, 1)[:3], atol=1e-6)
+    assert out[0, 3] == 0.0, "reference UI alpha output is 0 (ZERO/ZERO)"
+
+
+def test_ui_blend_premultiplied_variant():
+    # the opt-in conventional premultiplied-alpha config keeps alpha
+    from tyleri_tpu.pipeline.state import UI_PIPELINE_STATE_PREMULTIPLIED_ALPHA
+
+    src = np.array([[0.2, 0.4, 0.1, 0.5]])
+    dst = np.array([[1.0, 0.0, 0.6, 1.0]])
+    out = np.asarray(apply_blend(
+        UI_PIPELINE_STATE_PREMULTIPLIED_ALPHA.blend, src, dst))
     expect = src[0] + dst[0] * (1 - src[0, 3])
     np.testing.assert_allclose(out[0], np.clip(expect, 0, 1), atol=1e-6)
 

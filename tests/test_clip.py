@@ -76,7 +76,7 @@ def run_pipeline(clip, uv, exact):
             jnp.ones((1,), jnp.int32))
     color = jnp.zeros((FB, FB, 4), jnp.float32)
     depth = jnp.ones((FB, FB), jnp.float32)
-    color, depth, stats = passes.mesh_pass(
+    color, depth, stats, _ = passes.mesh_pass(
         plan, FLAT, color, depth,
         jnp.asarray(clip, jnp.float32), jnp.asarray(uv, jnp.float32),
         jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),

@@ -69,6 +69,34 @@ def test_pallas_matches_xla_visibility():
     np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
 
 
+def test_pallas_16row_tiles_match_xla():
+    """tile_h=16 exercises the half-block row-bbox skipping path."""
+    rng = np.random.default_rng(33)
+    clip, uv = random_scene(rng, T=40)
+
+    def run16(pallas):
+        plan = passes.RasterPlan(
+            fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=16,
+            entry_cap=1024, cap_per_tile=512, chunk=128, pallas=pallas)
+        texels = jnp.ones((4, 16), jnp.float32)
+        meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+                jnp.full((1,), 2, jnp.int32))
+        color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+        depth = jnp.ones((FB_H, FB_W), jnp.float32)
+        T = clip.shape[0]
+        c, d, _, _ = passes.mesh_pass(
+            plan, FLAT, color, depth, jnp.asarray(clip), jnp.asarray(uv),
+            jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+            Viewport(0, 0, FB_W, FB_H).as_array(),
+            Rect2D(0, 0, FB_W, FB_H).as_array(), texels, *meta)
+        return np.asarray(c), np.asarray(d)
+
+    c_ref, d_ref = run16(False)
+    c_pal, d_pal = run16(True)
+    np.testing.assert_array_equal(d_pal, d_ref)
+    np.testing.assert_allclose(c_pal, c_ref, atol=1e-6)
+
+
 def test_pallas_broad_triangles_and_ties():
     # big triangle (broad list) + small ones + an exact z-tie pair
     big = [[[-4, -4, 0.9, 1], [4, -4, 0.9, 1], [0, 4, 0.9, 1]]]

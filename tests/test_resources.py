@@ -116,3 +116,56 @@ def test_parallel_group_round_robin():
     assert g.get_group_by_thread(1) == [1, 4, 7]
     assert g.get_group_by_thread(2) == [2, 5]
     assert g.get_group_by_thread(3) is None
+
+
+import tyleri_tpu as ty
+from tyleri_tpu.window.render_window import RenderWindow
+
+
+def test_texture_arena_reclamation():
+    """allocate -> free -> allocate reuses texels + slot (the reference's
+    Arc-drop semantics, ref: src/resource/mod.rs:59-136)."""
+    import numpy as np
+
+    from tyleri_tpu.resource.textures import TextureArena
+
+    arena = TextureArena(initial_texels=64)
+    (a,) = arena.allocate([((4, 4), lambda b: b.__setitem__(slice(None), 0.25))])
+    (b,) = arena.allocate([((2, 2), lambda b: b.__setitem__(slice(None), 0.5))])
+    used0 = arena._used
+    off_a, slot_a = arena._offsets[a.slot], a.slot
+    a.free()
+    assert arena._widths[slot_a] == 0  # slot dead
+    (c,) = arena.allocate([((4, 4), lambda b: b.__setitem__(slice(None), 0.75))])
+    assert arena._offsets[c.slot] == off_a, "texels not reused"
+    assert c.slot == slot_a, "slot not reused"
+    assert arena._used == used0, "arena grew despite free"
+    a.free()  # double-free is a no-op
+    # trailing free shrinks the bump pointer
+    c.free()
+    b.free()
+    assert arena._used == 0
+    # arrays still build with dead slots present
+    (d,) = arena.allocate([((1, 1), lambda buf: buf.__setitem__(slice(None), 1.0))])
+    texels, offs, ws, hs = arena.device_arrays()
+    assert int(ws[d.slot]) == 1
+
+
+def test_present_to_validates_surface_support():
+    from tyleri_tpu.device.builders import DeviceSelectionError
+    from tyleri_tpu.window.render_window import WindowHandle
+
+    # headless + well-formed OS handles pass
+    dev = (ty.RenderDeviceBuilder()
+           .present_to(WindowHandle())
+           .present_to(WindowHandle(window=42, display=1))
+           .build())
+    assert dev is not None
+    # nonsense handle rejected at build()
+    import pytest
+
+    with pytest.raises(DeviceSelectionError):
+        ty.RenderDeviceBuilder().present_to(WindowHandle(window=-5)).build()
+    # and again at window creation (ref: render_window.rs:62-75)
+    with pytest.raises(ValueError):
+        RenderWindow(dev, WindowHandle(window="bogus"))

@@ -152,3 +152,49 @@ def test_two_windows_share_one_device():
     i2 = w2.flush()
     assert i1.shape == (64, 64, 4) and i2.shape == (32, 32, 4)
     assert i1[32, 32, 0] > 0 and i2[16, 16, 0] > 0
+
+
+def test_fifo_presentation_paces_frames():
+    """FIFO present mode blocks render() at the refresh clock (the
+    mandatory vsync of ref swapchain.rs:46-51); immediate mode does not."""
+    import time
+
+    from tyleri_tpu import native
+    from tyleri_tpu.models import scenes as scenelib
+
+    if not native.available():
+        import pytest
+
+        pytest.skip(f"native runtime unavailable: {native.build_error()}")
+
+    dev = ty.RenderDeviceBuilder().build()
+    rig = scenelib.config1_triangle(dev, RES)
+
+    def run(mode, hz):
+        win = RenderWindow(dev, resolution=RES, present_mode=mode, refresh_hz=hz)
+        rig.fill(win.get_render_scene(), 0.2)
+        win.render()  # warm compile outside the timed window
+        t0 = time.perf_counter()
+        n = 5
+        for k in range(n):
+            rig.fill(win.get_render_scene(), 0.3 + 0.01 * k)
+            win.render()
+        dt = time.perf_counter() - t0
+        win.flush()
+        return dt
+
+    paced = run("fifo", 50.0)       # 20 ms/frame floor
+    assert paced >= 5 * 0.020 * 0.7, f"FIFO did not pace: {paced:.3f}s"
+
+
+def test_window_context_manager_drains():
+    dev = ty.RenderDeviceBuilder().build()
+    from tyleri_tpu.models import scenes as scenelib
+
+    rig = scenelib.config1_triangle(dev, RES)
+    with RenderWindow(dev, resolution=RES, present_mode="immediate") as win:
+        rig.fill(win.get_render_scene(), 0.1)
+        win.render()
+        assert win._using  # a frame is in flight
+    assert not win._using  # __exit__ drained it
+    assert win.latest_image is not None

@@ -48,10 +48,14 @@ def render_once(device, rig, *, xla_reference: bool):
         over = int(jax.device_get(frame.bin_overflow))
         if over == 0:
             break
-        assert xla_reference, f"bin overflow {over} in the production plan"
-        cap = rf.plan.raster.entry_cap + -(-2 * over // 128) * 128
-        rf.plan = dataclasses.replace(
-            rf.plan, raster=dataclasses.replace(rf.plan.raster, entry_cap=cap))
+        if xla_reference:
+            cap = rf.plan.raster.entry_cap + -(-2 * over // 128) * 128
+            rf.plan = dataclasses.replace(
+                rf.plan, raster=dataclasses.replace(rf.plan.raster, entry_cap=cap))
+        else:
+            # production path: occupancy feedback grows the entry headroom
+            # (exactly what RenderWindow does at recycle)
+            rf.note_overflow(over, 0)
     color = np.asarray(jax.device_get(frame.color))
     assert int(jax.device_get(frame.bin_overflow)) == 0, "bin overflow"
     assert int(jax.device_get(frame.tile_overflow)) == 0, "tile overflow"

@@ -147,6 +147,35 @@ def main():
         print(f"{name:12s} {dt * 1000:9.2f} ms")
         return dt
 
+    # sub-stages of "setup" (transform / clip / plane setup)
+    @jax.jit
+    def sub_transform(view_projs, models):
+        mvps = jnp.einsum("ij,djk->dik", view_projs[0], models[0],
+                          precision=jax.lax.Precision.HIGHEST)
+        return transform_corner_table(corners[0], tri_draw[0], mvps)
+
+    clip0, uv0 = jax.block_until_ready(sub_transform(view_projs, models))
+
+    @jax.jit
+    def sub_clip(clip0, uv0):
+        return near_clip_triangles(clip0, uv0, tri_tex[0],
+                                   tri_valid0[0] & cam_valid[0],
+                                   extra_cap=r.clip_cap)
+
+    ct0 = jax.block_until_ready(sub_clip(clip0, uv0))
+
+    @jax.jit
+    def sub_setup(ct):
+        return setup_triangles(ct.clip, ct.uv, ct.tex_id, ct.valid,
+                               viewports[0], scissors[0],
+                               tile_w=r.tile_w, tile_h=r.tile_h,
+                               grid_w=r.grid_w, grid_h=r.grid_h, order=ct.order)
+
+    jax.block_until_ready(sub_setup(ct0))
+    timeit("  transform", sub_transform, view_projs, models)
+    timeit("  clip", sub_clip, clip0, uv0)
+    timeit("  setup-planes", sub_setup, ct0)
+
     total = 0.0
     total += timeit("setup", stage_setup, view_projs, models)
     total += timeit("binning", stage_bin, su)

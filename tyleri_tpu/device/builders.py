@@ -120,9 +120,25 @@ class RenderDeviceBuilder:
 
     def present_to(self, window_handle):
         """Register a window the device must be able to present to
-        (ref: builders.rs:73-80 window targets)."""
+        (ref: builders.rs:73-80 window targets).  build() validates every
+        registered handle against the picked device (the per-queue-family
+        surface-support check, ref: builders.rs:185-221)."""
         self._windows.append(window_handle)
         return self
+
+    @staticmethod
+    def _supports_presentation(device, handle) -> bool:
+        """Surface-support analog: headless handles (window/display None)
+        always present (host copy); OS handles must be well-formed ints.
+        The reference asks Vulkan per queue family x window
+        (builders.rs:185-221); the TPU presents by device->host copy, so
+        support reduces to handle validity."""
+        window = getattr(handle, "window", None)
+        display = getattr(handle, "display", None)
+        for field in (window, display):
+            if field is not None and (not isinstance(field, int) or field < 0):
+                return False
+        return True
 
     def queue_pool_size(self, n: int):
         self._queue_pool_size = n
@@ -146,6 +162,15 @@ class RenderDeviceBuilder:
             device = picked[0]
         else:
             device = max(devices, key=device_score)
+
+        # presentation-support check for every registered window
+        # (ref: builders.rs:185-221 filters devices per queue family x
+        # window and render_window.rs:62-75 re-checks at window creation)
+        for handle in self._windows:
+            if not self._supports_presentation(device, handle):
+                raise DeviceSelectionError(
+                    f"device {device} cannot present to window {handle!r}"
+                )
 
         # The reference panics without 2 queues (present + transfer,
         # builders.rs:282); we need at least 1 present queue + the upload

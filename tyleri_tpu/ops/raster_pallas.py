@@ -79,26 +79,42 @@ def _visibility_kernel(
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
 
-    xc = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    yc = gy * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    in_scissor = (
-        (xc >= scissor_ref[0])
-        & (xc < scissor_ref[0] + scissor_ref[2])
-        & (yc >= scissor_ref[1])
-        & (yc < scissor_ref[1] + scissor_ref[3])
-    )
-    xf = xc.astype(jnp.float32) + 0.5   # [th, tw]
-    yf = yc.astype(jnp.float32) + 0.5
+    # The tile is processed as 8-row HALF-BLOCKS with an independent carry
+    # each: per entry, a half whose pixel rows miss the entry's row bbox
+    # (CH_PY0/PY1) is skipped entirely by a scalar branch.  In 1M-triangle
+    # scenes the median triangle spans ~2 rows, so half-skipping roughly
+    # halves the vector work of the resolve.
+    assert tile_h % 8 == 0
+    import os
+
+    halves = 1 if os.environ.get("TY_NO_HALVES") else tile_h // 8
+    HB = 8 if halves > 1 else tile_h
+
+    xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (HB, tile_w), 1)
+    xfb = xcb.astype(jnp.float32) + 0.5
+    sc_x = (xcb >= scissor_ref[0]) & (xcb < scissor_ref[0] + scissor_ref[2])
+
+    def half_rows(h):
+        return gy * tile_h + h * HB + jax.lax.broadcasted_iota(
+            jnp.int32, (HB, tile_w), 0
+        )
+
+    in_scissor_h = []
+    yf_h = []
+    for h in range(halves):
+        yc = half_rows(h)
+        in_scissor_h.append(
+            sc_x & (yc >= scissor_ref[1]) & (yc < scissor_ref[1] + scissor_ref[3])
+        )
+        yf_h.append(yc.astype(jnp.float32) + 0.5)
 
     d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_entry(coeff, eid, live, st):
-        """One entry vs the whole tile. ``coeff(row)`` is a scalar load from
-        the entry's column (must read through a Ref — Mosaic has no dynamic
-        slicing of loaded vectors).  The carry also tracks the winner's
-        shading attributes (u/w, v/w, 1/w, tex) so the deferred shade pass
-        needs no per-pixel table gather at all."""
-        zbuf, owner, obuf, uwb, vwb, iwb, texb = st
+    def resolve_half(coeff, eid, h, st_h):
+        """One entry vs one 8-row half-block (carry = that half's state)."""
+        zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
+        xf = xfb
+        yf = yf_h[h]
 
         def plane(row):
             return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
@@ -115,7 +131,7 @@ def _visibility_kernel(
         zc = jnp.clip(z, 0.0, 1.0)
         zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
         order = coeff(S.CH_ORDER)
-        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor & live
+        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor_h[h]
         if le:
             # exact LESS_OR_EQUAL with cross-list ordering: a fragment at
             # equal depth wins only if its draw order is >= the incumbent's
@@ -135,16 +151,46 @@ def _visibility_kernel(
         uwb = jnp.where(passing, plane(S.CH_UW), uwb)
         vwb = jnp.where(passing, plane(S.CH_VW), vwb)
         iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
-        texb = jnp.where(passing, jnp.full_like(texb, 0) + coeff(S.CH_TEX).astype(jnp.int32), texb)
+        texb = jnp.where(
+            passing, jnp.full_like(texb, 0) + coeff(S.CH_TEX).astype(jnp.int32),
+            texb,
+        )
         return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
-    zbuf0 = depth_init_ref[:]
-    owner0 = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    obuf0 = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
-    uw0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    vw0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    iw0 = jnp.ones((tile_h, tile_w), jnp.float32)
-    tex0 = jnp.zeros((tile_h, tile_w), jnp.int32)
+    def resolve_entry(coeff, eid, live, st):
+        """One entry vs the tile: per half-block, a scalar branch on the
+        entry's pixel-row bbox (and liveness) skips untouched halves.
+        ``coeff(row)`` is a scalar load from the entry's column (must read
+        through a Ref — Mosaic has no dynamic slicing of loaded vectors).
+        The carry also tracks the winner's shading attributes (u/w, v/w,
+        1/w, tex) so the deferred shade needs no per-pixel table gather."""
+        py0 = coeff(S.CH_PY0)
+        py1 = coeff(S.CH_PY1)
+        out = []
+        for h in range(halves):
+            st_h = st[h]
+            row0 = (gy * tile_h + h * HB).astype(jnp.float32)
+            guard = live & (py0 <= row0 + (HB - 1)) & (py1 >= row0)
+            out.append(jax.lax.cond(
+                guard,
+                lambda st_h=st_h, h=h: resolve_half(coeff, eid, h, st_h),
+                lambda st_h=st_h: st_h,
+            ))
+        return tuple(out)
+
+    zb0 = depth_init_ref[:]
+    state0 = tuple(
+        (
+            zb0[h * HB:(h + 1) * HB, :],
+            jnp.full((HB, tile_w), -1, jnp.int32),
+            jnp.full((HB, tile_w), -1.0, jnp.float32),
+            jnp.zeros((HB, tile_w), jnp.float32),
+            jnp.zeros((HB, tile_w), jnp.float32),
+            jnp.ones((HB, tile_w), jnp.float32),
+            jnp.zeros((HB, tile_w), jnp.int32),
+        )
+        for h in range(halves)
+    )
 
     # ---- narrow entries: double-buffered DMA over the tile's segment ----
     # DMA lane offsets must be 128-aligned: cover [start, end) with
@@ -195,10 +241,7 @@ def _visibility_kernel(
 
         return jax.lax.fori_loop(0, (n_here + 1) // 2, entry_body, carry)
 
-    state = jax.lax.fori_loop(
-        0, nchunks, chunk_body,
-        (zbuf0, owner0, obuf0, uw0, vw0, iw0, tex0),
-    )
+    state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
     # live count (zero-cost when no huge triangles exist) ----
@@ -221,14 +264,16 @@ def _visibility_kernel(
             0, jnp.minimum(nbroad_ref[0], B), broad_body, state
         )
 
-    zbuf, owner, obuf, uwb, vwb, iwb, texb = state
-    owner_ref[:] = owner
-    z_ref[:] = zbuf
-    order_ref[:] = obuf
-    uw_ref[:] = uwb
-    vw_ref[:] = vwb
-    iw_ref[:] = iwb
-    tex_ref[:] = texb
+    for h in range(halves):
+        zbuf, owner, obuf, uwb, vwb, iwb, texb = state[h]
+        sl = slice(h * HB, (h + 1) * HB)
+        owner_ref[sl, :] = owner
+        z_ref[sl, :] = zbuf
+        order_ref[sl, :] = obuf
+        uw_ref[sl, :] = uwb
+        vw_ref[sl, :] = vwb
+        iw_ref[sl, :] = iwb
+        tex_ref[sl, :] = texb
 
 
 @functools.partial(

@@ -133,18 +133,21 @@ MESH_PIPELINE_STATE = PipelineState(
     raster=RasterState(),
 )
 
-# The UI pipeline's premultiplied-alpha blend: rgb/a = src + dst*(1 - src.a).
-# The reference only sets color factors (ref: src/pipeline/ui_pipeline.rs:115-129,
-# alpha factors are commented out); we apply the same factors to alpha, the
-# conventional premultiplied-alpha configuration.
+# The UI pipeline's blend: rgb = src + dst*(1 - src.a) (premultiplied
+# color), alpha = 0.  The reference sets ONLY the color factors — the alpha
+# factor lines are commented out (ref: src/pipeline/ui_pipeline.rs:115-129),
+# so Vulkan's zero defaults apply: src/dst alpha factor ZERO => written
+# alpha is 0.  We replicate that effective state exactly; the conventional
+# premultiplied-alpha config is available as
+# UI_PIPELINE_STATE_PREMULTIPLIED_ALPHA for apps that read back alpha.
 UI_PIPELINE_STATE = PipelineState(
     blend=BlendState(
         enable=True,
         src_color=BlendFactor.ONE,
         dst_color=BlendFactor.ONE_MINUS_SRC_ALPHA,
         color_op=BlendOp.ADD,
-        src_alpha=BlendFactor.ONE,
-        dst_alpha=BlendFactor.ONE_MINUS_SRC_ALPHA,
+        src_alpha=BlendFactor.ZERO,
+        dst_alpha=BlendFactor.ZERO,
         alpha_op=BlendOp.ADD,
     ),
     depth=DepthState(
@@ -154,4 +157,13 @@ UI_PIPELINE_STATE = PipelineState(
         format=DepthFormat.D16_UNORM,
     ),
     raster=RasterState(),
+)
+
+UI_PIPELINE_STATE_PREMULTIPLIED_ALPHA = dataclasses.replace(
+    UI_PIPELINE_STATE,
+    blend=dataclasses.replace(
+        UI_PIPELINE_STATE.blend,
+        src_alpha=BlendFactor.ONE,
+        dst_alpha=BlendFactor.ONE_MINUS_SRC_ALPHA,
+    ),
 )

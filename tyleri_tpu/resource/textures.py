@@ -23,6 +23,15 @@ class StaticTexture:
         self.slot = int(slot)
         self.width = int(width)
         self.height = int(height)
+        self._freed = False
+
+    def free(self) -> None:
+        """Release the texels and slot back to the arena (the reference's
+        textures drop with their Arc — src/resource/mod.rs:59-136).  Using
+        the handle after free() renders whatever texture reuses the slot."""
+        if not self._freed:
+            self._freed = True
+            self.arena.free(self)
 
 
 class TextureArena:
@@ -32,6 +41,8 @@ class TextureArena:
         self._offsets: list[int] = []
         self._widths: list[int] = []
         self._heights: list[int] = []
+        self._free_extents: list[tuple[int, int]] = []  # (offset, size) sorted
+        self._free_slots: list[int] = []
         self._dirty = True
         self._device = None
         self._lock = threading.Lock()
@@ -65,17 +76,65 @@ class TextureArena:
             self._ensure(total)
             out = []
             for (w, h), writer in items:
-                off = self._used
+                off = self._take_extent(w * h)
                 view = self._texels[off : off + w * h].reshape(h, w, 4)
                 writer(view)
-                slot = len(self._offsets)
-                self._offsets.append(off)
-                self._widths.append(w)
-                self._heights.append(h)
-                self._used += w * h
+                if self._free_slots:
+                    slot = self._free_slots.pop()
+                    self._offsets[slot] = off
+                    self._widths[slot] = w
+                    self._heights[slot] = h
+                else:
+                    slot = len(self._offsets)
+                    self._offsets.append(off)
+                    self._widths.append(w)
+                    self._heights.append(h)
                 out.append(StaticTexture(self, slot, w, h))
             self._dirty = True
             return out
+
+    def _take_extent(self, size: int) -> int:
+        """First-fit from the free list, else bump-allocate."""
+        for i, (off, sz) in enumerate(self._free_extents):
+            if sz >= size:
+                if sz == size:
+                    self._free_extents.pop(i)
+                else:
+                    self._free_extents[i] = (off + size, sz - size)
+                return off
+        off = self._used
+        self._used += size
+        return off
+
+    def free(self, tex: StaticTexture) -> None:
+        """Reclaim a texture's extent + slot (the reference's Arc-drop
+        semantics, ref: src/resource/mod.rs:59-136).  Adjacent free extents
+        coalesce; a trailing free extent shrinks the bump pointer."""
+        with self._lock:
+            slot = tex.slot
+            off = self._offsets[slot]
+            size = self._widths[slot] * self._heights[slot]
+            self._offsets[slot] = 0
+            self._widths[slot] = 0
+            self._heights[slot] = 0
+            self._free_slots.append(slot)
+            # insert + coalesce
+            import bisect
+
+            exts = self._free_extents
+            i = bisect.bisect_left(exts, (off, size))
+            exts.insert(i, (off, size))
+            if i + 1 < len(exts) and exts[i][0] + exts[i][1] == exts[i + 1][0]:
+                exts[i] = (exts[i][0], exts[i][1] + exts[i + 1][1])
+                exts.pop(i + 1)
+            if i > 0 and exts[i - 1][0] + exts[i - 1][1] == exts[i][0]:
+                exts[i - 1] = (exts[i - 1][0], exts[i - 1][1] + exts[i][1])
+                exts.pop(i)
+                i -= 1
+            if exts and exts[-1][0] + exts[-1][1] == self._used:
+                self._used = exts[-1][0]
+                exts.pop()
+            self._dirty = True
 
     def device_arrays(self):
         """(texel_quads [cap,16], offsets [S], widths [S], heights [S]) on

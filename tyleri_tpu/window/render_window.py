@@ -80,14 +80,35 @@ class RenderWindow:
         rendering_function=ForwardRenderingFunction,
         present_target: Optional[Callable[[np.ndarray], None]] = None,
         exact: bool = False,
+        present_mode: str = "fifo",
+        refresh_hz: float = 60.0,
     ):
+        from tyleri_tpu.device.builders import RenderDeviceBuilder
+
         self.render_device = render_device
         self.window_handle = window_handle or WindowHandle()
+        # surface-support re-check at window creation
+        # (ref: render_window.rs:62-75)
+        if not RenderDeviceBuilder._supports_presentation(
+            render_device.device, self.window_handle
+        ):
+            raise ValueError(
+                f"device {render_device.device} cannot present to "
+                f"{self.window_handle!r}"
+            )
         self._scale_factor = float(scale_factor)
-        self.swapchain = ImageViewSwapchain(resolution)
+        self.swapchain = ImageViewSwapchain(resolution, present_mode=present_mode)
         self.rendering_function = rendering_function(
             render_device, self.swapchain, exact=exact
         )
+        # FIFO (vsync) presentation is mandatory in the reference
+        # (swapchain.rs:46-51): pace render() to the refresh clock via the
+        # native pacer; "immediate" (headless/bench extension) skips pacing.
+        self._pacer = None
+        if self.swapchain.present_mode == "fifo":
+            from tyleri_tpu import native
+
+            self._pacer = native.FramePacer(refresh_hz)
         self.present_target = present_target
         self.latest_image: Optional[np.ndarray] = None
         self.frame_index = 0
@@ -163,6 +184,11 @@ class RenderWindow:
         else:
             self._available_scene = RenderScene()
 
+        if self._pacer is not None:
+            # FIFO present: block until the next refresh tick (the
+            # queue_present vsync wait, ref: swapchain.rs:46-51)
+            self._pacer.wait()
+
         self.frame_index += 1
         self.profiler.frame(tri_count)
         return image_index
@@ -170,9 +196,7 @@ class RenderWindow:
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
         ref: render_window.rs:226-233); returns the last presented image."""
-        last_idx = (
-            self.swapchain._next - 1 + self.swapchain.image_count
-        ) % self.swapchain.image_count
+        last_idx = self.swapchain.last_acquired_image
         img = None
         for idx, using in list(self._using.items()):
             img_i = using.wait()
@@ -185,3 +209,18 @@ class RenderWindow:
             if self.present_target is not None:
                 self.present_target(img)
         return self.latest_image
+
+    # -- automatic in-flight drain (ref Drop impl: render_window.rs:226-233) --
+
+    def __enter__(self) -> "RenderWindow":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.flush()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_using", None):
+                self.flush()
+        except Exception:
+            pass  # interpreter teardown: never raise from __del__
