@@ -38,7 +38,7 @@ def test_sort_first_tile_bands_match_single_chip():
     rf, arrays = build(lambda d: scenelib.config2_cube(d, RES))
     want_c, want_d = single_chip(rf, arrays)
     mesh = make_render_mesh(1, devices=jax.devices()[:8])  # 8 tile bands
-    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    color, depth, *_ = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
     # band-local coordinate recomputation rounds differently in f32:
     # allow ~1 D16 depth step and matching color noise
     np.testing.assert_allclose(np.asarray(color), want_c, atol=2e-4)
@@ -51,7 +51,7 @@ def test_hybrid_draws_x_tiles_mesh():
     rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=12))
     want_c, want_d = single_chip(rf, arrays)
     mesh = make_render_mesh(2, devices=jax.devices()[:8])  # 2 draws x 4 tiles
-    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    color, depth, *_ = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
     got_c, got_d = np.asarray(color), np.asarray(depth)
     # depth composite must match exactly where no cross-device z-ties exist;
     # allow a small pixel budget for ties + blend-order deviations
@@ -66,7 +66,7 @@ def test_draw_shard_only():
     rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=6))
     want_c, want_d = single_chip(rf, arrays)
     mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
-    color, depth = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    color, depth, *_ = render_frame_sharded(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
     badc = (np.abs(np.asarray(color) - want_c).max(axis=-1) > 1e-3).mean()
     assert badc < 0.01
 
@@ -102,7 +102,7 @@ def test_equal_z_tie_resolves_by_draw_order_across_devices():
     )
 
     mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
-    color, depth = render_frame_sharded(
+    color, depth, *_ = render_frame_sharded(
         rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays
     )
     np.testing.assert_array_equal(np.asarray(color), want_c)
@@ -122,3 +122,30 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_render_window_multichip():
+    """Production multi-chip windowed loop: RenderWindow(device_mesh=...)
+    routes record() through the shard_mapped frame program, with draw
+    assignment derived from ParallelGroup (the reference's partitioner)."""
+    from tyleri_tpu.window.render_window import RenderWindow
+
+    dev = ty.RenderDeviceBuilder().build()
+    rig_factory = lambda d: scenelib.config4_instances(d, RES, n_instances=8)  # noqa: E731
+    rig = rig_factory(dev)
+    mesh = make_render_mesh(2, devices=jax.devices()[:8])
+
+    win = RenderWindow(dev, resolution=RES, present_mode="immediate",
+                       device_mesh=mesh)
+    rig.fill(win.get_render_scene(), 0.4)
+    win.render()
+    img_multi = win.flush()
+
+    single = RenderWindow(dev, resolution=RES, present_mode="immediate")
+    rig.fill(single.get_render_scene(), 0.4)
+    single.render()
+    img_single = single.flush()
+
+    bad = (np.abs(img_multi.astype(int) - img_single.astype(int)).max(axis=-1) > 1).mean()
+    assert bad < 0.01, f"{bad:.3%} pixels differ between mesh and single chip"

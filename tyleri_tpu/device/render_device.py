@@ -24,16 +24,45 @@ from tyleri_tpu.resource.allocator import MemoryAllocator
 class DispatchQueue:
     """One ordered submission stream (ParallelRecordingQueue analog).
 
-    XLA dispatch is async per device; the queue object serializes submissions
-    that must not interleave (its lock is the type-state-safety stand-in)."""
+    A real worker thread, not a decorated function call: ``submit`` enqueues
+    the closure and returns a SubmitResult future immediately, so the caller
+    (the frame loop) overlaps next-frame host work — scene assembly, UI
+    packing — with this frame's recording + upload + XLA dispatch.  That is
+    the reference's CPU/GPU pipelining split (P2/P3: record on one thread,
+    submit on a queue, ref: render_window.rs:157-178) mapped to the remote
+    accelerator, where the device_put upload inside record() costs a full
+    tunnel round-trip and must not block the scene thread.
+
+    Submissions on ONE queue execute in order (the Vulkan queue guarantee);
+    distinct queues run concurrently."""
 
     def __init__(self, device):
         self.device = device
-        self._lock = threading.Lock()
+        self._work: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._work.get()
+            if item is None:
+                return
+            fn, args, kwargs, result = item
+            try:
+                result.set_result(fn(*args, **kwargs))
+            except BaseException as e:  # surfaced at .result()
+                result.set_exception(e)
 
     def submit(self, fn, *args, **kwargs):
-        with self._lock:
-            return fn(*args, **kwargs)
+        """Enqueue; returns a concurrent.futures.Future (SubmitResult)."""
+        import concurrent.futures
+
+        result = concurrent.futures.Future()
+        self._work.put((fn, args, kwargs, result))
+        return result
+
+    def shutdown(self):
+        self._work.put(None)
 
 
 class DispatchQueuePool:

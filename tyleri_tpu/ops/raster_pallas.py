@@ -79,16 +79,13 @@ def _visibility_kernel(
     start = tile_start_ref[t]
     end = tile_start_ref[t + 1]
 
-    # The tile is processed as 8-row HALF-BLOCKS with an independent carry
-    # each: per entry, a half whose pixel rows miss the entry's row bbox
-    # (CH_PY0/PY1) is skipped entirely by a scalar branch.  In 1M-triangle
-    # scenes the median triangle spans ~2 rows, so half-skipping roughly
-    # halves the vector work of the resolve.
-    assert tile_h % 8 == 0
-    import os
-
-    halves = 1 if os.environ.get("TY_NO_HALVES") else tile_h // 8
-    HB = 8 if halves > 1 else tile_h
+    # Single-block resolve over the whole [tile_h, tile_w] tile per entry.
+    # (Measured alternative: splitting into 8-row halves with a per-entry
+    # scalar branch on the CH_PY0/PY1 row bbox to skip untouched halves —
+    # 133 ms vs 98 ms on the 1M-tri config: Mosaic's per-entry lax.cond
+    # costs more than the skipped vector work saves at 2 vregs/op.)
+    halves = 1
+    HB = tile_h
 
     xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (HB, tile_w), 1)
     xfb = xcb.astype(jnp.float32) + 0.5
@@ -110,8 +107,8 @@ def _visibility_kernel(
 
     d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_half(coeff, eid, h, st_h):
-        """One entry vs one 8-row half-block (carry = that half's state)."""
+    def resolve_half(coeff, eid, live, h, st_h):
+        """One entry vs one block (carry = that block's state)."""
         zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
         xf = xfb
         yf = yf_h[h]
@@ -131,7 +128,7 @@ def _visibility_kernel(
         zc = jnp.clip(z, 0.0, 1.0)
         zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
         order = coeff(S.CH_ORDER)
-        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor_h[h]
+        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor_h[h] & live
         if le:
             # exact LESS_OR_EQUAL with cross-list ordering: a fragment at
             # equal depth wins only if its draw order is >= the incumbent's
@@ -158,25 +155,15 @@ def _visibility_kernel(
         return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
     def resolve_entry(coeff, eid, live, st):
-        """One entry vs the tile: per half-block, a scalar branch on the
-        entry's pixel-row bbox (and liveness) skips untouched halves.
-        ``coeff(row)`` is a scalar load from the entry's column (must read
-        through a Ref — Mosaic has no dynamic slicing of loaded vectors).
-        The carry also tracks the winner's shading attributes (u/w, v/w,
-        1/w, tex) so the deferred shade needs no per-pixel table gather."""
-        py0 = coeff(S.CH_PY0)
-        py1 = coeff(S.CH_PY1)
-        out = []
-        for h in range(halves):
-            st_h = st[h]
-            row0 = (gy * tile_h + h * HB).astype(jnp.float32)
-            guard = live & (py0 <= row0 + (HB - 1)) & (py1 >= row0)
-            out.append(jax.lax.cond(
-                guard,
-                lambda st_h=st_h, h=h: resolve_half(coeff, eid, h, st_h),
-                lambda st_h=st_h: st_h,
-            ))
-        return tuple(out)
+        """One entry vs the tile (liveness folds into the coverage mask —
+        cheaper than a scalar branch per entry).  ``coeff(row)`` is a
+        scalar load from the entry's column (must read through a Ref —
+        Mosaic has no dynamic slicing of loaded vectors).  The carry also
+        tracks the winner's shading attributes (u/w, v/w, 1/w, tex) so the
+        deferred shade pass needs no per-pixel table gather."""
+        return tuple(
+            resolve_half(coeff, eid, live, h, st[h]) for h in range(halves)
+        )
 
     zb0 = depth_init_ref[:]
     state0 = tuple(
@@ -227,19 +214,18 @@ def _visibility_kernel(
         # pay for a full 128-entry chunk)
         n_here = jnp.clip(end - s, 0, chunk)
 
-        # 2-entry unroll: halves loop overhead and lets the second entry's
-        # SMEM scalar loads overlap the first entry's vector work
+        # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
+        # scalar loads overlap earlier entries' vector work
         def entry_body(jj, inner):
-            j = jj * 2
+            j = jj * 4
             idx = s + j
-            live0 = (idx >= start) & (idx < end)
-            live1 = (idx + 1 >= start) & (idx + 1 < end)
-            c0 = lambda row: ebuf[slot, row, j]      # noqa: E731
-            c1 = lambda row: ebuf[slot, row, j + 1]  # noqa: E731
-            st = resolve_entry(c0, idx, live0, inner)
-            return resolve_entry(c1, idx + 1, live1, st)
+            for u in range(4):
+                live_u = (idx + u >= start) & (idx + u < end)
+                c_u = lambda row, u=u: ebuf[slot, row, j + u]  # noqa: E731
+                inner = resolve_entry(c_u, idx + u, live_u, inner)
+            return inner
 
-        return jax.lax.fori_loop(0, (n_here + 1) // 2, entry_body, carry)
+        return jax.lax.fori_loop(0, (n_here + 3) // 4, entry_body, carry)
 
     state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
 

@@ -40,6 +40,30 @@ def _band_plan(plan: FramePlan, n_tile_shards: int) -> FramePlan:
     )
 
 
+def derive_draw_groups(cameras, n_draw_shards: int):
+    """Production draw partitioning for the ``draws`` mesh axis: each
+    camera's draw list round-robins through ParallelGroup exactly as the
+    reference spreads draws over rayon threads
+    (Camera::get_and_order_meshes -> ParallelGroup, ref:
+    src/render_objects/camera.rs:32-39, mod.rs:5-30).  Returns, per camera,
+    one list of draw indices per shard.  The compiled shard function's
+    ``draw_id % n`` mask is the vectorized form of this grouping — asserted
+    here so the two can never drift."""
+    out = []
+    for cam in cameras:
+        pg = cam.get_and_order_meshes(n_draw_shards)
+        per_dev = []
+        for g in range(n_draw_shards):
+            items = pg.get_group_by_thread(g) or []
+            expect = cam.mesh_renderers[g::n_draw_shards]
+            assert [id(m) for m in items] == [id(m) for m in expect], (
+                "ParallelGroup round-robin drifted from the draw%n sharding"
+            )
+            per_dev.append(list(range(g, len(cam.mesh_renderers), n_draw_shards)))
+        out.append(per_dev)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "mesh_state", "ui_state", "mesh"),
@@ -47,7 +71,8 @@ def _band_plan(plan: FramePlan, n_tile_shards: int) -> FramePlan:
 def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
     """Sharded frame program. ``arrays`` is the same tuple `_render_frame`
     takes (geometry, textures, scene SoA, UI, window rects); returns
-    (color [H, W, 4] sharded over rows, depth [H, W])."""
+    (color [H, W, 4] sharded over rows, depth [H, W], order [H, W],
+    bin_overflow [], tile_overflow [] — overflows summed over the mesh)."""
     nd = mesh.shape[AXIS_DRAWS]
     nt = mesh.shape[AXIS_TILES]
     bplan = _band_plan(plan, nt)
@@ -78,14 +103,18 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
             colors, winner[None, ..., None], axis=0
         )[0]
         depth = jnp.take_along_axis(depths, winner[None], axis=0)[0]
-        return color, depth
+        order = jnp.take_along_axis(orders, winner[None], axis=0)[0]
+        bin_of = jax.lax.psum(frame.bin_overflow, (AXIS_DRAWS, AXIS_TILES))
+        tile_of = jax.lax.psum(frame.tile_overflow, (AXIS_DRAWS, AXIS_TILES))
+        return color, depth, order, bin_of, tile_of
 
     in_specs = tuple(P() for _ in arrays)
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None)),
+        out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None),
+                   P(AXIS_TILES, None), P(), P()),
         check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
                           # all_gather composite; skip the static proof
     )

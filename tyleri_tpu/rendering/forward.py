@@ -205,6 +205,12 @@ class ForwardRenderingFunction:
         # cost scales with the static cap, not with live entries, so a
         # blanket 2x-tris cap taxes every frame of big scenes
         self._entry_headroom = 1.25
+        # record() mutates host state (plan growth, triangle-table cache);
+        # DispatchQueue workers may run successive records on different
+        # threads, so serialize them here (the per-rf ordering guarantee)
+        import threading
+
+        self._record_lock = threading.RLock()
         if not exact and self.mesh_state.blend.enable:
             # ADVICE r1: the visibility path blends only the final visible
             # fragment against the pre-pass framebuffer; order-dependent
@@ -264,13 +270,43 @@ class ForwardRenderingFunction:
     def record(self, render_device, render_resources, scale_factor, window_size) -> Frame:
         """Record + submit one frame (ref: mod.rs:262-324). Returns a Frame
         of device arrays still computing (XLA async dispatch = submission)."""
-        arrays = self.build_frame_inputs(
-            render_device, render_resources, scale_factor, window_size
+        with self._record_lock:
+            arrays = self.build_frame_inputs(
+                render_device, render_resources, scale_factor, window_size
+            )
+            # single batched async upload: per-array transfers each pay the
+            # full host->device round-trip latency (brutal over a tunnel)
+            arrays = jax.device_put(arrays)
+            return _render_frame(
+                self.plan, self.mesh_state, self.ui_state, *arrays
+            )
+
+    def record_sharded(self, render_device, render_resources, scale_factor,
+                       window_size, device_mesh) -> Frame:
+        """Multi-chip record: the frame program shard_mapped over a
+        (draws, tiles) device mesh (tyleri_tpu.parallel).  Draw-to-shard
+        assignment is the reference's ParallelGroup round-robin
+        (Camera::get_and_order_meshes, ref camera.rs:32-39) applied to the
+        ``draws`` mesh axis instead of rayon threads."""
+        from tyleri_tpu.parallel.mesh import AXIS_DRAWS
+        from tyleri_tpu.parallel.sharding import (
+            derive_draw_groups,
+            render_frame_sharded,
         )
-        # single batched async upload: per-array transfers each pay the full
-        # host->device round-trip latency (brutal over a tunnelled TPU)
-        arrays = jax.device_put(arrays)
-        return _render_frame(self.plan, self.mesh_state, self.ui_state, *arrays)
+
+        nd = device_mesh.shape[AXIS_DRAWS]
+        with self._record_lock:
+            # production ParallelGroup partitioning (asserts the round-robin
+            # invariant the compiled draw%n mask relies on)
+            derive_draw_groups(render_resources.cameras, nd)
+            arrays = self.build_frame_inputs(
+                render_device, render_resources, scale_factor, window_size
+            )
+            color, depth, order, bin_of, tile_of = render_frame_sharded(
+                self.plan, self.mesh_state, self.ui_state, device_mesh, *arrays
+            )
+            return Frame(color=color, depth=depth, bin_overflow=bin_of,
+                         tile_overflow=tile_of, order=order)
 
     def build_frame_inputs(
         self, render_device, render_resources, scale_factor, window_size

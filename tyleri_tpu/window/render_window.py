@@ -56,17 +56,35 @@ def _quantize_unorm8(color):
 
 
 class _UsingResources:
-    """Per-swapchain-image in-flight state (ref: render_window.rs:29-43)."""
+    """Per-swapchain-image in-flight state (ref: render_window.rs:29-43).
 
-    def __init__(self, frame, scene):
-        self.frame = frame          # Frame of device arrays (may still compute)
-        self.scene = scene          # the RenderScene that recorded it
-        self.u8 = _quantize_unorm8(frame.color)  # async, on device
+    Holds the SubmitResult future of the DispatchQueue submission; the u8
+    present image is quantized on-device as soon as recording completes
+    (done-callback), so by fence time only the host fetch remains."""
+
+    def __init__(self, frame_future, scene):
+        self._future = frame_future  # Future[Frame] from DispatchQueue.submit
+        self.scene = scene           # the RenderScene that recorded it
+        self._u8 = None
+        self._u8_lock = __import__("threading").Lock()
+        frame_future.add_done_callback(lambda f: self._ensure_u8())
+
+    @property
+    def frame(self):
+        """The recorded Frame (blocks until the submission ran)."""
+        return self._future.result()
+
+    def _ensure_u8(self):
+        with self._u8_lock:
+            if self._u8 is None and self._future.exception() is None:
+                self._u8 = _quantize_unorm8(self._future.result().color)
 
     def wait(self) -> np.ndarray:
         """Fence-wait analog (ref: render_window.rs:193): block on the device
         result and return the presented u8 image."""
-        return np.asarray(jax.block_until_ready(self.u8))
+        self._future.result()
+        self._ensure_u8()
+        return np.asarray(jax.block_until_ready(self._u8))
 
 
 class RenderWindow:
@@ -82,6 +100,7 @@ class RenderWindow:
         exact: bool = False,
         present_mode: str = "fifo",
         refresh_hz: float = 60.0,
+        device_mesh=None,
     ):
         from tyleri_tpu.device.builders import RenderDeviceBuilder
 
@@ -109,6 +128,9 @@ class RenderWindow:
             from tyleri_tpu import native
 
             self._pacer = native.FramePacer(refresh_hz)
+        # multi-chip: a (draws, tiles) jax.sharding.Mesh routes record()
+        # through the shard_mapped frame program (tyleri_tpu.parallel)
+        self.device_mesh = device_mesh
         self.present_target = present_target
         self.latest_image: Optional[np.ndarray] = None
         self.frame_index = 0
@@ -150,13 +172,23 @@ class RenderWindow:
 
         queue = device.present_queues.pop()
         try:
-            frame = queue.submit(
-                self.rendering_function.record,
-                device,
-                scene.render_resources,
-                self._scale_factor,
-                self.swapchain.resolution,
-            )
+            if self.device_mesh is not None:
+                frame = queue.submit(
+                    self.rendering_function.record_sharded,
+                    device,
+                    scene.render_resources,
+                    self._scale_factor,
+                    self.swapchain.resolution,
+                    self.device_mesh,
+                )
+            else:
+                frame = queue.submit(
+                    self.rendering_function.record,
+                    device,
+                    scene.render_resources,
+                    self._scale_factor,
+                    self.swapchain.resolution,
+                )
         finally:
             device.present_queues.push(queue)
 
