@@ -46,19 +46,22 @@ def render_once(device, rig, *, xla_reference: bool):
         rig.fill(scene, 0.5)
         frame = rf.record(device, scene.render_resources, 1.0, rig.resolution)
         over = int(jax.device_get(frame.bin_overflow))
-        if over == 0:
+        clip_over = int(jax.device_get(frame.clip_overflow))
+        if over == 0 and clip_over == 0:
             break
-        if xla_reference:
+        if xla_reference and over:
             cap = rf.plan.raster.entry_cap + -(-2 * over // 128) * 128
             rf.plan = dataclasses.replace(
                 rf.plan, raster=dataclasses.replace(rf.plan.raster, entry_cap=cap))
+            rf.note_overflow(0, 0, clip_over)
         else:
             # production path: occupancy feedback grows the entry headroom
             # (exactly what RenderWindow does at recycle)
-            rf.note_overflow(over, 0)
+            rf.note_overflow(over, 0, clip_over)
     color = np.asarray(jax.device_get(frame.color))
     assert int(jax.device_get(frame.bin_overflow)) == 0, "bin overflow"
     assert int(jax.device_get(frame.tile_overflow)) == 0, "tile overflow"
+    assert int(jax.device_get(frame.clip_overflow)) == 0, "clip overflow"
     return np.clip(np.round(color * 255.0), 0, 255).astype(np.uint8)
 
 

@@ -15,8 +15,13 @@ everything static-shaped for XLA:
      the side list adds negligible overhead while keeping the expansion
      static-shaped.  Draw-order ties between the two lists are resolved by
      the per-entry CH_ORDER channel in the visibility resolve.
-  2. entries are stable-sorted by tile id, preserving draw order within a
-     tile (Vulkan primitive order — required by LESS_OR_EQUAL + blending).
+  2. entries are sorted by (tile id, DRAW ORDER) — one packed u32 key when
+     the bit budget allows — so within a tile the rasterizer streams entries
+     in exact Vulkan submission order (required by LESS_OR_EQUAL + blending)
+     *even for near-clip split halves*, whose slots live past the original
+     triangle range but whose CH_ORDER is the original draw id.  Sorting by
+     order (not slot) lets the visibility kernel's narrow loop drop per-entry
+     depth-tie arbitration entirely: sequential processing IS draw order.
   3. per-tile segment boundaries come from searchsorted.
 """
 
@@ -28,6 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tyleri_tpu.ops import setup as S
 from tyleri_tpu.ops.setup import TriangleSetup
 
 
@@ -95,23 +101,40 @@ def bin_triangles(
     )
     seg_start = jax.lax.cummax(jnp.where(boundary, eidx, 0))
     rank = eidx - seg_start
+    order_int = setup.channels[:, S.CH_ORDER].astype(jnp.int32)
     bbox_tbl = jnp.concatenate(
-        [tx0[:, None], ty0[:, None], jnp.maximum(tw, 1)[:, None]], axis=1
-    ).astype(jnp.int32)                       # [T, 3]
-    ebox = bbox_tbl[entry_tri]                # ONE row gather [E, 3]
+        [tx0[:, None], ty0[:, None], jnp.maximum(tw, 1)[:, None],
+         order_int[:, None]], axis=1
+    ).astype(jnp.int32)                       # [T, 4]
+    ebox = bbox_tbl[entry_tri]                # ONE row gather [E, 4]
     twr = ebox[:, 2]
     ctx = ebox[:, 0] + rank % twr
     cty = ebox[:, 1] + rank // twr
     entry_tile = jnp.where(
         entry_live > 0, cty * grid_w + ctx, jnp.int32(ntiles)
     ).astype(jnp.int32)
+    entry_order = ebox[:, 3]
 
-    # Stable sort by tile id preserves draw order within each tile.
-    # (liveness is recomputed from the sorted keys: dead entries carry the
-    # ntiles sentinel, so they sort last — one fewer sort operand)
-    entry_tile, entry_tri = jax.lax.sort(
-        (entry_tile, entry_tri), dimension=0, num_keys=1, is_stable=True
-    )
+    # Sort by (tile id, draw order): within a tile the rasterizer then
+    # streams entries in exact submission order (near-clip split halves
+    # carry their ORIGINAL order but live in slots past the triangle range,
+    # so slot order alone is not draw order).  One packed u32 key when the
+    # bits fit; dead entries carry the ntiles sentinel and sort last.
+    tile_bits = int(ntiles).bit_length()
+    order_bits = int(max(T - 1, 1)).bit_length()
+    if tile_bits + order_bits <= 32:
+        key = (
+            entry_tile.astype(jnp.uint32) << order_bits
+        ) | jnp.clip(entry_order, 0, T - 1).astype(jnp.uint32)
+        key, entry_tri = jax.lax.sort(
+            (key, entry_tri), dimension=0, num_keys=1, is_stable=True
+        )
+        entry_tile = (key >> order_bits).astype(jnp.int32)
+    else:  # huge scenes: fall back to a two-key sort
+        entry_tile, _, entry_tri = jax.lax.sort(
+            (entry_tile, entry_order, entry_tri),
+            dimension=0, num_keys=2, is_stable=True,
+        )
     entry_live = (entry_tile < ntiles).astype(jnp.int32)
 
     tile_start = jnp.searchsorted(
@@ -119,12 +142,13 @@ def bin_triangles(
     ).astype(jnp.int32)
 
     # Gather the per-entry channel table in sorted order (entry-major rows:
-    # one contiguous row gather per entry — shade and the XLA visibility
-    # path consume this layout directly).
+    # one contiguous row gather per entry).  Dead/padding rows are NOT
+    # zeroed: every consumer masks by liveness (the Pallas kernel by the
+    # [start, end) window, the XLA path by its tile lists), and the masking
+    # pass would cost a full extra read+write of the table.
     entry_channels = setup.channels[entry_tri]
-    entry_channels = jnp.where(entry_live[:, None] > 0, entry_channels, 0.0)
     # channel-major copy for the Pallas kernel (a transpose pass is far
-    # cheaper than gathering strided columns)
+    # cheaper than gathering strided columns; XLA fuses it into the gather)
     entry_channels_cm = jnp.transpose(entry_channels)
 
     # Broad (huge) triangles: dense side list, every covered tile scans it.
@@ -137,8 +161,9 @@ def bin_triangles(
     ).astype(jnp.int32)
     broad_live = (broad_src < T).astype(jnp.int32)
     broad_src = jnp.clip(broad_src, 0, T - 1)
+    # dead rows carry garbage channels; consumers mask by the bbox test
+    # against the empty-bbox sentinel below
     broad_channels = setup.channels[broad_src]
-    broad_channels = jnp.where(broad_live[:, None] > 0, broad_channels, 0.0)
     bbox = jnp.stack([tx0, ty0, tx1, ty1], axis=1)
     broad_tiles = jnp.where(
         broad_live[:, None] > 0,

@@ -73,9 +73,12 @@ def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
     # triangle; a [T] scatter would pay per-row latency at 1M+ triangles)
     ncum = jnp.cumsum(needs.astype(jnp.int32))
     n_needs = ncum[-1] if T > 0 else jnp.zeros((), jnp.int32)
+    # binary search (the default 'scan' method): log2(T) rounds of X-row
+    # gathers.  X is kept small by occupancy growth (FramePlan.clip_cap), so
+    # this beats method='sort', which sorts the T+X concatenation (~19 ms at
+    # 2M triangles regardless of X).
     src = jnp.searchsorted(
         ncum, jnp.arange(1, X + 1, dtype=jnp.int32), side="left",
-        method="sort",
     ).astype(jnp.int32)
     live = src < T
     src_c = jnp.clip(src, 0, max(T - 1, 0))

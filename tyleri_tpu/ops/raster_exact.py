@@ -100,11 +100,13 @@ def rasterize_exact(
         def plane(row):
             return ch[row] * xc + ch[row + 1] * yc + ch[row + 2]
 
+        meta = ch[S.CH_META].astype(jnp.int32)
+        tl = meta >> S.META_TEX_BITS
         e0, e1, e2 = plane(S.CH_E0), plane(S.CH_E1), plane(S.CH_E2)
         cov = (
-            ((e0 > 0) | ((e0 == 0) & (ch[S.CH_TOPLEFT] > 0)))
-            & ((e1 > 0) | ((e1 == 0) & (ch[S.CH_TOPLEFT + 1] > 0)))
-            & ((e2 > 0) | ((e2 == 0) & (ch[S.CH_TOPLEFT + 2] > 0)))
+            ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
+            & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
+            & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
         )
         z = plane(S.CH_Z)
         zq = quantize_depth(z, state.depth.format)
@@ -116,7 +118,7 @@ def rasterize_exact(
         denom = jnp.where(inv_w == 0, 1.0, inv_w)
         u = plane(S.CH_UW) / denom
         v = plane(S.CH_VW) / denom
-        tid = ch[S.CH_TEX].astype(jnp.int32)
+        tid = meta & S.META_TEX_MASK
         tid_safe = jnp.clip(tid, 0, tex_offset.shape[0] - 1)
 
         def sample_tex(_):

@@ -14,9 +14,12 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
   loads (Mosaic cannot scalar-index VMEM lanes dynamically, and DMA lane
   offsets must be 128-aligned — hence SMEM staging + floor-aligned chunks)
 * sequential processing gives *exact* Vulkan submission-order semantics for
-  the depth test by construction (later fragments at equal LESS_OR_EQUAL
-  depth overwrite); the CH_ORDER channel arbitrates between the narrow and
-  broad lists
+  the depth test by construction: binning sorts each tile's entries by DRAW
+  ORDER (including near-clip split halves), so the narrow loop needs no
+  per-entry tie arbitration at all — later fragments at equal LESS_OR_EQUAL
+  depth simply overwrite, and strict LESS simply keeps the incumbent.  Only
+  the broad (huge-triangle) side list, processed after the narrow stream,
+  arbitrates equal-depth ties by the CH_ORDER channel
 * chunk overrun at segment ends is handled by clamping the slice start;
   re-processing a duplicate entry is idempotent under the resolve
 * the huge-triangle ("broad") side list lives wholly in SMEM and is scanned
@@ -81,7 +84,7 @@ def _visibility_kernel(
 
     # Single-block resolve over the whole [tile_h, tile_w] tile per entry.
     # (Measured alternative: splitting into 8-row halves with a per-entry
-    # scalar branch on the CH_PY0/PY1 row bbox to skip untouched halves —
+    # scalar branch on a pixel-row bbox to skip untouched halves —
     # 133 ms vs 98 ms on the 1M-tri config: Mosaic's per-entry lax.cond
     # costs more than the skipped vector work saves at 2 vregs/op.)
     halves = 1
@@ -107,8 +110,16 @@ def _visibility_kernel(
 
     d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_half(coeff, eid, live, h, st_h):
-        """One entry vs one block (carry = that block's state)."""
+    def resolve_half(coeff, eid, live, h, st_h, arbitrate):
+        """One entry vs one block (carry = that block's state).
+
+        ``arbitrate=False`` (the narrow stream): entries arrive in draw
+        order, so sequential overwrite IS submission-order semantics and
+        equal-depth ties need no order compare.  ``arbitrate=True`` (the
+        broad side list, processed after the narrow stream): equal-depth
+        ties resolve lexicographically by the CH_ORDER channel against the
+        incumbent's order (obuf = -1 for pre-pass depth, so equal-z vs
+        prior content correctly fails under LESS and passes under LE)."""
         zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
         xf = xfb
         yf = yf_h[h]
@@ -116,31 +127,29 @@ def _visibility_kernel(
         def plane(row):
             return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
 
+        meta = coeff(S.CH_META).astype(jnp.int32)
+        tl = meta >> S.META_TEX_BITS
         e0 = plane(S.CH_E0)
         e1 = plane(S.CH_E1)
         e2 = plane(S.CH_E2)
         cov = (
-            ((e0 > 0) | ((e0 == 0) & (coeff(S.CH_TOPLEFT) > 0)))
-            & ((e1 > 0) | ((e1 == 0) & (coeff(S.CH_TOPLEFT + 1) > 0)))
-            & ((e2 > 0) | ((e2 == 0) & (coeff(S.CH_TOPLEFT + 2) > 0)))
+            ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
+            & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
+            & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
         )
         z = plane(S.CH_Z)
         zc = jnp.clip(z, 0.0, 1.0)
         zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
         order = coeff(S.CH_ORDER)
-        frag = cov & (z >= 0.0) & (z <= 1.0) & in_scissor_h[h] & live
-        if le:
-            # exact LESS_OR_EQUAL with cross-list ordering: a fragment at
-            # equal depth wins only if its draw order is >= the incumbent's
+        # z in [0, 1] iff clipping was a no-op (one compare; NaN fails)
+        frag = cov & (z == zc) & in_scissor_h[h] & live
+        if not arbitrate:
+            # draw-order stream: LE overwrites on equal depth, LESS keeps
+            # the incumbent — exactly sequential per-fragment semantics
+            passing = frag & ((zq <= zbuf) if le else (zq < zbuf))
+        elif le:
             passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
         else:
-            # LESS: sequential semantics = the EARLIEST drawn fragment at
-            # the min depth wins.  The broad list and clip-tail entries are
-            # processed after the tile-sorted narrow list, so an
-            # earlier-drawn entry processed later must still be able to
-            # take an equal-z tie: lexicographic (z, order) min.  The
-            # incumbent from a previous pass carries obuf = -1, so equal-z
-            # fragments correctly fail against pre-pass depth.
             passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
         zbuf = jnp.where(passing, zq, zbuf)
         owner = jnp.where(passing, eid, owner)
@@ -149,12 +158,13 @@ def _visibility_kernel(
         vwb = jnp.where(passing, plane(S.CH_VW), vwb)
         iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
         texb = jnp.where(
-            passing, jnp.full_like(texb, 0) + coeff(S.CH_TEX).astype(jnp.int32),
+            passing,
+            jnp.full_like(texb, 0) + (meta & S.META_TEX_MASK),
             texb,
         )
         return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
-    def resolve_entry(coeff, eid, live, st):
+    def resolve_entry(coeff, eid, live, st, arbitrate=False):
         """One entry vs the tile (liveness folds into the coverage mask —
         cheaper than a scalar branch per entry).  ``coeff(row)`` is a
         scalar load from the entry's column (must read through a Ref —
@@ -162,7 +172,8 @@ def _visibility_kernel(
         tracks the winner's shading attributes (u/w, v/w, 1/w, tex) so the
         deferred shade pass needs no per-pixel table gather."""
         return tuple(
-            resolve_half(coeff, eid, live, h, st[h]) for h in range(halves)
+            resolve_half(coeff, eid, live, h, st[h], arbitrate)
+            for h in range(halves)
         )
 
     zb0 = depth_init_ref[:]
@@ -244,7 +255,7 @@ def _visibility_kernel(
                 & (gyf <= broad_bbox_ref[j, 3])
             )
             coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
-            return resolve_entry(coeff, e_cap + j, live, carry)
+            return resolve_entry(coeff, e_cap + j, live, carry, arbitrate=True)
 
         state = jax.lax.fori_loop(
             0, jnp.minimum(nbroad_ref[0], B), broad_body, state

@@ -28,6 +28,13 @@ import jax.numpy as jnp
 # Channel-major entry-table layout (rows of the [CHANNELS, E] table).
 # Plane channels hold (A, B, C) with value(x, y) = A*x + B*y + C evaluated at
 # pixel centers.
+#
+# The table is deliberately <= 24 columns: XLA's TPU row gather has a cost
+# cliff above 24 lanes (measured: [E,24] ~15 ms vs [E,26] ~58 ms at E=1.4M),
+# and binning gathers one row per (tile, triangle) entry every frame — so the
+# texture slot and the three top-left-edge bits share one packed META column,
+# and the tile-bbox fields live in setup.tile_lo/tile_hi (binning builds its
+# own packed side table from those).
 CH_E0 = 0    # edge 0 (opposite vertex 0) A,B,C at rows 0..2
 CH_E1 = 3
 CH_E2 = 6
@@ -35,19 +42,23 @@ CH_Z = 9     # window-space depth plane
 CH_INVW = 12  # 1/w plane
 CH_UW = 15   # u/w plane
 CH_VW = 18   # v/w plane
-CH_TOPLEFT = 21  # rows 21..23: 1.0 if edge i is a top-left edge
-CH_TEX = 24  # texture slot id (exact small int as f32)
-CH_ORDER = 25  # draw-order id (diagnostics)
-# Tile-bbox fields ride in the spare columns so binning needs exactly ONE
-# row gather per entry (TPU gathers cost ~fixed latency per ROW, so packing
-# wide beats separate lookups): values are small ints, exact in f32.
-CH_TX0 = 26
-CH_TY0 = 27
-CH_TW = 28   # bbox width in tiles
-CH_TH = 29   # bbox height in tiles
-CH_PY0 = 30  # pixel-row bbox (inclusive, scissor-clamped): the Pallas
-CH_PY1 = 31  # kernel skips 8-row tile halves outside [PY0, PY1]
-NUM_CHANNELS = 32  # padded for TPU sublane alignment
+CH_META = 21  # packed (topleft bits << 18) | texture slot, exact in f32
+CH_ORDER = 22  # draw-order id (depth-tie arbitration + order map)
+NUM_CHANNELS = 24  # padded to a multiple of 8 for TPU sublane alignment
+
+# META packing: tex in the low bits, the three top-left-edge flags above.
+# Max value 7 * 2^18 + (2^18 - 1) < 2^24: exact in f32.
+META_TEX_BITS = 18
+META_TEX_MASK = (1 << META_TEX_BITS) - 1
+
+
+def meta_pack(tex_id, topleft):
+    """tex_id i32 [...], topleft f32 [..., 3] of 0/1 flags -> f32 META."""
+    tl_bits = (
+        topleft[..., 0] + 2.0 * topleft[..., 1] + 4.0 * topleft[..., 2]
+    )
+    texf = jnp.clip(tex_id, 0, META_TEX_MASK).astype(jnp.float32)
+    return tl_bits * float(1 << META_TEX_BITS) + texf
 
 W_EPS = 1e-6
 
@@ -181,15 +192,9 @@ def setup_triangles(
         wA, wB, wC,                            # CH_INVW
         uwA, uwB, uwC,                         # CH_UW
         vwA, vwB, vwC,                         # CH_VW
-        topleft[:, 0], topleft[:, 1], topleft[:, 2],  # CH_TOPLEFT
-        tex_id.astype(jnp.float32),            # CH_TEX
+        meta_pack(tex_id, topleft),            # CH_META
         order,                                 # CH_ORDER
-        tx0.astype(jnp.float32),               # CH_TX0
-        ty0.astype(jnp.float32),               # CH_TY0
-        jnp.maximum(tx1 - tx0 + 1, 0).astype(jnp.float32),  # CH_TW
-        jnp.maximum(ty1 - ty0 + 1, 0).astype(jnp.float32),  # CH_TH
-        py0.astype(jnp.float32),               # CH_PY0
-        py1.astype(jnp.float32),               # CH_PY1
+        jnp.zeros_like(order),                 # sublane pad
     ], axis=1)
     assert channels.shape[1] == NUM_CHANNELS
 

@@ -55,7 +55,7 @@ def attribute_maps(owner, all_channels, fb_w, fb_h):
         [S.CH_INVW, S.CH_INVW + 1, S.CH_INVW + 2,
          S.CH_UW, S.CH_UW + 1, S.CH_UW + 2,
          S.CH_VW, S.CH_VW + 1, S.CH_VW + 2,
-         S.CH_TEX],
+         S.CH_META],
         jnp.int32,
     )
     table = all_channels[:, rows]               # [E, 10] static column slice
@@ -69,7 +69,9 @@ def attribute_maps(owner, all_channels, fb_w, fb_h):
     iw = jnp.where(valid, plane(0), 1.0)
     uw = jnp.where(valid, plane(3), 0.0)
     vw = jnp.where(valid, plane(6), 0.0)
-    tex = jnp.where(valid, ch[..., 9].astype(jnp.int32), 0)
+    tex = jnp.where(
+        valid, ch[..., 9].astype(jnp.int32) & S.META_TEX_MASK, 0
+    )
     return uw, vw, iw, tex
 
 
@@ -116,9 +118,10 @@ def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
     e0 = _eval_plane(ch, S.CH_E0, xc, yc)
     e1 = _eval_plane(ch, S.CH_E1, xc, yc)
     e2 = _eval_plane(ch, S.CH_E2, xc, yc)
-    tl0 = ch[:, S.CH_TOPLEFT][None, :] > 0
-    tl1 = ch[:, S.CH_TOPLEFT + 1][None, :] > 0
-    tl2 = ch[:, S.CH_TOPLEFT + 2][None, :] > 0
+    tl = ch[:, S.CH_META].astype(jnp.int32)[None, :] >> S.META_TEX_BITS
+    tl0 = (tl & 1) > 0
+    tl1 = (tl & 2) > 0
+    tl2 = (tl & 4) > 0
     cov = (
         ((e0 > 0) | ((e0 == 0) & tl0))
         & ((e1 > 0) | ((e1 == 0) & tl1))

@@ -72,7 +72,8 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
     """Sharded frame program. ``arrays`` is the same tuple `_render_frame`
     takes (geometry, textures, scene SoA, UI, window rects); returns
     (color [H, W, 4] sharded over rows, depth [H, W], order [H, W],
-    bin_overflow [], tile_overflow [] — overflows summed over the mesh)."""
+    bin_overflow [], tile_overflow [], clip_overflow [] — overflows summed
+    over the mesh)."""
     nd = mesh.shape[AXIS_DRAWS]
     nt = mesh.shape[AXIS_TILES]
     bplan = _band_plan(plan, nt)
@@ -106,7 +107,8 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         order = jnp.take_along_axis(orders, winner[None], axis=0)[0]
         bin_of = jax.lax.psum(frame.bin_overflow, (AXIS_DRAWS, AXIS_TILES))
         tile_of = jax.lax.psum(frame.tile_overflow, (AXIS_DRAWS, AXIS_TILES))
-        return color, depth, order, bin_of, tile_of
+        clip_of = jax.lax.psum(frame.clip_overflow, (AXIS_DRAWS, AXIS_TILES))
+        return color, depth, order, bin_of, tile_of, clip_of
 
     in_specs = tuple(P() for _ in arrays)
     shard = jax.shard_map(
@@ -114,7 +116,7 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None),
-                   P(AXIS_TILES, None), P(), P()),
+                   P(AXIS_TILES, None), P(), P(), P()),
         check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
                           # all_gather composite; skip the static proof
     )

@@ -131,6 +131,7 @@ def frame_body(
     span = float(plan.tri_cap + plan.raster.clip_cap + 1)
     bin_of = jnp.zeros((), jnp.int32)
     tile_of = jnp.zeros((), jnp.int32)
+    clip_of = jnp.zeros((), jnp.int32)
     for c in range(plan.cam_cap):
         mvps = jnp.einsum(
             "ij,djk->dik", view_projs[c], models[c],
@@ -156,9 +157,10 @@ def frame_body(
             )
         bin_of = bin_of + st.bin_overflow
         tile_of = tile_of + st.tile_overflow
+        clip_of = clip_of + st.clip_overflow
 
     return Frame(color=color, depth=depth, bin_overflow=bin_of,
-                 tile_overflow=tile_of, order=order)
+                 tile_overflow=tile_of, order=order, clip_overflow=clip_of)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
@@ -235,28 +237,38 @@ class ForwardRenderingFunction:
         # several tiles each, so 2x is the safe general-scene bound
         raster = dataclasses.replace(
             p.raster,
+            # 1<<16 granule: every E-proportional binning op (repeat, bbox
+            # gather, sort, channel gather) pays for the STATIC cap, so the
+            # coarser 1<<18 granule taxed big scenes up to 20%
             entry_cap=_cap_growth(
-                int(self._entry_headroom * n_tris), 1 << 18, p.raster.entry_cap
+                int(self._entry_headroom * n_tris), 1 << 16, p.raster.entry_cap
             ),
-            clip_cap=_next_pow2(max(n_tris // 32, 1), p.raster.clip_cap),
+            # clip_cap grows only on REPORTED clip overflow (note_overflow):
+            # crossing triangles are rare, and every per-triangle stage pays
+            # for tri_cap + clip_cap rows
         )
         new = FramePlan(
             raster=raster,
             cam_cap=_next_pow2(n_cams, p.cam_cap),
             draw_cap=_next_pow2(n_draws, p.draw_cap),
-            tri_cap=_next_pow2(n_tris, p.tri_cap),
+            # granule (not pow2) growth: the whole per-triangle pipeline
+            # (transform, clip scan, plane setup) is O(tri_cap), and pow2
+            # overshoots by up to 2x — tens of ms at 1M triangles
+            tri_cap=_cap_growth(n_tris, 1 << 16, p.tri_cap),
             ui_tri_cap=_next_pow2(n_ui, p.ui_tri_cap),
             has_ui=p.has_ui,
         )
         if new != p:
             self.plan = new
 
-    def note_overflow(self, bin_overflow: int, tile_overflow: int) -> None:
+    def note_overflow(self, bin_overflow: int, tile_overflow: int,
+                      clip_overflow: int = 0) -> None:
         """Occupancy feedback from the frame loop (RenderWindow recycle):
         a reported bin overflow grows the entry headroom so the next plan
         re-bins with more capacity (recompiles, like swapchain recreation —
         the VariableLengthBuffer.expand_to analog for the raster tables).
-        A tile overflow (XLA backend's per-tile lists) doubles that cap."""
+        A tile overflow (XLA backend's per-tile lists) doubles that cap; a
+        clip overflow quadruples the near-plane split work set."""
         if bin_overflow > 0:
             self._entry_headroom = min(self._entry_headroom * 1.5, 4.0)
         if tile_overflow > 0:
@@ -266,6 +278,16 @@ class ForwardRenderingFunction:
                     self.plan.raster,
                     cap_per_tile=self.plan.raster.cap_per_tile * 2,
                 ),
+            )
+        if clip_overflow > 0:
+            p = self.plan
+            new_cap = min(
+                max(p.raster.clip_cap * 4,
+                    _next_pow2(p.raster.clip_cap + clip_overflow, 256)),
+                _next_pow2(p.tri_cap, 256),
+            )
+            self.plan = dataclasses.replace(
+                p, raster=dataclasses.replace(p.raster, clip_cap=new_cap)
             )
     def record(self, render_device, render_resources, scale_factor, window_size) -> Frame:
         """Record + submit one frame (ref: mod.rs:262-324). Returns a Frame
@@ -302,11 +324,12 @@ class ForwardRenderingFunction:
             arrays = self.build_frame_inputs(
                 render_device, render_resources, scale_factor, window_size
             )
-            color, depth, order, bin_of, tile_of = render_frame_sharded(
+            color, depth, order, bin_of, tile_of, clip_of = render_frame_sharded(
                 self.plan, self.mesh_state, self.ui_state, device_mesh, *arrays
             )
             return Frame(color=color, depth=depth, bin_overflow=bin_of,
-                         tile_overflow=tile_of, order=order)
+                         tile_overflow=tile_of, order=order,
+                         clip_overflow=clip_of)
 
     def build_frame_inputs(
         self, render_device, render_resources, scale_factor, window_size

@@ -26,6 +26,7 @@ class Frame(NamedTuple):
     order: jax.Array          # f32 [H, W] global draw order of the pixel's
                               # winner (-1 = clear, 0 = UI, >=1 meshes);
                               # consumed by the cross-device depth composite
+    clip_overflow: jax.Array = None  # i32 [] near-clip splits beyond capacity
 
 
 class RenderingFunction(Protocol):

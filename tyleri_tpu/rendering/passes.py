@@ -118,6 +118,7 @@ class PassStats(NamedTuple):
 
     bin_overflow: jax.Array   # i32 [] entries dropped in binning
     tile_overflow: jax.Array  # i32 [] entries beyond per-tile capacity
+    clip_overflow: jax.Array  # i32 [] near-plane crossings beyond clip_cap
 
 
 def mesh_pass(
@@ -147,7 +148,7 @@ def mesh_pass(
             order=ct.order,
         )
         zero = jnp.zeros((), jnp.int32)
-        return color, depth, PassStats(ct.overflow, zero), None
+        return color, depth, PassStats(zero, zero, ct.overflow), None
 
     su = setup_triangles(
         ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
@@ -190,7 +191,8 @@ def mesh_pass(
     )
     depth = vis.depth if state.depth.write_enable else depth
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
-    return (color, depth, PassStats(binned.overflow + ct.overflow, tile_overflow),
+    return (color, depth,
+            PassStats(binned.overflow, tile_overflow, ct.overflow),
             pass_order)
 
 

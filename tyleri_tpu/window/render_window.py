@@ -203,14 +203,16 @@ class RenderWindow:
                 self.present_target(img)
             bin_of = int(previous.frame.bin_overflow)
             tile_of = int(previous.frame.tile_overflow)
+            clip_of = int(previous.frame.clip_overflow)
             device.debug_messenger.check_overflow("bin-entries", bin_of)
             device.debug_messenger.check_overflow("tile-entries", tile_of)
+            device.debug_messenger.check_overflow("clip-splits", clip_of)
             # occupancy feedback: a reported overflow grows the raster
             # capacities for subsequent frames (recompile, like swapchain
             # recreation)
             note = getattr(self.rendering_function, "note_overflow", None)
             if note is not None:
-                note(bin_of, tile_of)
+                note(bin_of, tile_of, clip_of)
             previous.scene.clear()
             self._available_scene = previous.scene
         else:
