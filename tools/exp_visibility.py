@@ -1,0 +1,310 @@
+"""Visibility-kernel variant experiments on the config5 workload (TPU).
+
+Builds the sponza binned-entry table once, then times kernel variants:
+tile geometry (rebinned), DMA chunk, unroll width, and cost-decomposition
+ablations (hoisted scalar loads / stripped attribute planes — WRONG results,
+timing only). Directs optimization of ops/raster_pallas.py.
+
+    python tools/exp_visibility.py [variants...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tyleri_tpu.ops import setup as S
+from tyleri_tpu.pipeline.state import DepthState
+
+
+def _variant_kernel(
+    tile_start_ref, scissor_ref, nbroad_ref,
+    entries_ref, depth_init_ref,
+    owner_ref, z_ref, order_ref, uw_ref, vw_ref, iw_ref, tex_ref,
+    ebuf, sem,
+    *, tile_w, tile_h, grid_w, chunk, e_cap,
+    unroll=4, strip_attrs=False, hoist_loads=False,
+):
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+    t = gy * grid_w + gx
+    start = tile_start_ref[t]
+    end = tile_start_ref[t + 1]
+
+    xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    xf = xcb.astype(jnp.float32) + 0.5
+    in_sc = (
+        (xcb >= scissor_ref[0]) & (xcb < scissor_ref[0] + scissor_ref[2])
+    )
+    yc = gy * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    in_sc = in_sc & (yc >= scissor_ref[1]) & (yc < scissor_ref[1] + scissor_ref[3])
+    yf = yc.astype(jnp.float32) + 0.5
+
+    def resolve_entry(coeff, eid, live, st):
+        zbuf, owner, obuf, uwb, vwb, iwb, texb = st
+
+        def plane(row):
+            return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
+
+        meta = coeff(S.CH_META).astype(jnp.int32)
+        tl = meta >> S.META_TEX_BITS
+        e0 = plane(S.CH_E0)
+        e1 = plane(S.CH_E1)
+        e2 = plane(S.CH_E2)
+        cov = (
+            ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
+            & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
+            & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
+        )
+        z = plane(S.CH_Z)
+        zc = jnp.clip(z, 0.0, 1.0)
+        zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0)
+        frag = cov & (z == zc) & in_sc & live
+        passing = frag & (zq <= zbuf)
+        zbuf = jnp.where(passing, zq, zbuf)
+        owner = jnp.where(passing, eid, owner)
+        if not strip_attrs:
+            obuf = jnp.where(passing, coeff(S.CH_ORDER), obuf)
+            uwb = jnp.where(passing, plane(S.CH_UW), uwb)
+            vwb = jnp.where(passing, plane(S.CH_VW), vwb)
+            iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
+            texb = jnp.where(
+                passing, jnp.full_like(texb, 0) + (meta & S.META_TEX_MASK), texb
+            )
+        return zbuf, owner, obuf, uwb, vwb, iwb, texb
+
+    state0 = (
+        depth_init_ref[:],
+        jnp.full((tile_h, tile_w), -1, jnp.int32),
+        jnp.full((tile_h, tile_w), -1.0, jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.ones((tile_h, tile_w), jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.int32),
+    )
+
+    base = start - jax.lax.rem(start, chunk)
+    nchunks = jnp.where(end > start, pl.cdiv(end - base, chunk), 0)
+
+    def chunk_slice(k):
+        s = jnp.minimum(base + k * chunk, e_cap - chunk)
+        return pl.multiple_of(s, chunk)
+
+    def start_dma(slot, k):
+        return pltpu.make_async_copy(
+            entries_ref.at[:, pl.ds(chunk_slice(k), chunk)],
+            ebuf.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def chunk_body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        start_dma(slot, k).wait()
+        s = chunk_slice(k)
+        n_here = jnp.clip(end - s, 0, chunk)
+
+        def entry_body(jj, inner):
+            j = jj * unroll
+            idx = s + j
+            for u in range(unroll):
+                live_u = (idx + u >= start) & (idx + u < end)
+                if hoist_loads:
+                    c_u = lambda row: ebuf[slot, row, 0]  # noqa: E731
+                else:
+                    c_u = lambda row, u=u: ebuf[slot, row, j + u]  # noqa: E731
+                inner = resolve_entry(c_u, idx + u, live_u, inner)
+            return inner
+
+        return jax.lax.fori_loop(
+            0, (n_here + unroll - 1) // unroll, entry_body, carry
+        )
+
+    state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
+
+    zbuf, owner, obuf, uwb, vwb, iwb, texb = state
+    owner_ref[...] = owner
+    z_ref[...] = zbuf
+    order_ref[...] = obuf
+    uw_ref[...] = uwb
+    vw_ref[...] = vwb
+    iw_ref[...] = iwb
+    tex_ref[...] = texb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
+                     "chunk", "unroll", "strip_attrs", "hoist_loads"),
+)
+def run_variant(binned_cm, tile_start, num_broad, init_depth, scissor, *,
+                fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
+                unroll, strip_attrs, hoist_loads):
+    e_cap = binned_cm.shape[1]
+    pad_h = grid_h * tile_h
+    pad_w = grid_w * tile_w
+    depth0 = jnp.pad(
+        init_depth.astype(jnp.float32),
+        ((0, pad_h - fb_h), (0, pad_w - fb_w)),
+        constant_values=jnp.float32(-jnp.inf),
+    )
+    kernel = functools.partial(
+        _variant_kernel,
+        tile_w=tile_w, tile_h=tile_h, grid_w=grid_w, chunk=chunk, e_cap=e_cap,
+        unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM)
+            for _ in range(7)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, S.NUM_CHANNELS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        ],
+    )(tile_start, scissor, num_broad.reshape(1), binned_cm, depth0)
+    return outs
+
+
+def main():
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.ops.binning import bin_triangles
+    from tyleri_tpu.ops.clip import near_clip_triangles
+    from tyleri_tpu.ops.setup import setup_triangles, transform_corner_table
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    frames = int(os.environ.get("FRAMES", "4"))
+    device = ty.RenderDeviceBuilder().build()
+    print("device:", device.device)
+    rig = scenelib.config5_sponza(device)
+    print("scene:", rig.name, "tris:", rig.triangle_count)
+
+    rf = ty.ForwardRenderingFunction(device, ImageViewSwapchain(rig.resolution))
+    scene = RenderScene()
+    rig.fill(scene, 0.5)
+    arrays = jax.device_put(
+        rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
+    )
+    (texels, toff, tw, th, clear_color,
+     cam_valid, viewports, scissors, view_projs, models,
+     corners, tri_draw, tri_valid0, tri_tex, *_rest) = arrays
+    r = rf.plan.raster
+    fb_w, fb_h = r.fb_w, r.fb_h
+
+    mvps = jnp.einsum("ij,djk->dik", view_projs[0], models[0],
+                      precision=jax.lax.Precision.HIGHEST)
+    clip, uv3 = transform_corner_table(corners[0], tri_draw[0], mvps)
+    ct = near_clip_triangles(clip, uv3, tri_tex[0],
+                             tri_valid0[0] & cam_valid[0], extra_cap=r.clip_cap)
+
+    depth0 = jnp.ones((fb_h, fb_w), jnp.float32)
+
+    def bin_for(tile_h, tile_w=128):
+        grid_w = -(-fb_w // tile_w)
+        grid_h = -(-fb_h // tile_h)
+        su = setup_triangles(ct.clip, ct.uv, ct.tex_id, ct.valid,
+                             viewports[0], scissors[0],
+                             tile_w=tile_w, tile_h=tile_h,
+                             grid_w=grid_w, grid_h=grid_h, order=ct.order)
+        b = bin_triangles(su, grid_w=grid_w, grid_h=grid_h,
+                          entry_cap=r.entry_cap,
+                          max_tiles_per_tri=r.max_tiles_per_tri,
+                          broad_cap=r.broad_cap, spill_cap=r.spill_cap)
+        return jax.block_until_ready(b), grid_w, grid_h
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    def timeit(name, fn, *args, **kw):
+        sync(fn(*args, **kw))
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = fn(*args, **kw)
+        sync(out)
+        dt = (time.perf_counter() - t0) / frames
+        print(f"{name:44s} {dt * 1000:9.2f} ms", flush=True)
+        return dt
+
+    cache = {}
+
+    def variant(name, tile_h=16, chunk=128, unroll=4,
+                strip_attrs=False, hoist_loads=False):
+        if tile_h not in cache:
+            cache[tile_h] = bin_for(tile_h)
+        b, grid_w, grid_h = cache[tile_h]
+        print(f"[{name}] entries={int(b.num_entries)}", flush=True)
+        timeit(name, run_variant, b.entry_channels_cm, b.tile_start,
+               b.num_broad, depth0, scissors[0],
+               fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
+               grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
+               strip_attrs=strip_attrs, hoist_loads=hoist_loads)
+
+    sel = sys.argv[1:] or [
+        "base", "th8", "th32", "chunk256", "unroll8",
+        "strip_attrs", "hoist", "hoist_strip",
+    ]
+    runs = {
+        "base": dict(),
+        "th8": dict(tile_h=8),
+        "th32": dict(tile_h=32),
+        "chunk256": dict(chunk=256),
+        "unroll8": dict(unroll=8),
+        "unroll2": dict(unroll=2),
+        "strip_attrs": dict(strip_attrs=True),
+        "hoist": dict(hoist_loads=True),
+        "hoist_strip": dict(hoist_loads=True, strip_attrs=True),
+        "th32c256": dict(tile_h=32, chunk=256),
+        "th32c512": dict(tile_h=32, chunk=512),
+        "th32c256u2": dict(tile_h=32, chunk=256, unroll=2),
+        "th32c256u8": dict(tile_h=32, chunk=256, unroll=8),
+        "th64c256": dict(tile_h=64, chunk=256),
+        "c512": dict(chunk=512),
+        "th32hoist": dict(tile_h=32, chunk=256, hoist_loads=True),
+    }
+    for name in sel:
+        variant(name, **runs[name])
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,7 @@ def main():
         return bin_triangles(su, grid_w=r.grid_w, grid_h=r.grid_h,
                              entry_cap=r.entry_cap,
                              max_tiles_per_tri=r.max_tiles_per_tri,
-                             broad_cap=r.broad_cap)
+                             broad_cap=r.broad_cap, spill_cap=r.spill_cap)
 
     binned = jax.block_until_ready(stage_bin(su))
     print("entries:", int(binned.num_entries), "broad:", int(binned.num_broad),

@@ -235,13 +235,20 @@ class ForwardRenderingFunction:
         # entry headroom: ~1.1 entries/tri measured on sponza-scale scenes
         # with 16-row tiles, but mid-size triangles (tens of px) straddle
         # several tiles each, so 2x is the safe general-scene bound
+        entry_cap = _cap_growth(
+            int(self._entry_headroom * n_tris), 1 << 16, p.raster.entry_cap
+        )
         raster = dataclasses.replace(
             p.raster,
             # 1<<16 granule: every E-proportional binning op (repeat, bbox
             # gather, sort, channel gather) pays for the STATIC cap, so the
             # coarser 1<<18 granule taxed big scenes up to 20%
-            entry_cap=_cap_growth(
-                int(self._entry_headroom * n_tris), 1 << 16, p.raster.entry_cap
+            entry_cap=entry_cap,
+            # spill list (tiles 2.. of multi-tile triangles) sized by the
+            # same occupancy signal: live spill = live entries - live tris,
+            # so entry headroom growth grows the spill bound with it
+            spill_cap=_cap_growth(
+                max(entry_cap - n_tris, 1), 1 << 16, p.raster.spill_cap
             ),
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays

@@ -48,6 +48,9 @@ class RasterPlan:
     broad_cap: int = 64
     chunk: int = 32
     clip_cap: int = 256  # extra triangle slots for near-plane splits
+    # capacity of binning's spill list (tiles 2.. of multi-tile triangles;
+    # tile 1 is a dense slot per triangle) — occupancy-grown like entry_cap
+    spill_cap: int = 1 << 16
     exact: bool = False  # ordered per-fragment blending (slow, parity mode)
     # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
     # True forces Pallas (interpret-mode off-TPU), False forces XLA
@@ -162,6 +165,7 @@ def mesh_pass(
         entry_cap=plan.entry_cap,
         max_tiles_per_tri=plan.max_tiles_per_tri,
         broad_cap=plan.broad_cap,
+        spill_cap=plan.spill_cap,
     )
     if _use_pallas(plan, state):
         import jax

@@ -201,18 +201,7 @@ class RenderWindow:
             self.latest_image = img
             if self.present_target is not None:
                 self.present_target(img)
-            bin_of = int(previous.frame.bin_overflow)
-            tile_of = int(previous.frame.tile_overflow)
-            clip_of = int(previous.frame.clip_overflow)
-            device.debug_messenger.check_overflow("bin-entries", bin_of)
-            device.debug_messenger.check_overflow("tile-entries", tile_of)
-            device.debug_messenger.check_overflow("clip-splits", clip_of)
-            # occupancy feedback: a reported overflow grows the raster
-            # capacities for subsequent frames (recompile, like swapchain
-            # recreation)
-            note = getattr(self.rendering_function, "note_overflow", None)
-            if note is not None:
-                note(bin_of, tile_of, clip_of)
+            self._report_frame_stats(device, previous.frame)
             previous.scene.clear()
             self._available_scene = previous.scene
         else:
@@ -227,15 +216,33 @@ class RenderWindow:
         self.profiler.frame(tri_count)
         return image_index
 
+    def _report_frame_stats(self, device, frame) -> None:
+        """Report a completed frame's capacity overflows (never dropped)
+        and feed the occupancy-growth loop."""
+        bin_of = int(frame.bin_overflow)
+        tile_of = int(frame.tile_overflow)
+        clip_of = int(frame.clip_overflow)
+        device.debug_messenger.check_overflow("bin-entries", bin_of)
+        device.debug_messenger.check_overflow("tile-entries", tile_of)
+        device.debug_messenger.check_overflow("clip-splits", clip_of)
+        # occupancy feedback: a reported overflow grows the raster
+        # capacities for subsequent frames (recompile, like swapchain
+        # recreation)
+        note = getattr(self.rendering_function, "note_overflow", None)
+        if note is not None:
+            note(bin_of, tile_of, clip_of)
+
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
-        ref: render_window.rs:226-233); returns the last presented image."""
+        ref: render_window.rs:226-233); returns the last presented image.
+        Drained frames still report their capacity overflows."""
         last_idx = self.swapchain.last_acquired_image
         img = None
         for idx, using in list(self._using.items()):
             img_i = using.wait()
             if idx == last_idx:
                 img = img_i
+            self._report_frame_stats(self.render_device, using.frame)
             using.scene.clear()
         self._using.clear()
         if img is not None:
