@@ -114,6 +114,17 @@ class PipelineState:
 #   rgb  = src.rgb * src.rgb + dst.rgb * (1 - dst.rgb)
 #   a    = 0
 # (ref: src/pipeline/common_pipeline.rs:117-131)
+#
+# blend_enable caveat: the reference configures blend FACTORS but never
+# calls an explicit blend-enable toggle on the (unvendored) yarvk
+# PipelineColorBlendAttachmentState builder.  If yarvk mirrors Vulkan's
+# zero-default (VK_FALSE), the upstream renderer actually runs with
+# blending DISABLED and the factors are inert.  Unverifiable from this
+# repo (yarvk is a path dependency, not mounted); we assume the factors
+# were intentional and enable blending.  Apps can opt out with
+# dataclasses.replace(..., blend=BlendState(enable=False)) — the
+# visibility path then also avoids the order-dependent-blend deviation
+# warned about by the debug messenger.
 MESH_PIPELINE_STATE = PipelineState(
     blend=BlendState(
         enable=True,

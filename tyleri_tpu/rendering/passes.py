@@ -75,12 +75,13 @@ class RasterPlan:
         cap_per_tile = max(128, min(4096, entry_cap // 8))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
-            # 16 rows (two native sublane tiles): measured on sponza-scale
-            # scenes, tall tiles cut bin entries ~24% and visibility time
-            # ~27% vs 8-row tiles — per-entry setup (scalar coefficient
-            # loads) dominates the kernel, so more pixels per entry wins
-            kw.setdefault("tile_h", 16)
-            kw.setdefault("chunk", 128)  # DMA alignment granule
+            # 32 rows: measured on sponza-scale scenes (1M tris @1080p),
+            # per-entry scalar coefficient loads dominate the kernel (~70%
+            # of its time), so more pixels per entry wins until the vector
+            # work catches up — 8/16/32/64-row tiles measure 103/84/70/113
+            # ms; chunk 256 (fewer DMA waits) takes 32-row to 51 ms
+            kw.setdefault("tile_h", 32)
+            kw.setdefault("chunk", 256)  # DMA alignment granule
         return RasterPlan(
             fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
             cap_per_tile=cap_per_tile, **kw,
