@@ -170,3 +170,45 @@ def run_gather(ids, table):
 
 dt = timeit("pallas per-entry row DMA stream", run_gather, ids, table)
 print(f"  -> {dt / E * 1e9:.1f} ns/entry")
+
+
+# ---- spill expansion variants (dense-first-tile binning, round 2) ----
+def spill_variants():
+    Ts = 1114112
+    S = 327680
+    r2 = np.random.default_rng(1)
+    # ~13% of triangles have 1-3 extra tiles (sponza-at-32-row-tiles shape)
+    extra = np.where(r2.random(Ts) < 0.13, r2.integers(1, 4, Ts), 0)
+    cnt = jnp.asarray(extra.astype(np.int32))
+
+    @jax.jit
+    def v_repeat(cnt):
+        tri_ids = jnp.arange(Ts, dtype=jnp.int32)
+        return jnp.repeat(tri_ids, cnt, total_repeat_length=S)
+
+    @jax.jit
+    def v_ss_sort(cnt):
+        cum = jnp.cumsum(cnt)
+        return jnp.searchsorted(
+            cum, jnp.arange(S, dtype=jnp.int32), side="right", method="sort"
+        ).astype(jnp.int32)
+
+    @jax.jit
+    def v_ss_default(cnt):
+        cum = jnp.cumsum(cnt)
+        return jnp.searchsorted(
+            cum, jnp.arange(S, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+
+    a = np.asarray(v_repeat(cnt))
+    b = np.asarray(v_ss_sort(cnt))
+    c = np.asarray(v_ss_default(cnt))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+    timeit("spill repeat", v_repeat, cnt)
+    timeit("spill searchsorted(sort)", v_ss_sort, cnt)
+    timeit("spill searchsorted(default)", v_ss_default, cnt)
+
+
+if __name__ == "__main__" and "spill" in sys.argv:
+    spill_variants()

@@ -102,7 +102,7 @@ def _variant_kernel(
 
     def start_dma(slot, k):
         return pltpu.make_async_copy(
-            entries_ref.at[:, pl.ds(chunk_slice(k), chunk)],
+            entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
             ebuf.at[slot], sem.at[slot],
         )
 
@@ -127,9 +127,9 @@ def _variant_kernel(
             for u in range(unroll):
                 live_u = (idx + u >= start) & (idx + u < end)
                 if hoist_loads:
-                    c_u = lambda row: ebuf[slot, row, 0]  # noqa: E731
+                    c_u = lambda row: ebuf[slot, 0, row]  # noqa: E731
                 else:
-                    c_u = lambda row, u=u: ebuf[slot, row, j + u]  # noqa: E731
+                    c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
                 inner = resolve_entry(c_u, idx + u, live_u, inner)
             return inner
 
@@ -154,10 +154,10 @@ def _variant_kernel(
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
                      "chunk", "unroll", "strip_attrs", "hoist_loads"),
 )
-def run_variant(binned_cm, tile_start, num_broad, init_depth, scissor, *,
+def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
                 unroll, strip_attrs, hoist_loads):
-    e_cap = binned_cm.shape[1]
+    e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
     depth0 = jnp.pad(
@@ -184,10 +184,11 @@ def run_variant(binned_cm, tile_start, num_broad, init_depth, scissor, *,
             for _ in range(7)
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, S.NUM_CHANNELS, chunk), jnp.float32),
+            pltpu.SMEM((2, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    binned_rm = jnp.pad(binned_rm, ((0, 0), (0, 128 - S.NUM_CHANNELS)))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -200,7 +201,7 @@ def run_variant(binned_cm, tile_start, num_broad, init_depth, scissor, *,
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
         ],
-    )(tile_start, scissor, num_broad.reshape(1), binned_cm, depth0)
+    )(tile_start, scissor, num_broad.reshape(1), binned_rm, depth0)
     return outs
 
 
@@ -274,7 +275,7 @@ def main():
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
         print(f"[{name}] entries={int(b.num_entries)}", flush=True)
-        timeit(name, run_variant, b.entry_channels_cm, b.tile_start,
+        timeit(name, run_variant, b.entry_channels, b.tile_start,
                b.num_broad, depth0, scissors[0],
                fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,

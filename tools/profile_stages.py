@@ -183,6 +183,19 @@ def main():
     total += timeit("shade", stage_shade, vis, color0)
     print(f"{'sum':12s} {total * 1000:9.2f} ms  ({1.0 / total:.1f} fps equivalent)")
 
+    # The FUSED frame is the ground truth: cross-jit boundaries above let
+    # XLA pick layouts per stage (e.g. a column-major entry table) that the
+    # one-program frame avoids, so stage sums can deviate either way.
+    import functools
+
+    from tyleri_tpu.rendering.forward import _render_frame
+
+    frame_fn = functools.partial(
+        _render_frame, rf.plan, rf.mesh_state, rf.ui_state
+    )
+    dt = timeit("fused frame", frame_fn, *arrays)
+    print(f"{'fused fps':12s} {1.0 / dt:9.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -39,8 +39,12 @@ from tyleri_tpu.ops.setup import TriangleSetup
 
 class BinnedEntries(NamedTuple):
     entry_channels: jax.Array  # f32 [E_cap, NUM_CHANNELS] sorted by tile
-    entry_channels_cm: jax.Array  # f32 [NUM_CHANNELS, E_cap] transpose for
-                               # the Pallas kernel's 128-aligned lane DMA
+                               # (row-major is the ONLY layout: a
+                               # channel-major twin makes XLA's layout
+                               # assignment fuse the transpose INTO the
+                               # gather — strided row writes, measured 3.5x
+                               # slower than the row gather + the Pallas
+                               # kernel's leading-dim chunk DMA)
     entry_tile: jax.Array      # i32 [E_cap] tile id per sorted entry (ntiles = dead)
     tile_start: jax.Array      # i32 [ntiles + 1] segment offsets into entries
     num_entries: jax.Array     # i32 [] total live entries
@@ -171,9 +175,6 @@ def bin_triangles(
     # [start, end) window, the XLA path by its tile lists), and the masking
     # pass would cost a full extra read+write of the table.
     entry_channels = setup.channels[entry_tri]
-    # channel-major copy for the Pallas kernel (a transpose pass is far
-    # cheaper than gathering strided columns; XLA fuses it into the gather)
-    entry_channels_cm = jnp.transpose(entry_channels)
 
     # Broad (huge) triangles: dense side list, every covered tile scans it.
     # Compacted by inverse lookup (searchsorted over B queries) — a [T]
@@ -198,7 +199,6 @@ def bin_triangles(
 
     return BinnedEntries(
         entry_channels=entry_channels,
-        entry_channels_cm=entry_channels_cm,
         entry_tile=entry_tile,
         tile_start=tile_start,
         num_entries=jnp.minimum(total, entry_cap).astype(jnp.int32),

@@ -5,14 +5,19 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
 
 * the framebuffer tile is (8, 128) pixels — one VPU native vector — and each
   grid program owns one tile's resolve end-to-end in VMEM registers
-* the sorted entry table reaches the kernel channel-major [NUM_CHANNELS, E]
-  (binning keeps a row-major twin for gathers and transposes once); each
-  tile DMAs its segment in [NUM_CHANNELS, CHUNK] lane-aligned slices into SMEM
-  (double-buffered DMA overlapped with compute) and processes entries
-  sequentially: per entry, plane evaluation + coverage + depth test are ~30
-  native vector ops over the whole tile, with coefficients as SMEM scalar
-  loads (Mosaic cannot scalar-index VMEM lanes dynamically, and DMA lane
-  offsets must be 128-aligned — hence SMEM staging + floor-aligned chunks)
+* the sorted entry table reaches the kernel ROW-major [E, 128] (24 live
+  channels zero-padded to the 128-lane tile, which is physically free —
+  row-major (8,128)-tiled rows are lane-padded in HBM anyway).  Row-major
+  is the layout the binning gather produces natively; a channel-major twin
+  makes XLA's layout assignment fuse the transpose INTO the gather —
+  strided row writes, measured 3.5x slower than the row gather.  Each tile
+  DMAs its segment in [CHUNK, 128] leading-dim slices into SMEM
+  (leading-dim DMA offsets need no alignment; lane extents must be whole
+  128-lane tiles — hence the pad; double-buffered, overlapped with
+  compute) and processes entries sequentially: per entry, plane evaluation
+  + coverage + depth test are ~30 native vector ops over the whole tile,
+  with coefficients as SMEM scalar loads (Mosaic cannot scalar-index VMEM
+  lanes dynamically — hence SMEM staging)
 * sequential processing gives *exact* Vulkan submission-order semantics for
   the depth test by construction: binning sorts each tile's entries by DRAW
   ORDER (including near-clip split halves), so the narrow loop needs no
@@ -50,9 +55,8 @@ def _visibility_kernel(
     scissor_ref,      # i32 [4] (SMEM)
     nbroad_ref,       # i32 [1] live broad-entry count (SMEM)
     # inputs
-    entries_ref,      # f32 [NUM_CHANNELS, E] (HBM/ANY) channel-major:
-                      # DMA slices the 128-aligned lane dim, the only
-                      # slicing form Mosaic accepts for this table
+    entries_ref,      # f32 [E, 128] (HBM/ANY) row-major, lane-padded:
+                      # chunk DMAs slice the leading dim (unaligned-OK)
     broad_ch_ref,     # f32 [NUM_CHANNELS, B] (SMEM)
     broad_bbox_ref,   # f32 [B, 4] (SMEM)
     depth_init_ref,   # f32 [th, tw] (VMEM block)
@@ -65,7 +69,7 @@ def _visibility_kernel(
     iw_ref,           # f32 [th, tw] winner 1/w
     tex_ref,          # i32 [th, tw] winner texture slot
     # scratch
-    ebuf,             # f32 [2, NUM_CHANNELS, CHUNK] (SMEM)
+    ebuf,             # f32 [2, CHUNK, 128] (SMEM)
     sem,              # DMA sems [2]
     *,
     tile_w: int,
@@ -191,8 +195,8 @@ def _visibility_kernel(
     )
 
     # ---- narrow entries: double-buffered DMA over the tile's segment ----
-    # DMA lane offsets must be 128-aligned: cover [start, end) with
-    # chunk-aligned windows (chunk % 128 == 0); the live mask trims edges.
+    # Chunk-aligned windows over [start, end) keep the slice arithmetic
+    # static-friendly; the live mask trims both edges.
     base = start - jax.lax.rem(start, chunk)
     nchunks = jnp.where(end > start, pl.cdiv(end - base, chunk), 0)
 
@@ -202,7 +206,7 @@ def _visibility_kernel(
 
     def start_dma(slot, k):
         return pltpu.make_async_copy(
-            entries_ref.at[:, pl.ds(chunk_slice(k), chunk)],
+            entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
             ebuf.at[slot],
             sem.at[slot],
         )
@@ -235,7 +239,7 @@ def _visibility_kernel(
             idx = s + j
             for u in range(UNROLL):
                 live_u = (idx + u >= start) & (idx + u < end)
-                c_u = lambda row, u=u: ebuf[slot, row, j + u]  # noqa: E731
+                c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
                 inner = resolve_entry(c_u, idx + u, live_u, inner)
             return inner
 
@@ -349,9 +353,15 @@ def rasterize_visibility_pallas(
             for _ in range(7)
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, S.NUM_CHANNELS, chunk), jnp.float32),
+            pltpu.SMEM((2, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+
+    # lane-pad to the physical 128-lane row (XLA fuses the pad into the
+    # binning gather's output write; the padded bytes exist in HBM anyway)
+    entries_padded = jnp.pad(
+        binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
     )
 
     owner, z, order, uw, vw, iw, tex = pl.pallas_call(
@@ -371,7 +381,7 @@ def rasterize_visibility_pallas(
         binned.tile_start,
         scissor,
         binned.num_broad.reshape(1),
-        binned.entry_channels_cm,
+        entries_padded,
         binned.broad_channels_cm,
         binned.broad_tiles.astype(jnp.float32),
         depth0,

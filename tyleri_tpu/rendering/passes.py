@@ -79,9 +79,11 @@ class RasterPlan:
             # per-entry scalar coefficient loads dominate the kernel (~70%
             # of its time), so more pixels per entry wins until the vector
             # work catches up — 8/16/32/64-row tiles measure 103/84/70/113
-            # ms; chunk 256 (fewer DMA waits) takes 32-row to 51 ms
+            # ms.  chunk 128: the SMEM staging buffer is [2, chunk, 128]
+            # f32 (entry rows lane-padded for DMA legality), so 128 keeps
+            # it at 128 KB while still amortizing DMA waits
             kw.setdefault("tile_h", 32)
-            kw.setdefault("chunk", 256)  # DMA alignment granule
+            kw.setdefault("chunk", 128)
         return RasterPlan(
             fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
             cap_per_tile=cap_per_tile, **kw,
