@@ -299,6 +299,12 @@ def main():
         "th32c512": dict(tile_h=32, chunk=512),
         "th32c256u2": dict(tile_h=32, chunk=256, unroll=2),
         "th32c256u8": dict(tile_h=32, chunk=256, unroll=8),
+        "th32c128u8": dict(tile_h=32, chunk=128, unroll=8),
+        "th16c128u8": dict(tile_h=16, chunk=128, unroll=8),
+        "th16c256u4": dict(tile_h=16, chunk=256, unroll=4),
+        "th8c128u4": dict(tile_h=8, chunk=128, unroll=4),
+        "th8c128u8": dict(tile_h=8, chunk=128, unroll=8),
+        "th16c128u2": dict(tile_h=16, chunk=128, unroll=2),
         "th64c256": dict(tile_h=64, chunk=256),
         "c512": dict(chunk=512),
         "th32hoist": dict(tile_h=32, chunk=256, hoist_loads=True),

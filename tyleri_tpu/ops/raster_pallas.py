@@ -229,10 +229,10 @@ def _visibility_kernel(
         # pay for a full 128-entry chunk)
         n_here = jnp.clip(end - s, 0, chunk)
 
-        # 8-entry unroll: cuts loop overhead and lets later entries' SMEM
+        # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
         # scalar loads overlap earlier entries' vector work (measured best
-        # of 2/4/8 at 32-row tiles on the 1M-tri config)
-        UNROLL = 8
+        # of 2/4/8 at 16-row tiles with the row-major table)
+        UNROLL = 4
 
         def entry_body(jj, inner):
             j = jj * UNROLL

@@ -206,7 +206,13 @@ class ForwardRenderingFunction:
         # REPORTED bin overflow (note_overflow) — binning's sort/gather
         # cost scales with the static cap, not with live entries, so a
         # blanket 2x-tris cap taxes every frame of big scenes
-        self._entry_headroom = 1.25
+        # 1.15: measured ~1.13 entries/tri on sponza-scale scenes with
+        # (16,128) tiles; mid-size-triangle scenes overflow once and grow
+        self._entry_headroom = 1.15
+        # spill slots (tiles 2..n of multi-tile triangles) per triangle;
+        # measured ~0.22 on sponza at (16,128) tiles.  Grown on the same
+        # reported bin overflow as the entry headroom.
+        self._spill_headroom = 0.3
         # record() mutates host state (plan growth, triangle-table cache);
         # DispatchQueue workers may run successive records on different
         # threads, so serialize them here (the per-rf ordering guarantee)
@@ -244,11 +250,13 @@ class ForwardRenderingFunction:
             # gather, sort, channel gather) pays for the STATIC cap, so the
             # coarser 1<<18 granule taxed big scenes up to 20%
             entry_cap=entry_cap,
-            # spill list (tiles 2.. of multi-tile triangles) sized by the
-            # same occupancy signal: live spill = live entries - live tris,
-            # so entry headroom growth grows the spill bound with it
+            # spill list (tiles 2.. of multi-tile triangles): separately
+            # grown headroom — (entry_cap - n_tris) under-provisions when
+            # many triangles are invalid/culled (dense slots go unused but
+            # live triangles still spill)
             spill_cap=_cap_growth(
-                max(entry_cap - n_tris, 1), 1 << 16, p.raster.spill_cap
+                int(self._spill_headroom * n_tris), 1 << 16,
+                p.raster.spill_cap
             ),
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays
@@ -277,7 +285,11 @@ class ForwardRenderingFunction:
         A tile overflow (XLA backend's per-tile lists) doubles that cap; a
         clip overflow quadruples the near-plane split work set."""
         if bin_overflow > 0:
+            # the counter conflates entry and spill truncation, so grow
+            # both bounds (extra capacity costs ~linearly, correctness
+            # converges in one or two recompiles)
             self._entry_headroom = min(self._entry_headroom * 1.5, 4.0)
+            self._spill_headroom = min(self._spill_headroom * 2.0, 4.0)
         if tile_overflow > 0:
             self.plan = dataclasses.replace(
                 self.plan,

@@ -75,14 +75,14 @@ class RasterPlan:
         cap_per_tile = max(128, min(4096, entry_cap // 8))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
-            # 32 rows: measured on sponza-scale scenes (1M tris @1080p),
-            # per-entry scalar coefficient loads dominate the kernel (~70%
-            # of its time), so more pixels per entry wins until the vector
-            # work catches up — 8/16/32/64-row tiles measure 103/84/70/113
-            # ms.  chunk 128: the SMEM staging buffer is [2, chunk, 128]
-            # f32 (entry rows lane-padded for DMA legality), so 128 keeps
-            # it at 128 KB while still amortizing DMA waits
-            kw.setdefault("tile_h", 32)
+            # 16 rows: with the ROW-major entry table (contiguous SMEM
+            # scalar loads per entry) the sweep on sponza-1M measures
+            # 8/16/32-row tiles at 56/42/57 ms — scalar loads got ~2x
+            # cheaper than the old channel-major layout, so the optimum
+            # moved back to smaller tiles (less vector work per entry).
+            # chunk 128: the SMEM staging buffer is [2, chunk, 128] f32
+            # (entry rows lane-padded for DMA legality) = 128 KB
+            kw.setdefault("tile_h", 16)
             kw.setdefault("chunk", 128)
         return RasterPlan(
             fb_w=fb_w, fb_h=fb_h, entry_cap=entry_cap,
