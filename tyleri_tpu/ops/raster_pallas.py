@@ -136,6 +136,10 @@ def _visibility_kernel(
         e0 = plane(S.CH_E0)
         e1 = plane(S.CH_E1)
         e2 = plane(S.CH_E2)
+        # (A signed-int-compare formulation of the top-left rule — one cmp
+        # per edge via bitcast — measures faster but DIVERGES from the XLA
+        # path near zero: float compares and int-viewed bits disagree on
+        # denormal plane values, so coverage stays in float.)
         cov = (
             ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
             & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
@@ -161,11 +165,7 @@ def _visibility_kernel(
         uwb = jnp.where(passing, plane(S.CH_UW), uwb)
         vwb = jnp.where(passing, plane(S.CH_VW), vwb)
         iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
-        texb = jnp.where(
-            passing,
-            jnp.full_like(texb, 0) + (meta & S.META_TEX_MASK),
-            texb,
-        )
+        texb = jnp.where(passing, meta & S.META_TEX_MASK, texb)
         return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
     def resolve_entry(coeff, eid, live, st, arbitrate=False):
