@@ -198,3 +198,27 @@ def test_window_context_manager_drains():
         assert win._using  # a frame is in flight
     assert not win._using  # __exit__ drained it
     assert win.latest_image is not None
+
+
+def test_window_resize_recreates_swapchain():
+    """Swapchain recreation (beyond the reference, which panics): drain,
+    rebuild the ring, re-target the frame program at the new size."""
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    win = RenderWindow(dev, resolution=RES)
+    for _ in range(2):
+        rig.fill(win.get_render_scene(), 0.0)
+        win.render()
+    win.flush()
+    assert win.latest_image.shape == (RES[1], RES[0], 4)
+
+    win.resize((96, 48))
+    assert win.resolution == (96, 48)
+    rig2 = scenelib.config1_triangle(dev, (96, 48))
+    for _ in range(2):
+        rig2.fill(win.get_render_scene(), 0.0)
+        win.render()
+    img = win.flush()
+    assert img.shape == (48, 96, 4)
+    assert img[24, 48, 0] > 0          # triangle center covered
+    assert img[2, 2, 3] == 0           # clear corner

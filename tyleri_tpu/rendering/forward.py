@@ -234,6 +234,28 @@ class ForwardRenderingFunction:
                 debug.MessageType.PERFORMANCE,
             )
 
+    def resize(self, resolution) -> None:
+        """Re-target the frame program to a new framebuffer size (the
+        swapchain-recreation analog; the reference has no out-of-date /
+        resize handling and panics — we recompile on the next record).
+        Grown capacities are kept: they only ever grow, and re-learning
+        them would re-pay the occupancy-growth recompiles."""
+        with self._record_lock:
+            w, h = resolution
+            old = self.plan.raster
+            new_raster = RasterPlan.for_scene(w, h, 1, exact=old.exact)
+            new_raster = dataclasses.replace(
+                new_raster,
+                entry_cap=old.entry_cap,
+                cap_per_tile=old.cap_per_tile,
+                max_tiles_per_tri=old.max_tiles_per_tri,
+                broad_cap=old.broad_cap,
+                clip_cap=old.clip_cap,
+                spill_cap=old.spill_cap,
+                pallas=old.pallas,
+            )
+            self.plan = dataclasses.replace(self.plan, raster=new_raster)
+
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
         p = self.plan
         # capacities only grow (each growth recompiles, like swapchain

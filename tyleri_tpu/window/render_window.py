@@ -157,6 +157,23 @@ class RenderWindow:
     def get_swapchain_images(self) -> int:
         return self.swapchain.image_count
 
+    def resize(self, resolution) -> None:
+        """Recreate the swapchain at a new resolution.
+
+        The reference has NO out-of-date/resize handling (acquire panics,
+        swapchain.rs is recreation-free); real applications need it, so we
+        drain in-flight frames (reporting their stats), rebuild the image
+        ring with the same present mode, and re-target the rendering
+        function (recompiles on the next record, like any plan change)."""
+        self.flush()
+        self.swapchain = ImageViewSwapchain(
+            resolution, present_mode=self.swapchain.present_mode
+        )
+        self.latest_image = None
+        rs = getattr(self.rendering_function, "resize", None)
+        if rs is not None:
+            rs(resolution)
+
     # -- the frame hot loop (ref: render_window.rs:126-218) --
 
     def render(self, render_device=None) -> int:
