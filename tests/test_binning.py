@@ -1,0 +1,86 @@
+"""Binning invariants: dense-first-tile + spill expansion vs a brute-force
+reference, draw-order streaming within tiles, and spill-overflow reporting
+(overflow is reported, never silently dropped — the plan invariant)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tyleri_tpu.ops.binning import bin_triangles
+from tyleri_tpu.ops.setup import setup_triangles
+
+
+def make_setup(rng, T=800, grid_w=9, grid_h=7, tile=16):
+    w = grid_w * tile
+    h = grid_h * tile
+    base = rng.uniform(-0.9, 0.9, (T, 1, 2))
+    ext = rng.uniform(0.01, 0.2, (T, 3, 2)) * rng.choice([-1, 1], (T, 3, 2))
+    xy = np.clip(base + ext, -1, 1).astype(np.float32)
+    z = rng.uniform(0.1, 0.9, (T, 1)).astype(np.float32)
+    clip = np.concatenate(
+        [xy, np.broadcast_to(z[:, :, None], (T, 3, 1)),
+         np.ones((T, 3, 1), np.float32)], axis=2)
+    uv = rng.uniform(0, 1, (T, 3, 2)).astype(np.float32)
+    valid = rng.random(T) > 0.2
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.asarray(uv),
+        jnp.zeros((T,), jnp.int32), jnp.asarray(valid),
+        jnp.asarray([0.0, 0.0, w, h, 0.0, 1.0], jnp.float32),
+        jnp.asarray([0, 0, w, h], jnp.int32),
+        tile_w=tile, tile_h=tile, grid_w=grid_w, grid_h=grid_h,
+        order=jnp.arange(T, dtype=jnp.float32),
+    )
+    return su, grid_w, grid_h
+
+
+def brute_force_tiles(su, grid_w, grid_h, K):
+    """Reference (tile, order) multiset per tile, narrow triangles only."""
+    lo = np.asarray(su.tile_lo)
+    hi = np.asarray(su.tile_hi)
+    valid = np.asarray(su.valid)
+    per_tile = {}
+    for t in range(len(valid)):
+        if not valid[t]:
+            continue
+        ncover = (hi[t, 0] - lo[t, 0] + 1) * (hi[t, 1] - lo[t, 1] + 1)
+        if ncover <= 0 or ncover > K:
+            continue
+        for ty in range(lo[t, 1], hi[t, 1] + 1):
+            for tx in range(lo[t, 0], hi[t, 0] + 1):
+                per_tile.setdefault(ty * grid_w + tx, []).append(t)
+    return per_tile
+
+
+def test_binning_matches_brute_force_and_orders_by_draw():
+    su, grid_w, grid_h = make_setup(np.random.default_rng(3))
+    K = 32
+    b = bin_triangles(su, grid_w=grid_w, grid_h=grid_h, entry_cap=1 << 14,
+                      max_tiles_per_tri=K, broad_cap=16, spill_cap=1 << 13)
+    assert int(b.overflow) == 0
+    ref = brute_force_tiles(su, grid_w, grid_h, K)
+    tile_start = np.asarray(b.tile_start)
+    # reconstruct per-tile triangle lists from the sorted table
+    # (order == slot for this scene, read from the CH_ORDER channel)
+    from tyleri_tpu.ops import setup as S
+
+    orders = np.asarray(b.entry_channels)[:, S.CH_ORDER].astype(int)
+    for tile_id, tris in ref.items():
+        s, e = tile_start[tile_id], tile_start[tile_id + 1]
+        got = sorted(orders[s:e].tolist())
+        assert got == sorted(tris), f"tile {tile_id}"
+        # draw-order streaming: the segment is ascending in order
+        assert (np.diff(orders[s:e]) >= 0).all()
+    total_ref = sum(len(v) for v in ref.values())
+    assert int(b.num_entries) == total_ref
+
+
+def test_spill_overflow_is_reported_not_dropped_silently():
+    su, grid_w, grid_h = make_setup(np.random.default_rng(4))
+    generous = bin_triangles(su, grid_w=grid_w, grid_h=grid_h,
+                             entry_cap=1 << 14, max_tiles_per_tri=32,
+                             broad_cap=16, spill_cap=1 << 13)
+    assert int(generous.overflow) == 0
+    tight = bin_triangles(su, grid_w=grid_w, grid_h=grid_h,
+                          entry_cap=1 << 14, max_tiles_per_tri=32,
+                          broad_cap=16, spill_cap=128)
+    # the scene has far more than 128 spill entries: must be REPORTED
+    assert int(tight.overflow) > 0
