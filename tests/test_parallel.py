@@ -149,3 +149,47 @@ def test_render_window_multichip():
 
     bad = (np.abs(img_multi.astype(int) - img_single.astype(int)).max(axis=-1) > 1).mean()
     assert bad < 0.01, f"{bad:.3%} pixels differ between mesh and single chip"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_equal_z_tie_less_compare_first_draw_wins_across_devices():
+    """Same two-identical-triangle scene under strict LESS: the EARLIEST
+    draw wins every equal-z tie (single-chip first-draw-wins arbitration,
+    commit-pinned by test_pallas_less_compare_first_draw_wins_ties); the
+    cross-device composite must match with zero pixel budget."""
+    import dataclasses
+
+    from tyleri_tpu.models import primitives as prim
+    from tyleri_tpu.models.scenes import _camera, _upload, _upload_texture
+    from tyleri_tpu.pipeline.state import CompareOp
+    from tyleri_tpu.scene.mesh_renderer import MeshRenderer
+
+    dev = ty.RenderDeviceBuilder().build()
+    verts, idx = prim.triangle(z=0.5)
+    v, i = _upload(dev, verts, idx)
+    red = _upload_texture(dev, np.full((1, 1, 4), [1.0, 0.0, 0.0, 1.0], np.float32))
+    green = _upload_texture(dev, np.full((1, 1, 4), [0.0, 1.0, 0.0, 1.0], np.float32))
+
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    rf.mesh_state = dataclasses.replace(
+        rf.mesh_state,
+        depth=dataclasses.replace(rf.mesh_state.depth, compare_op=CompareOp.LESS),
+    )
+    scene = RenderScene()
+    cam = _camera(RES, [0, 0, 2.2], [0, 0, 0])
+    cam.mesh_renderers.append(MeshRenderer(v, i, red))    # draw 0 -> device 0
+    cam.mesh_renderers.append(MeshRenderer(v, i, green))  # draw 1 -> device 1
+    scene.add_camera(cam)
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, RES)
+
+    want_c, want_d = single_chip(rf, arrays)
+    assert (want_c[..., 0] > 0).any() and not (want_c[..., 1] > 0).any(), (
+        "single-chip sanity: the earlier (red) draw must win all LESS ties"
+    )
+
+    mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
+    color, depth, *_ = render_frame_sharded(
+        rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays
+    )
+    np.testing.assert_array_equal(np.asarray(color), want_c)
+    np.testing.assert_array_equal(np.asarray(depth), want_d)

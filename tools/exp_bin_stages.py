@@ -179,17 +179,17 @@ def time_full():
     b = timeit("bin_triangles full", full, su)
     print("entries:", int(b.num_entries))
 
-    # cm-only variant: does materializing only the kernel inputs help?
+    # kernel-inputs-only variant (what the fused frame materializes)
     @jax.jit
-    def cm_only(su):
+    def kernel_inputs(su):
         b = bin_triangles(su, grid_w=r.grid_w, grid_h=r.grid_h,
                           entry_cap=r.entry_cap,
                           max_tiles_per_tri=r.max_tiles_per_tri,
                           broad_cap=r.broad_cap, spill_cap=r.spill_cap)
-        return (b.entry_channels_cm, b.tile_start, b.num_broad,
+        return (b.entry_channels, b.tile_start, b.num_broad,
                 b.broad_channels_cm, b.broad_tiles, b.overflow, b.num_entries)
 
-    timeit("bin cm-only (DCE row)", cm_only, su)
+    timeit("bin kernel-inputs", kernel_inputs, su)
 
 
 if __name__ == "__main__" and "full" in sys.argv:

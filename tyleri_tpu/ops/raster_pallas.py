@@ -25,8 +25,10 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
   depth simply overwrite, and strict LESS simply keeps the incumbent.  Only
   the broad (huge-triangle) side list, processed after the narrow stream,
   arbitrates equal-depth ties by the CH_ORDER channel
-* chunk overrun at segment ends is handled by clamping the slice start;
-  re-processing a duplicate entry is idempotent under the resolve
+* chunk windows tile [start, end) exactly: ``e_cap % chunk == 0`` and the
+  base is chunk-aligned, so no window ever re-covers processed entries
+  (re-processing would violate the no-arbitration draw-order semantics
+  above — an earlier equal-z entry would steal a later entry's pixel back)
 * the huge-triangle ("broad") side list lives wholly in SMEM and is scanned
   by every tile with a scalar bbox test
 
@@ -201,8 +203,10 @@ def _visibility_kernel(
     nchunks = jnp.where(end > start, pl.cdiv(end - base, chunk), 0)
 
     def chunk_slice(k):
-        s = jnp.minimum(base + k * chunk, e_cap - chunk)
-        return pl.multiple_of(s, chunk)
+        # base is chunk-aligned and k < cdiv(end - base, chunk) with
+        # end <= e_cap and chunk | e_cap, so base + k*chunk <= e_cap - chunk
+        # always: no clamp, no window ever re-covers processed entries
+        return pl.multiple_of(base + k * chunk, chunk)
 
     def start_dma(slot, k):
         return pltpu.make_async_copy(

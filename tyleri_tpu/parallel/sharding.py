@@ -56,9 +56,14 @@ def derive_draw_groups(cameras, n_draw_shards: int):
         for g in range(n_draw_shards):
             items = pg.get_group_by_thread(g) or []
             expect = cam.mesh_renderers[g::n_draw_shards]
-            assert [id(m) for m in items] == [id(m) for m in expect], (
-                "ParallelGroup round-robin drifted from the draw%n sharding"
-            )
+            # a real exception (not assert): the check must survive
+            # python -O, or a ParallelGroup change would silently desync
+            # the sharded output from the reference partitioning
+            if [id(m) for m in items] != [id(m) for m in expect]:
+                raise RuntimeError(
+                    "ParallelGroup round-robin drifted from the draw%n "
+                    "sharding mask"
+                )
             per_dev.append(list(range(g, len(cam.mesh_renderers), n_draw_shards)))
         out.append(per_dev)
     return out
@@ -90,16 +95,25 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
             band_y0=y0, draw_keep=lambda ids: (ids % nd) == di,
         )
         # composite across the draws axis: lexicographic (depth, order) —
-        # min depth wins; equal-depth ties go to the max GLOBAL draw order
-        # (Frame.order), reproducing LESS_OR_EQUAL submission-order
-        # semantics (ref: src/pipeline/common_pipeline.rs:107-116) exactly,
+        # min depth wins; equal-depth ties follow the pipeline's compare
+        # op on the GLOBAL draw order (Frame.order): LESS_OR_EQUAL lets a
+        # later equal-z draw overwrite (max order wins), strict LESS keeps
+        # the earliest (min order wins, matching the single-chip
+        # first-draw-wins arbitration) — reproducing submission-order
+        # semantics (ref: src/pipeline/common_pipeline.rs:107-116)
         # independent of which device a draw round-robined to
+        from tyleri_tpu.pipeline.state import CompareOp
+
         depths = jax.lax.all_gather(frame.depth, AXIS_DRAWS)   # [nd, bh, W]
         colors = jax.lax.all_gather(frame.color, AXIS_DRAWS)   # [nd, bh, W, 4]
         orders = jax.lax.all_gather(frame.order, AXIS_DRAWS)   # [nd, bh, W]
         zmin = jnp.min(depths, axis=0)
-        okey = jnp.where(depths == zmin[None], orders, -jnp.inf)
-        winner = jnp.argmax(okey, axis=0)
+        if mesh_state.depth.compare_op == CompareOp.LESS:
+            okey = jnp.where(depths == zmin[None], orders, jnp.inf)
+            winner = jnp.argmin(okey, axis=0)
+        else:
+            okey = jnp.where(depths == zmin[None], orders, -jnp.inf)
+            winner = jnp.argmax(okey, axis=0)
         color = jnp.take_along_axis(
             colors, winner[None, ..., None], axis=0
         )[0]

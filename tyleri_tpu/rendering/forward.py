@@ -243,18 +243,12 @@ class ForwardRenderingFunction:
         with self._record_lock:
             w, h = resolution
             old = self.plan.raster
-            new_raster = RasterPlan.for_scene(w, h, 1, exact=old.exact)
-            new_raster = dataclasses.replace(
-                new_raster,
-                entry_cap=old.entry_cap,
-                cap_per_tile=old.cap_per_tile,
-                max_tiles_per_tri=old.max_tiles_per_tri,
-                broad_cap=old.broad_cap,
-                clip_cap=old.clip_cap,
-                spill_cap=old.spill_cap,
-                pallas=old.pallas,
+            # only the framebuffer dims change: tile geometry, chunking,
+            # learned capacities and backend choice all carry over
+            self.plan = dataclasses.replace(
+                self.plan,
+                raster=dataclasses.replace(old, fb_w=int(w), fb_h=int(h)),
             )
-            self.plan = dataclasses.replace(self.plan, raster=new_raster)
 
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
         p = self.plan
@@ -305,31 +299,46 @@ class ForwardRenderingFunction:
         re-bins with more capacity (recompiles, like swapchain recreation —
         the VariableLengthBuffer.expand_to analog for the raster tables).
         A tile overflow (XLA backend's per-tile lists) doubles that cap; a
-        clip overflow quadruples the near-plane split work set."""
-        if bin_overflow > 0:
-            # the counter conflates entry and spill truncation, so grow
-            # both bounds (extra capacity costs ~linearly, correctness
-            # converges in one or two recompiles)
-            self._entry_headroom = min(self._entry_headroom * 1.5, 4.0)
-            self._spill_headroom = min(self._spill_headroom * 2.0, 4.0)
-        if tile_overflow > 0:
-            self.plan = dataclasses.replace(
-                self.plan,
-                raster=dataclasses.replace(
-                    self.plan.raster,
-                    cap_per_tile=self.plan.raster.cap_per_tile * 2,
-                ),
-            )
-        if clip_overflow > 0:
-            p = self.plan
-            new_cap = min(
-                max(p.raster.clip_cap * 4,
-                    _next_pow2(p.raster.clip_cap + clip_overflow, 256)),
-                _next_pow2(p.tri_cap, 256),
-            )
-            self.plan = dataclasses.replace(
-                p, raster=dataclasses.replace(p.raster, clip_cap=new_cap)
-            )
+        clip overflow quadruples the near-plane split work set.
+
+        Headroom ceilings: a narrow triangle can cover up to
+        max_tiles_per_tri (32) tiles, so the entry bound converges for any
+        real scene well below the 8.0/6.0 caps — beyond them the overflow
+        keeps being REPORTED every frame (never silently dropped) rather
+        than risking an entry table tens of GB large."""
+        with self._record_lock:
+            if bin_overflow > 0:
+                # the counter conflates entry, spill and broad-list
+                # truncation, so grow all three bounds (extra capacity
+                # costs ~linearly; broad_cap is tiny)
+                self._entry_headroom = min(self._entry_headroom * 1.5, 8.0)
+                self._spill_headroom = min(self._spill_headroom * 2.0, 6.0)
+                self.plan = dataclasses.replace(
+                    self.plan,
+                    raster=dataclasses.replace(
+                        self.plan.raster,
+                        broad_cap=min(self.plan.raster.broad_cap * 4, 1 << 16),
+                    ),
+                )
+            if tile_overflow > 0:
+                self.plan = dataclasses.replace(
+                    self.plan,
+                    raster=dataclasses.replace(
+                        self.plan.raster,
+                        cap_per_tile=self.plan.raster.cap_per_tile * 2,
+                    ),
+                )
+            if clip_overflow > 0:
+                p = self.plan
+                new_cap = min(
+                    max(p.raster.clip_cap * 4,
+                        _next_pow2(p.raster.clip_cap + clip_overflow, 256)),
+                    _next_pow2(p.tri_cap, 256),
+                )
+                self.plan = dataclasses.replace(
+                    p, raster=dataclasses.replace(p.raster, clip_cap=new_cap)
+                )
+
     def record(self, render_device, render_resources, scale_factor, window_size) -> Frame:
         """Record + submit one frame (ref: mod.rs:262-324). Returns a Frame
         of device arrays still computing (XLA async dispatch = submission)."""
@@ -359,11 +368,19 @@ class ForwardRenderingFunction:
 
         nd = device_mesh.shape[AXIS_DRAWS]
         with self._record_lock:
-            # production ParallelGroup partitioning (asserts the round-robin
-            # invariant the compiled draw%n mask relies on)
+            # production ParallelGroup partitioning (validates the
+            # round-robin invariant the compiled draw%n mask relies on)
             derive_draw_groups(render_resources.cameras, nd)
             arrays = self.build_frame_inputs(
                 render_device, render_resources, scale_factor, window_size
+            )
+            # one batched replicated upload (the same rule as record():
+            # per-array transfers each pay the full host->device latency)
+            arrays = jax.device_put(
+                arrays,
+                jax.sharding.NamedSharding(
+                    device_mesh, jax.sharding.PartitionSpec()
+                ),
             )
             color, depth, order, bin_of, tile_of, clip_of = render_frame_sharded(
                 self.plan, self.mesh_state, self.ui_state, device_mesh, *arrays
