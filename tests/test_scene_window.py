@@ -38,7 +38,9 @@ def test_window_renders_triangle_and_recycles_scenes(tmp_path):
     assert img.shape == (RES[1], RES[0], 4) and img.dtype == np.uint8
     # the triangle covers the center; background is the clear color (0,0,0,0)
     assert img[32, 32, 0] > 0     # lit center (white texture through blend)
-    assert img[2, 2, 3] == 0      # clear corner
+    # presented alpha is opaque (reference CompositeAlpha::OPAQUE); the
+    # clear corner shows in the color channels
+    assert img[2, 2, :3].max() == 0 and img[2, 2, 3] == 255
     # frames-in-flight: image_count-deep pipelining presents the rest on flush
     assert len(presented) >= n_frames - win.get_swapchain_images()
     # PNG round trip
@@ -221,4 +223,17 @@ def test_window_resize_recreates_swapchain():
     img = win.flush()
     assert img.shape == (48, 96, 4)
     assert img[24, 48, 0] > 0          # triangle center covered
-    assert img[2, 2, 3] == 0           # clear corner
+    assert img[2, 2, :3].max() == 0    # clear corner (opaque present)
+
+
+def test_composite_alpha_inherit_exposes_framebuffer_alpha():
+    """composite_alpha="inherit" keeps the framebuffer's alpha (the mesh
+    blend writes alpha 0 — ZERO/ZERO factors) in the presented image."""
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    win = RenderWindow(dev, resolution=RES, composite_alpha="inherit")
+    rig.fill(win.get_render_scene(), 0.0)
+    win.render()
+    img = win.flush()
+    assert img[32, 32, 0] > 0 and img[32, 32, 3] == 0
+    assert img[2, 2, 3] == 0

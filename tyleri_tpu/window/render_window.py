@@ -25,6 +25,7 @@ analog the BASELINE configs use.
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 from typing import Callable, Optional
 
@@ -47,12 +48,18 @@ class WindowHandle:
     display: Optional[int] = None
 
 
-@jax.jit
-def _quantize_unorm8(color):
+@functools.partial(jax.jit, static_argnames=("opaque",))
+def _quantize_unorm8(color, opaque: bool):
     """On-device UNORM8 store (round-to-nearest), so presenting fetches 1/4
     of the bytes — the host copy is the presentation bottleneck when the
-    accelerator is remote."""
-    return jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.uint8)
+    accelerator is remote.  ``opaque`` emulates the reference swapchain's
+    CompositeAlpha::OPAQUE (swapchain.rs:59): the display ignores alpha, so
+    the presented image is fully opaque (the mesh pipeline writes alpha 0 —
+    without this, presented PNGs read as transparent in viewers)."""
+    u8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.uint8)
+    if opaque:
+        u8 = u8.at[..., 3].set(jnp.uint8(255))
+    return u8
 
 
 class _UsingResources:
@@ -62,9 +69,10 @@ class _UsingResources:
     present image is quantized on-device as soon as recording completes
     (done-callback), so by fence time only the host fetch remains."""
 
-    def __init__(self, frame_future, scene):
+    def __init__(self, frame_future, scene, opaque=True):
         self._future = frame_future  # Future[Frame] from DispatchQueue.submit
         self.scene = scene           # the RenderScene that recorded it
+        self._opaque = opaque
         self._u8 = None
         self._u8_lock = __import__("threading").Lock()
         frame_future.add_done_callback(lambda f: self._ensure_u8())
@@ -77,7 +85,9 @@ class _UsingResources:
     def _ensure_u8(self):
         with self._u8_lock:
             if self._u8 is None and self._future.exception() is None:
-                self._u8 = _quantize_unorm8(self._future.result().color)
+                self._u8 = _quantize_unorm8(
+                    self._future.result().color, opaque=self._opaque
+                )
 
     def wait(self) -> np.ndarray:
         """Fence-wait analog (ref: render_window.rs:193): block on the device
@@ -101,6 +111,7 @@ class RenderWindow:
         present_mode: str = "fifo",
         refresh_hz: float = 60.0,
         device_mesh=None,
+        composite_alpha: str = "opaque",
     ):
         from tyleri_tpu.device.builders import RenderDeviceBuilder
 
@@ -131,6 +142,13 @@ class RenderWindow:
         # multi-chip: a (draws, tiles) jax.sharding.Mesh routes record()
         # through the shard_mapped frame program (tyleri_tpu.parallel)
         self.device_mesh = device_mesh
+        # presentation alpha semantics: "opaque" = the reference's
+        # CompositeAlpha::OPAQUE (swapchain.rs:59; display ignores alpha);
+        # "inherit" keeps the framebuffer's alpha in the presented image
+        # (useful for readback/testing the blend state's alpha channel)
+        if composite_alpha not in ("opaque", "inherit"):
+            raise ValueError(f"unsupported composite_alpha {composite_alpha!r}")
+        self.composite_alpha = composite_alpha
         self.present_target = present_target
         self.latest_image: Optional[np.ndarray] = None
         self.frame_index = 0
@@ -210,7 +228,9 @@ class RenderWindow:
             device.present_queues.push(queue)
 
         previous = self._using.pop(image_index, None)
-        self._using[image_index] = _UsingResources(frame, scene)
+        self._using[image_index] = _UsingResources(
+            frame, scene, opaque=self.composite_alpha == "opaque"
+        )
 
         if previous is not None:
             # fence wait on the frame previously using this image slot
