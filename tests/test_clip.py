@@ -100,3 +100,58 @@ def test_straddling_scene_matches_oracle():
         assert bad < 0.01, f"exact={exact}: {bad:.3%} color pixels differ"
         badd = (np.abs(got_d - want_d) > 1e-3).mean()
         assert badd < 0.01, f"exact={exact}: {badd:.3%} depth pixels differ"
+
+
+def test_adaptive_near_clip_skip_and_reenable():
+    """Occupancy feedback disables the near-clip machinery after
+    crossing-free frames (plan.near_clip False), and a late crossing
+    triangle is culled+reported for ONE frame, re-enabling real clipping
+    (exponential-backoff threshold)."""
+    import numpy as np
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import primitives as prim
+    from tyleri_tpu.models.scenes import _camera, _upload, _upload_texture
+    from tyleri_tpu.scene.mesh_renderer import MeshRenderer
+    from tyleri_tpu.window.render_window import RenderWindow
+
+    dev = ty.RenderDeviceBuilder().build()
+    verts, idx = prim.triangle(0.6)
+    v, i = _upload(dev, verts, idx)
+    # a triangle spanning depth: one vertex behind the camera's near plane
+    # (camera at z=2, near 0.1 => world z > 1.9 is behind it)
+    sverts = np.array(
+        [[-0.6, -0.6, 0.0, 0.0, 0.0],
+         [0.6, -0.6, 0.0, 1.0, 0.0],
+         [0.0, 0.6, 2.05, 0.5, 1.0]], np.float32)
+    sv, si = _upload(dev, sverts, np.array([0, 1, 2], np.uint32))
+    white = _upload_texture(dev, np.ones((1, 1, 4), np.float32))
+
+    win = RenderWindow(dev, resolution=(64, 64), present_mode="immediate")
+    rf = win.rendering_function
+    rf._clip_disable_after = 4   # opt in (auto-disable is off by default)
+
+    def draw_frame(mesh_v, mesh_i):
+        scene = win.get_render_scene()
+        cam = _camera((64, 64), [0, 0, 2.0], [0, 0, 0])
+        cam.mesh_renderers.append(MeshRenderer(mesh_v, mesh_i, white))
+        scene.add_camera(cam)
+        win.render()
+        win.flush()   # drain => every frame reports its stats
+
+    # crossing-free frames: feedback disables the clip machinery
+    for _ in range(5):
+        draw_frame(v, i)
+    assert rf.plan.raster.near_clip is False
+
+    # the straddling triangle: one culled+reported frame, then real
+    # clipping is back on with a grown backoff threshold
+    draw_frame(sv, si)
+    assert rf.plan.raster.near_clip is True
+    assert rf._clip_disable_after > 4   # backoff grew
+
+    # with clipping re-enabled the straddling triangle renders (the
+    # in-front part covers pixels)
+    draw_frame(sv, si)
+    img = win.latest_image
+    assert (img[..., 0] > 0).any()

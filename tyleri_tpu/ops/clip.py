@@ -55,6 +55,8 @@ class ClippedTriangles(NamedTuple):
     valid: jax.Array     # bool [T + X]
     order: jax.Array     # f32 [T + X] original draw order per triangle
     overflow: jax.Array  # i32 [] crossing triangles culled (capacity)
+    crossings: jax.Array = None  # i32 [] TOTAL near-plane crossings seen
+                                 # (feeds the adaptive clip-skip feedback)
 
 
 @functools.partial(jax.jit, static_argnames=("extra_cap",))
@@ -154,4 +156,39 @@ def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
         valid=jnp.concatenate([main_valid, xv]),
         order=jnp.concatenate([order, xo]),
         overflow=overflow.astype(jnp.int32),
+        crossings=n_needs.astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("extra_cap",))
+def near_cull_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTriangles:
+    """The adaptive clip-SKIP path: the full crossing machinery above costs
+    ~9 ms/frame at 1M triangles even when NOTHING crosses (the scan +
+    compaction + rewrite run unconditionally — a traced cond would flatten).
+    When occupancy feedback has observed crossing-free frames
+    (ForwardRenderingFunction.note_overflow), the plan switches to this
+    pass: whole-triangle culling of any crossing triangle, with the count
+    REPORTED as overflow (never silently dropped) so the feedback re-enables
+    real clipping for the next frame.  Output shapes match
+    near_clip_triangles (extra_cap dead rows) so downstream stages are
+    geometry-identical."""
+    T = clip.shape[0]
+    X = extra_cap
+    s = clip[..., 2]
+    n_in = jnp.sum((s >= 0.0).astype(jnp.int32), axis=1)
+    needs = valid & (n_in > 0) & (n_in < 3)
+    n_needs = jnp.sum(needs.astype(jnp.int32))
+    # materialization boundary: the full clip pass's scatter+concat forces
+    # the transformed positions into one buffer; without an equivalent
+    # boundary XLA re-fuses the whole vertex transform into every setup
+    # consumer and the fused frame gets SLOWER than with clipping on
+    clip, uv = jax.lax.optimization_barrier((clip, uv))
+    return ClippedTriangles(
+        clip=jnp.concatenate([clip, jnp.zeros((X, 3, 4), clip.dtype)]),
+        uv=jnp.concatenate([uv, jnp.zeros((X, 3, 2), uv.dtype)]),
+        tex_id=jnp.concatenate([tex_id, jnp.zeros((X,), tex_id.dtype)]),
+        valid=jnp.concatenate([valid & (n_in == 3), jnp.zeros((X,), bool)]),
+        order=jnp.arange(T + X, dtype=jnp.float32),
+        overflow=n_needs.astype(jnp.int32),
+        crossings=n_needs.astype(jnp.int32),
     )

@@ -122,7 +122,8 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         bin_of = jax.lax.psum(frame.bin_overflow, (AXIS_DRAWS, AXIS_TILES))
         tile_of = jax.lax.psum(frame.tile_overflow, (AXIS_DRAWS, AXIS_TILES))
         clip_of = jax.lax.psum(frame.clip_overflow, (AXIS_DRAWS, AXIS_TILES))
-        return color, depth, order, bin_of, tile_of, clip_of
+        clip_x = jax.lax.psum(frame.clip_crossings, (AXIS_DRAWS, AXIS_TILES))
+        return color, depth, order, bin_of, tile_of, clip_of, clip_x
 
     in_specs = tuple(P() for _ in arrays)
     shard = jax.shard_map(
@@ -130,7 +131,7 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None),
-                   P(AXIS_TILES, None), P(), P(), P()),
+                   P(AXIS_TILES, None), P(), P(), P(), P()),
         check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
                           # all_gather composite; skip the static proof
     )

@@ -27,6 +27,8 @@ class Frame(NamedTuple):
                               # winner (-1 = clear, 0 = UI, >=1 meshes);
                               # consumed by the cross-device depth composite
     clip_overflow: jax.Array = None  # i32 [] near-clip splits beyond capacity
+    clip_crossings: jax.Array = None  # i32 [] near-plane crossings observed
+                                      # (adaptive clip-skip feedback)
 
 
 class RenderingFunction(Protocol):

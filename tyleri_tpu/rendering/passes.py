@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from tyleri_tpu.ops.binning import bin_triangles
-from tyleri_tpu.ops.clip import near_clip_triangles
+from tyleri_tpu.ops.clip import near_clip_triangles, near_cull_triangles
 from tyleri_tpu.ops.raster_exact import rasterize_exact
 from tyleri_tpu.ops.setup import setup_triangles
 from tyleri_tpu.ops.shade import shade_visibility
@@ -51,6 +51,11 @@ class RasterPlan:
     # capacity of binning's spill list (tiles 2.. of multi-tile triangles;
     # tile 1 is a dense slot per triangle) — occupancy-grown like entry_cap
     spill_cap: int = 1 << 16
+    # near-plane clipping machinery: True = full split/rewrite pass;
+    # False = the cheap cull-and-report pass (adaptive: occupancy feedback
+    # disables it after crossing-free frames, re-enables on any crossing —
+    # the full pass costs ~9 ms/frame at 1M tris even with zero crossings)
+    near_clip: bool = True
     exact: bool = False  # ordered per-fragment blending (slow, parity mode)
     # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
     # True forces Pallas (interpret-mode off-TPU), False forces XLA
@@ -125,6 +130,8 @@ class PassStats(NamedTuple):
     bin_overflow: jax.Array   # i32 [] entries dropped in binning
     tile_overflow: jax.Array  # i32 [] entries beyond per-tile capacity
     clip_overflow: jax.Array  # i32 [] near-plane crossings beyond clip_cap
+    clip_crossings: jax.Array = None  # i32 [] total crossings observed
+                                      # (adaptive clip-skip feedback)
 
 
 def mesh_pass(
@@ -145,7 +152,12 @@ def mesh_pass(
     Returns (color, depth, PassStats, order_map) — order_map is the
     per-pixel draw order of this pass's winner (-1 where the pass wrote
     nothing; None in exact mode, which has no visibility buffer)."""
-    ct = near_clip_triangles(clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
+    if plan.near_clip:
+        ct = near_clip_triangles(
+            clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
+    else:
+        ct = near_cull_triangles(
+            clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
 
     if plan.exact:
         color, depth = rasterize_exact(
@@ -154,7 +166,8 @@ def mesh_pass(
             order=ct.order,
         )
         zero = jnp.zeros((), jnp.int32)
-        return color, depth, PassStats(zero, zero, ct.overflow), None
+        return (color, depth,
+                PassStats(zero, zero, ct.overflow, ct.crossings), None)
 
     su = setup_triangles(
         ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
@@ -199,7 +212,8 @@ def mesh_pass(
     depth = vis.depth if state.depth.write_enable else depth
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
     return (color, depth,
-            PassStats(binned.overflow, tile_overflow, ct.overflow),
+            PassStats(binned.overflow, tile_overflow, ct.overflow,
+                      ct.crossings),
             pass_order)
 
 

@@ -259,15 +259,16 @@ class RenderWindow:
         bin_of = int(frame.bin_overflow)
         tile_of = int(frame.tile_overflow)
         clip_of = int(frame.clip_overflow)
+        clip_x = int(frame.clip_crossings) if frame.clip_crossings is not None else 0
         device.debug_messenger.check_overflow("bin-entries", bin_of)
         device.debug_messenger.check_overflow("tile-entries", tile_of)
         device.debug_messenger.check_overflow("clip-splits", clip_of)
         # occupancy feedback: a reported overflow grows the raster
         # capacities for subsequent frames (recompile, like swapchain
-        # recreation)
+        # recreation); crossing counts drive the adaptive near-clip skip
         note = getattr(self.rendering_function, "note_overflow", None)
         if note is not None:
-            note(bin_of, tile_of, clip_of)
+            note(bin_of, tile_of, clip_of, clip_x)
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
