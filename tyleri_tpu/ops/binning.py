@@ -153,8 +153,11 @@ def bin_triangles(
         key = (
             all_tile.astype(jnp.uint32) << order_bits
         ) | jnp.clip(all_order, 0, T - 1).astype(jnp.uint32)
+        # unstable: equal keys are exactly {a triangle, its near-clip split
+        # halves} (order is unique per draw otherwise) and halves are
+        # pixel-disjoint, so their relative stream order is immaterial
         key, entry_tri = jax.lax.sort(
-            (key, all_tri), dimension=0, num_keys=1, is_stable=True
+            (key, all_tri), dimension=0, num_keys=1, is_stable=False
         )
         entry_tile = (key[:entry_cap] >> order_bits).astype(jnp.int32)
     else:  # huge scenes: fall back to a two-key sort
