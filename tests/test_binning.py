@@ -1,6 +1,7 @@
 """Binning invariants: dense-first-tile + spill expansion vs a brute-force
-reference, draw-order streaming within tiles, and spill-overflow reporting
-(overflow is reported, never silently dropped — the plan invariant)."""
+reference, front-to-back (z-min) streaming within tiles, and spill-overflow
+reporting (overflow is reported, never silently dropped — the plan
+invariant)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -50,7 +51,7 @@ def brute_force_tiles(su, grid_w, grid_h, K):
     return per_tile
 
 
-def test_binning_matches_brute_force_and_orders_by_draw():
+def test_binning_matches_brute_force_and_streams_front_to_back():
     su, grid_w, grid_h = make_setup(np.random.default_rng(3))
     K = 32
     b = bin_triangles(su, grid_w=grid_w, grid_h=grid_h, entry_cap=1 << 14,
@@ -63,12 +64,14 @@ def test_binning_matches_brute_force_and_orders_by_draw():
     from tyleri_tpu.ops import setup as S
 
     orders = np.asarray(b.entry_channels)[:, S.CH_ORDER].astype(int)
+    zmins = np.asarray(b.entry_channels)[:, S.CH_ZMIN]
     for tile_id, tris in ref.items():
         s, e = tile_start[tile_id], tile_start[tile_id + 1]
         got = sorted(orders[s:e].tolist())
         assert got == sorted(tris), f"tile {tile_id}"
-        # draw-order streaming: the segment is ascending in order
-        assert (np.diff(orders[s:e]) >= 0).all()
+        # front-to-back streaming: the segment ascends in the z-min bound
+        # (the early-exit invariant of the Pallas kernel)
+        assert (np.diff(zmins[s:e]) >= 0).all()
     total_ref = sum(len(v) for v in ref.values())
     assert int(b.num_entries) == total_ref
 

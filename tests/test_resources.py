@@ -169,3 +169,44 @@ def test_present_to_validates_surface_support():
     # and again at window creation (ref: render_window.rs:62-75)
     with pytest.raises(ValueError):
         RenderWindow(dev, WindowHandle(window="bogus"))
+
+
+def test_memory_budget_checked_on_growth():
+    """VERDICT r2: arena growth must consult the device budget and fail
+    early (try_memory_type analog, ref resource_info.rs:47-58) instead of
+    OOMing mid-frame; the failure is reported through the debug messenger."""
+    import numpy as np
+
+    from tyleri_tpu.resource.arenas import BindlessBufferAllocator
+    from tyleri_tpu.resource.resource_info import ResourcesInfo
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 20 * 4096}  # 4096 vertex elements
+
+    ri = ResourcesInfo(FakeDev())
+    arena = BindlessBufferAllocator(
+        {"pos": ((3,), np.float32), "uv": ((2,), np.float32)}, 64,
+        budget_check=lambda n: ri.check_budget("static_vertices", n),
+    )
+    # within budget: grows fine
+    arena.allocate([(1024, lambda p, u: None)])
+    # beyond budget: raises BEFORE growing, capacity unchanged
+    cap0 = arena.capacity
+    with pytest.raises(MemoryError):
+        arena.allocate([(1 << 20, lambda p, u: None)])
+    assert arena.capacity == cap0
+
+    # the device-level path reports via the messenger then re-raises
+    # (validation must be on — the messenger is a no-op at NONE, exactly
+    # like the reference's opt-in validation layer)
+    from tyleri_tpu.device.builders import ValidationLevel
+
+    msgs = []
+    dev = (ty.RenderDeviceBuilder()
+           .validation_level(ValidationLevel.ERROR).build())
+    dev.debug_messenger.callback = lambda m: msgs.append(m.message_id)
+    dev.memory_allocator.resources_info.device = FakeDev()
+    with pytest.raises(MemoryError):
+        dev.create_vertices([(1 << 20, lambda buf: None)])
+    assert "memory-budget" in msgs

@@ -1,0 +1,135 @@
+"""Round-3 scoping: early-exit (hierarchical-z) potential on config5.
+
+The visibility resolve is an associative per-pixel lexicographic min over
+(quantized z, draw order), so entries can be processed in ANY order.  If each
+tile's entries are sorted front-to-back by triangle z-min, the kernel can
+stop as soon as every pixel's depth is below the next entry's z-min — exact,
+not approximate.  This tool measures the ceiling: the fraction of entries
+whose tri-z-min exceeds their tile's FINAL z-max (those are skippable), plus
+the exact exit-point fraction assuming the threshold is refreshed per chunk.
+
+    python tools/exp_hiz.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.ops.binning import bin_triangles
+    from tyleri_tpu.ops.clip import near_clip_triangles
+    from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+    from tyleri_tpu.ops.setup import setup_triangles, transform_corner_table
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    device = ty.RenderDeviceBuilder().build()
+    rig = scenelib.config5_sponza(device)
+    rf = ty.ForwardRenderingFunction(device, ImageViewSwapchain(rig.resolution))
+    scene = RenderScene()
+    rig.fill(scene, 0.5)
+    arrays = jax.device_put(
+        rf.build_frame_inputs(device, scene.render_resources, 1.0, rig.resolution)
+    )
+    (texels, toff, tw_, th_, clear_color,
+     cam_valid, viewports, scissors, view_projs, models,
+     corners, tri_draw, tri_valid0, tri_tex, *_rest) = arrays
+    r = rf.plan.raster
+
+    @jax.jit
+    def run(view_projs, models):
+        mvps = jnp.einsum("ij,djk->dik", view_projs[0], models[0],
+                          precision=jax.lax.Precision.HIGHEST)
+        clip, uv3 = transform_corner_table(corners[0], tri_draw[0], mvps)
+        ct = near_clip_triangles(clip, uv3, tri_tex[0],
+                                 tri_valid0[0] & cam_valid[0],
+                                 extra_cap=r.clip_cap)
+        su = setup_triangles(
+            ct.clip, ct.uv, ct.tex_id, ct.valid, viewports[0],
+            scissors[0], tile_w=r.tile_w, tile_h=r.tile_h,
+            grid_w=r.grid_w, grid_h=r.grid_h, order=ct.order)
+        binned = bin_triangles(
+            su, grid_w=r.grid_w, grid_h=r.grid_h, entry_cap=r.entry_cap,
+            max_tiles_per_tri=r.max_tiles_per_tri,
+            broad_cap=r.broad_cap, spill_cap=r.spill_cap)
+        depth0 = jnp.ones((r.fb_h, r.fb_w), jnp.float32)
+        vis, _ = rasterize_visibility_pallas(
+            binned, depth0, scissors[0], fb_w=r.fb_w, fb_h=r.fb_h,
+            tile_w=r.tile_w, tile_h=r.tile_h,
+            grid_w=r.grid_w, grid_h=r.grid_h, chunk=r.chunk,
+            depth_state=rf.mesh_state.depth,
+            interpret=jax.default_backend() != "tpu")
+        # per-triangle window-z min over the 3 corners (what setup would add)
+        from tyleri_tpu.ops.setup import viewport_transform, W_EPS
+        in_front = jnp.all(ct.clip[..., 3] > W_EPS, axis=1)
+        safe_clip = jnp.where(in_front[:, None, None], ct.clip,
+                              jnp.ones_like(ct.clip))
+        _, _, sz, _ = viewport_transform(safe_clip, viewports[0])
+        zmin_tri = jnp.clip(jnp.min(sz, axis=1), 0.0, 1.0)
+        return (vis.depth, binned.entry_tile, binned.num_entries,
+                jnp.take(zmin_tri,
+                         jnp.clip(binned.entry_channels[:, 22].astype(jnp.int32),
+                                  0, zmin_tri.shape[0] - 1)))
+
+    depth, entry_tile, num_entries, entry_zmin = map(
+        np.asarray, jax.device_get(run(view_projs, models)))
+    print(f"entries (cap rows): {entry_tile.shape[0]}  live: {num_entries}")
+
+    th_t, tw_t = r.tile_h, r.tile_w
+    gh, gw = r.grid_h, r.grid_w
+    pad_h, pad_w = gh * th_t, gw * tw_t
+    dpad = np.full((pad_h, pad_w), -np.inf, np.float32)
+    dpad[:r.fb_h, :r.fb_w] = depth
+    tz = dpad.reshape(gh, th_t, gw, tw_t).transpose(0, 2, 1, 3).reshape(
+        gh * gw, -1)
+    tile_zmax = tz.max(axis=1)          # final z-max per tile
+    tile_full = tz.min(axis=1) < 1.0    # proxy: no background at z=1 left?
+    covered = (tz < 1.0).mean(axis=1)
+    print(f"tiles: {gh * gw}; fully-drawn-over tiles (max z < 1): "
+          f"{(tile_zmax < 1.0).mean() * 100:.1f}%  mean covered frac: "
+          f"{covered.mean() * 100:.1f}%")
+
+    live = entry_tile < gh * gw
+    et = entry_tile[live]
+    ez = entry_zmin[live]
+    skippable = ez > tile_zmax[et]
+    print(f"live entries {live.sum()}; skippable (zmin > final tile zmax): "
+          f"{skippable.mean() * 100:.1f}%")
+
+    # exact simulation of the sorted early exit per tile with a per-chunk
+    # refreshed threshold: process entries ascending by zmin; zbuf evolves —
+    # approximate zbuf evolution by: after processing k entries the tile
+    # zmax is the final zmax once all non-skippable entries are done.
+    # Conservative estimate of processed work: entries before the FIRST
+    # position where zmin > final zmax could still be processed; entries
+    # after are skipped (sorted => suffix).  That's exactly 1 - suffix.
+    order = np.lexsort((ez, et))
+    et_s, ez_s = et[order], ez[order]
+    starts = np.searchsorted(et_s, np.arange(gh * gw))
+    ends = np.searchsorted(et_s, np.arange(gh * gw) + 1)
+    processed = 0
+    total = 0
+    for t in range(gh * gw):
+        seg = ez_s[starts[t]:ends[t]]
+        total += seg.size
+        if seg.size == 0:
+            continue
+        k = np.searchsorted(seg, tile_zmax[t], side="right")
+        processed += k
+    print(f"suffix-exit model: processed {processed} / {total} = "
+          f"{100 * processed / max(total, 1):.1f}% (skip "
+          f"{100 * (1 - processed / max(total, 1)):.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

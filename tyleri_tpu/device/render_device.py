@@ -120,7 +120,10 @@ class RenderDevice:
 
             return soa_writer
 
-        return arena.allocate([(n, adapt(w, n)) for n, w in items])
+        return self._report_oom(
+            "static_vertices",
+            lambda: arena.allocate([(n, adapt(w, n)) for n, w in items]),
+        )
 
     def create_indices(self, items):
         """items: [(count, writer), ...]; writer(buf) gets a u32 [count]
@@ -138,7 +141,9 @@ class RenderDevice:
             return idx_writer
 
         padded = [(-(-n // 3) * 3, adapt(w, n)) for n, w in items]
-        handles = arena.allocate(padded)
+        handles = self._report_oom(
+            "static_indices", lambda: arena.allocate(padded)
+        )
         for h, (n, _) in zip(handles, items):
             h._alloc_len = h.len
             h.len = n
@@ -149,4 +154,24 @@ class RenderDevice:
         [h, w, 4] f32 rgba view (the R8G8B8A8_UNORM image analog,
         ref: resource/mod.rs:59-136). Returns [StaticTexture, ...] — the
         per-texture descriptor-set analog is the texture slot id."""
-        return self.memory_allocator.texture_arena.allocate(items)
+        return self._report_oom(
+            "textures",
+            lambda: self.memory_allocator.texture_arena.allocate(items),
+        )
+
+    def _report_oom(self, resource_class, thunk):
+        """Run an allocation; on budget failure report through the debug
+        messenger (validation-layer analog) before re-raising — the failure
+        surfaces at create time, not as an OOM mid-frame."""
+        try:
+            return thunk()
+        except MemoryError as e:
+            from tyleri_tpu.device import debug
+
+            self.debug_messenger.emit(
+                debug.Severity.ERROR,
+                "memory-budget",
+                f"{resource_class}: {e}",
+                debug.MessageType.VALIDATION,
+            )
+            raise

@@ -15,13 +15,15 @@ everything static-shaped for XLA:
      the side list adds negligible overhead while keeping the expansion
      static-shaped.  Draw-order ties between the two lists are resolved by
      the per-entry CH_ORDER channel in the visibility resolve.
-  2. entries are sorted by (tile id, DRAW ORDER) — one packed u32 key when
-     the bit budget allows — so within a tile the rasterizer streams entries
-     in exact Vulkan submission order (required by LESS_OR_EQUAL + blending)
-     *even for near-clip split halves*, whose slots live past the original
-     triangle range but whose CH_ORDER is the original draw id.  Sorting by
-     order (not slot) lets the visibility kernel's narrow loop drop per-entry
-     depth-tie arbitration entirely: sequential processing IS draw order.
+  2. entries are sorted by (tile id, conservative triangle z-min in D16
+     quanta — CH_ZMIN) as one packed u32 key when the bit budget allows.
+     The visibility resolve is an associative per-pixel lexicographic min
+     over (quantized z, CH_ORDER draw order), so any in-tile processing
+     order is exact; FRONT-TO-BACK order lets the rasterizer stop a tile's
+     stream as soon as every pixel's depth is below the next entry's z-min
+     bound (measured ~60% of sponza-1M entries are skippable that way).
+     Draw-order depth ties are arbitrated per entry by the CH_ORDER channel
+     in both backends.
   3. per-tile segment boundaries come from searchsorted.
 """
 
@@ -87,8 +89,7 @@ def bin_triangles(
     is_broad = setup.valid & (ncover > K)
     is_narrow = setup.valid & (ncover <= K) & (ncover > 0)
 
-    total = jnp.sum(jnp.where(is_narrow, ncover, 0))
-    overflow = jnp.maximum(total - entry_cap, 0)
+    dense_live = jnp.sum(is_narrow.astype(jnp.int32))
 
     # Expansion: dense first tile + spill repeat for the remainder.  On
     # 16-row tiles ~90% of small-triangle entries are a triangle's FIRST
@@ -98,12 +99,18 @@ def bin_triangles(
     # repeat + rank-arithmetic path, bounded by the occupancy-grown
     # ``spill_cap`` (overflow is reported, never dropped silently).
     tri_ids = jnp.arange(T, dtype=jnp.int32)
-    order_int = setup.channels[:, S.CH_ORDER].astype(jnp.int32)
+    zmin_q = setup.channels[:, S.CH_ZMIN].astype(jnp.int32)  # 0..65535 exact
     dense_tile = jnp.where(is_narrow, ty0 * grid_w + tx0, jnp.int32(ntiles))
 
     counts = jnp.where(is_narrow, ncover - 1, 0)
     total_spill = jnp.sum(counts)
-    overflow = overflow + jnp.maximum(total_spill - spill_cap, 0)
+    # Live entries actually placed (post spill truncation); the two overflow
+    # terms are disjoint: spill-cap drops, then entry-cap drops of the rest.
+    live_placed = dense_live + jnp.minimum(total_spill, spill_cap)
+    overflow = (
+        jnp.maximum(total_spill - spill_cap, 0)
+        + jnp.maximum(live_placed - entry_cap, 0)
+    )
     spill_tri = jnp.repeat(
         tri_ids, counts, total_repeat_length=spill_cap
     ).astype(jnp.int32)
@@ -116,7 +123,7 @@ def bin_triangles(
     rank = sidx - seg_start
     bbox_tbl = jnp.concatenate(
         [tx0[:, None], ty0[:, None], jnp.maximum(tw, 1)[:, None],
-         order_int[:, None]], axis=1
+         zmin_q[:, None]], axis=1
     ).astype(jnp.int32)                       # [T, 4]
     ebox = bbox_tbl[spill_tri]                # ONE small row gather [spill, 4]
     twr = ebox[:, 2]
@@ -126,44 +133,43 @@ def bin_triangles(
     spill_tile = jnp.where(
         spill_live, cty * grid_w + ctx, jnp.int32(ntiles)
     ).astype(jnp.int32)
-    spill_order = ebox[:, 3]
+    spill_zmin = ebox[:, 3]
 
     rows = T + spill_cap
     pad = max(entry_cap - rows, 0)
     all_tile = jnp.concatenate([dense_tile, spill_tile])
-    all_order = jnp.concatenate([order_int, spill_order])
+    all_zmin = jnp.concatenate([zmin_q, spill_zmin])
     all_tri = jnp.concatenate([tri_ids, spill_tri])
     if pad:
         all_tile = jnp.concatenate(
             [all_tile, jnp.full((pad,), ntiles, jnp.int32)]
         )
-        all_order = jnp.concatenate([all_order, jnp.zeros((pad,), jnp.int32)])
+        all_zmin = jnp.concatenate([all_zmin, jnp.zeros((pad,), jnp.int32)])
         all_tri = jnp.concatenate([all_tri, jnp.zeros((pad,), jnp.int32)])
 
-    # Sort by (tile id, draw order): within a tile the rasterizer then
-    # streams entries in exact submission order (near-clip split halves
-    # carry their ORIGINAL order but live in slots past the triangle range,
-    # so slot order alone is not draw order).  One packed u32 key when the
-    # bits fit; dead entries carry the ntiles sentinel and sort last, so
-    # slicing the first entry_cap sorted rows keeps every live entry (any
-    # truncation is counted in ``overflow`` above).
+    # Sort by (tile id, conservative z-min): within a tile the rasterizer
+    # streams entries FRONT TO BACK, which powers its early exit — once
+    # every pixel's depth beats the next entry's z-min bound the rest of the
+    # segment cannot contribute (ops/raster_pallas.py).  The per-pixel
+    # resolve is an associative lexicographic (z, order) min, so any in-tile
+    # order — including the unstable sort's arbitrary order among equal
+    # (tile, zmin) keys — produces identical pixels; CH_ORDER arbitrates
+    # draw-order ties exactly.  Dead entries carry the ntiles sentinel and
+    # sort last, so slicing the first entry_cap sorted rows keeps every live
+    # entry (any truncation is counted in ``overflow`` above).
     tile_bits = int(ntiles).bit_length()
-    order_bits = int(max(T - 1, 1)).bit_length()
-    if tile_bits + order_bits <= 32:
+    if tile_bits + 16 <= 32:
         key = (
-            all_tile.astype(jnp.uint32) << order_bits
-        ) | jnp.clip(all_order, 0, T - 1).astype(jnp.uint32)
-        # unstable: equal keys are exactly {a triangle, its near-clip split
-        # halves} (order is unique per draw otherwise) and halves are
-        # pixel-disjoint, so their relative stream order is immaterial
+            all_tile.astype(jnp.uint32) << 16
+        ) | jnp.clip(all_zmin, 0, 65535).astype(jnp.uint32)
         key, entry_tri = jax.lax.sort(
             (key, all_tri), dimension=0, num_keys=1, is_stable=False
         )
-        entry_tile = (key[:entry_cap] >> order_bits).astype(jnp.int32)
-    else:  # huge scenes: fall back to a two-key sort
+        entry_tile = (key[:entry_cap] >> 16).astype(jnp.int32)
+    else:  # huge tile grids: fall back to a two-key sort
         entry_tile, _, entry_tri = jax.lax.sort(
-            (all_tile, all_order, all_tri),
-            dimension=0, num_keys=2, is_stable=True,
+            (all_tile, all_zmin, all_tri),
+            dimension=0, num_keys=2, is_stable=False,
         )
         entry_tile = entry_tile[:entry_cap]
     entry_tri = entry_tri[:entry_cap]
@@ -204,7 +210,7 @@ def bin_triangles(
         entry_channels=entry_channels,
         entry_tile=entry_tile,
         tile_start=tile_start,
-        num_entries=jnp.minimum(total, entry_cap).astype(jnp.int32),
+        num_entries=jnp.minimum(live_placed, entry_cap).astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         broad_channels=broad_channels,
         broad_channels_cm=jnp.transpose(broad_channels),

@@ -18,19 +18,25 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
   + coverage + depth test are ~30 native vector ops over the whole tile,
   with coefficients as SMEM scalar loads (Mosaic cannot scalar-index VMEM
   lanes dynamically — hence SMEM staging)
-* sequential processing gives *exact* Vulkan submission-order semantics for
-  the depth test by construction: binning sorts each tile's entries by DRAW
-  ORDER (including near-clip split halves), so the narrow loop needs no
-  per-entry tie arbitration at all — later fragments at equal LESS_OR_EQUAL
-  depth simply overwrite, and strict LESS simply keeps the incumbent.  Only
-  the broad (huge-triangle) side list, processed after the narrow stream,
-  arbitrates equal-depth ties by the CH_ORDER channel
+* the per-pixel resolve is an associative lexicographic min over
+  (quantized z, CH_ORDER draw order) — exactly Vulkan submission-order
+  semantics for LESS / LESS_OR_EQUAL depth test+write, in any processing
+  order.  Binning exploits that by sorting each tile's entries FRONT TO
+  BACK by a conservative per-triangle z-min bound (CH_ZMIN), and this
+  kernel carries a per-tile threshold ``thresh = max(zbuf)``: once the
+  next entry's z-min exceeds it, no remaining entry in the (ascending)
+  stream can pass the depth test anywhere in the tile, so the rest of the
+  segment is skipped — *exactly*, not approximately (the bound construction
+  in ops/setup.py::_zmin_quantized covers f32 evaluation error).  Measured
+  on sponza-1M: ~60% of entries skipped, and skipped chunks also skip
+  their DMA (ascending z-min makes deadness monotone per tile)
 * chunk windows tile [start, end) exactly: ``e_cap % chunk == 0`` and the
   base is chunk-aligned, so no window ever re-covers processed entries
-  (re-processing would violate the no-arbitration draw-order semantics
-  above — an earlier equal-z entry would steal a later entry's pixel back)
+  (re-processing is semantically harmless under the associative resolve
+  but would waste work)
 * the huge-triangle ("broad") side list lives wholly in SMEM and is scanned
-  by every tile with a scalar bbox test
+  by every tile with a scalar bbox test, after the narrow stream (order of
+  lists is immaterial: same associative resolve)
 
 Depth semantics: LESS_OR_EQUAL / LESS with depth test+write (the reference
 pipelines' configuration, ref: src/pipeline/common_pipeline.rs:107-116).
@@ -116,16 +122,15 @@ def _visibility_kernel(
 
     d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_half(coeff, eid, live, h, st_h, arbitrate):
+    def resolve_half(coeff, eid, live, h, st_h):
         """One entry vs one block (carry = that block's state).
 
-        ``arbitrate=False`` (the narrow stream): entries arrive in draw
-        order, so sequential overwrite IS submission-order semantics and
-        equal-depth ties need no order compare.  ``arbitrate=True`` (the
-        broad side list, processed after the narrow stream): equal-depth
-        ties resolve lexicographically by the CH_ORDER channel against the
-        incumbent's order (obuf = -1 for pre-pass depth, so equal-z vs
-        prior content correctly fails under LESS and passes under LE)."""
+        Equal-depth ties resolve lexicographically by the CH_ORDER channel
+        against the incumbent's order — LE keeps the latest draw, LESS the
+        earliest (obuf = -1 for pre-pass depth, so equal-z vs prior content
+        correctly fails under LESS and passes under LE).  This is the
+        associative (z, order) min: entry streams may arrive in any order
+        (binning sorts them front-to-back for the early exit)."""
         zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
         xf = xfb
         yf = yf_h[h]
@@ -153,11 +158,7 @@ def _visibility_kernel(
         order = coeff(S.CH_ORDER)
         # z in [0, 1] iff clipping was a no-op (one compare; NaN fails)
         frag = cov & (z == zc) & in_scissor_h[h] & live
-        if not arbitrate:
-            # draw-order stream: LE overwrites on equal depth, LESS keeps
-            # the incumbent — exactly sequential per-fragment semantics
-            passing = frag & ((zq <= zbuf) if le else (zq < zbuf))
-        elif le:
+        if le:
             passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
         else:
             passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
@@ -170,7 +171,7 @@ def _visibility_kernel(
         texb = jnp.where(passing, meta & S.META_TEX_MASK, texb)
         return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
-    def resolve_entry(coeff, eid, live, st, arbitrate=False):
+    def resolve_entry(coeff, eid, live, st):
         """One entry vs the tile (liveness folds into the coverage mask —
         cheaper than a scalar branch per entry).  ``coeff(row)`` is a
         scalar load from the entry's column (must read through a Ref —
@@ -178,7 +179,7 @@ def _visibility_kernel(
         tracks the winner's shading attributes (u/w, v/w, 1/w, tex) so the
         deferred shade pass needs no per-pixel table gather."""
         return tuple(
-            resolve_half(coeff, eid, live, h, st[h], arbitrate)
+            resolve_half(coeff, eid, live, h, st[h])
             for h in range(halves)
         )
 
@@ -219,19 +220,43 @@ def _visibility_kernel(
     def _():
         start_dma(0, 0).start()
 
+    # Early-exit threshold: the max depth over the tile.  The stream is
+    # sorted ascending by the conservative CH_ZMIN bound, so once a chunk's
+    # first live entry has zmin > thresh, no remaining entry can pass the
+    # depth test anywhere in the tile — the rest of the segment (and its
+    # DMAs) is skipped.  Deadness is monotone, so the carried ``alive`` flag
+    # also gates the waits (a DMA is only waited on if it was started).
+    def tile_zmax(st):
+        m = None
+        for h in range(halves):
+            mh = jnp.max(st[h][0])
+            m = mh if m is None else jnp.maximum(m, mh)
+        return m
+
+    inv_q = jnp.float32(1.0 / 65535.0)
+
     def chunk_body(k, carry):
+        state, thresh, alive = carry
         slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < nchunks)
+        @pl.when(alive)
+        def _():
+            start_dma(slot, k).wait()
+
+        s = chunk_slice(k)
+        # first live entry of this chunk (alignment can leave dead slots at
+        # the low edge of chunk 0); ascending zmin makes it the chunk's min
+        idx0 = jnp.maximum(start - s, 0)
+        zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+        proceed = alive & (zmin0 <= thresh)
+
+        @pl.when(proceed & (k + 1 < nchunks))
         def _():
             start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        start_dma(slot, k).wait()
-        s = chunk_slice(k)
-        # dynamic trip count: only live entries are processed (alignment can
-        # leave dead slots at both chunk ends — sparse tiles would otherwise
-        # pay for a full 128-entry chunk)
-        n_here = jnp.clip(end - s, 0, chunk)
+        # dynamic trip count: only live entries are processed, and a dead
+        # chunk (early exit) runs zero iterations — genuinely free
+        n_here = jnp.where(proceed, jnp.clip(end - s, 0, chunk), 0)
 
         # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
         # scalar loads overlap earlier entries' vector work (measured best
@@ -247,11 +272,15 @@ def _visibility_kernel(
                 inner = resolve_entry(c_u, idx + u, live_u, inner)
             return inner
 
-        return jax.lax.fori_loop(
-            0, (n_here + UNROLL - 1) // UNROLL, entry_body, carry
+        state = jax.lax.fori_loop(
+            0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
         )
+        thresh = jnp.where(proceed, tile_zmax(state), thresh)
+        return state, thresh, proceed
 
-    state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
+    state, _, _ = jax.lax.fori_loop(
+        0, nchunks, chunk_body, (state0, tile_zmax(state0), nchunks > 0)
+    )
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
     # live count (zero-cost when no huge triangles exist) ----
@@ -268,7 +297,7 @@ def _visibility_kernel(
                 & (gyf <= broad_bbox_ref[j, 3])
             )
             coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
-            return resolve_entry(coeff, e_cap + j, live, carry, arbitrate=True)
+            return resolve_entry(coeff, e_cap + j, live, carry)
 
         state = jax.lax.fori_loop(
             0, jnp.minimum(nbroad_ref[0], B), broad_body, state

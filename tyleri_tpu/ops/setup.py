@@ -44,7 +44,10 @@ CH_UW = 15   # u/w plane
 CH_VW = 18   # v/w plane
 CH_META = 21  # packed (topleft bits << 18) | texture slot, exact in f32
 CH_ORDER = 22  # draw-order id (depth-tie arbitration + order map)
-NUM_CHANNELS = 24  # padded to a multiple of 8 for TPU sublane alignment
+CH_ZMIN = 23  # conservative window-z lower bound in D16 quanta (0..65535,
+              # exact in f32) — binning's front-to-back in-tile sort key and
+              # the visibility kernel's early-exit bound (_zmin_quantized)
+NUM_CHANNELS = 24  # multiple of 8 for TPU sublane alignment
 
 # META packing: tex in the low bits, the three top-left-edge flags above.
 # Max value 7 * 2^18 + (2^18 - 1) < 2^24: exact in f32.
@@ -61,6 +64,37 @@ def meta_pack(tex_id, topleft):
     return tl_bits * float(1 << META_TEX_BITS) + texf
 
 W_EPS = 1e-6
+
+# Early-exit z-bound slack, in D16 quanta: covers the f32 rounding of the
+# kernel's 2-FMA plane evaluation plus the half-quantum of D16 rounding.
+# 66 quanta ~ 1e-3 in window z; triangles whose plane-evaluation error bound
+# exceeds the slack (steep z slivers, z-range outside [0, 1]) get zmin 0 and
+# are simply never skipped — the bound is *conservative*, never wrong.
+ZMIN_SLACK_Q = 66.0
+
+
+def _zmin_quantized(sz, zA, zB, zC, fb_w, fb_h):
+    """Per-triangle lower bound of the rasterizer's quantized depth.
+
+    The visibility resolve is an associative per-pixel lexicographic min over
+    (quantized z, draw order), so tiles may process entries front-to-back and
+    stop once every pixel's depth is below the next entry's bound.  The bound
+    must hold against the KERNEL's f32 evaluation ``zA*x + zB*y + zC`` at any
+    covered pixel center: window z is affine, so its exact minimum over the
+    triangle is the corner minimum; f32 evaluation error is bounded by
+    ~8 ulp of the largest term magnitude, and D16 round-to-nearest moves the
+    value by at most half a quantum.  Triangles where that error bound
+    exceeds ZMIN_SLACK_Q quanta (or whose corner z leaves [0, 1]) return 0 —
+    they sort first and are never skipped."""
+    zmin = jnp.min(sz, axis=1)
+    zmax = jnp.max(sz, axis=1)
+    in_range = (zmin >= 0.0) & (zmax <= 1.0)
+    err = (jnp.abs(zA) * fb_w + jnp.abs(zB) * fb_h + jnp.abs(zC)) * (
+        8.0 * 2.0 ** -24
+    )
+    safe = in_range & (err * 65535.0 < ZMIN_SLACK_Q)
+    q = jnp.clip(jnp.floor(zmin * 65535.0) - ZMIN_SLACK_Q, 0.0, 65535.0)
+    return jnp.where(safe, q, 0.0)
 
 
 class TriangleSetup(NamedTuple):
@@ -194,7 +228,12 @@ def setup_triangles(
         vwA, vwB, vwC,                         # CH_VW
         meta_pack(tex_id, topleft),            # CH_META
         order,                                 # CH_ORDER
-        jnp.zeros_like(order),                 # sublane pad
+        # eval-domain bound: kernels evaluate the z plane at every pixel of
+        # covered tiles, which live inside viewport extent + one tile of
+        # padding (tiles are <= 128 px in either axis)
+        _zmin_quantized(sz, zA, zB, zC,        # CH_ZMIN
+                        jnp.abs(viewport[0]) + viewport[2] + 128.0,
+                        jnp.abs(viewport[1]) + viewport[3] + 128.0),
     ], axis=1)
     assert channels.shape[1] == NUM_CHANNELS
 

@@ -234,6 +234,21 @@ class ForwardRenderingFunction:
         # stays available for workloads where it measures well.
         self._clip_clean_frames = 0
         self._clip_disable_after = 0
+        # VERDICT r2: a pipeline state outside the Pallas kernel's support
+        # envelope silently dropped to the much slower XLA path; surface it
+        # through the debug messenger as a performance message.
+        from tyleri_tpu.rendering.passes import _use_pallas
+
+        if (not exact and jax.default_backend() == "tpu"
+                and not _use_pallas(self.plan.raster, self.mesh_state)):
+            render_device.debug_messenger.emit(
+                debug.Severity.WARNING,
+                "pallas-fallback",
+                "mesh pipeline state is outside the Pallas visibility "
+                "kernel's envelope (needs depth test+write with LESS/"
+                "LESS_OR_EQUAL); frames will use the slower XLA tile path",
+                debug.MessageType.PERFORMANCE,
+            )
         if not exact and self.mesh_state.blend.enable:
             # ADVICE r1: the visibility path blends only the final visible
             # fragment against the pre-pass framebuffer; order-dependent

@@ -43,15 +43,22 @@ class MemoryAllocator:
     def __init__(self, device=None):
         self.resources_info = ResourcesInfo(device)
         # SoA vertex arena: positions [N,3] f32 + uvs [N,2] f32 (the Vertex
-        # layout of tyleri-api: pos vec3 + uv vec2).
+        # layout of tyleri-api: pos vec3 + uv vec2).  Every arena growth is
+        # budget-checked first (try_memory_type analog): an oversized
+        # allocation raises MemoryError early instead of OOMing mid-frame.
+        ri = self.resources_info
         self.static_vertices_buffer = BindlessBufferAllocator(
             {"pos": ((3,), np.float32), "uv": ((2,), np.float32)},
             VERTICES_INIT_SIZE,
+            budget_check=lambda n: ri.check_budget("static_vertices", n),
         )
         self.static_indices_buffer = BindlessBufferAllocator(
-            {"idx": ((), np.uint32)}, INDICES_INIT_SIZE
+            {"idx": ((), np.uint32)}, INDICES_INIT_SIZE,
+            budget_check=lambda n: ri.check_budget("static_indices", n),
         )
-        self.texture_arena = TextureArena()
+        self.texture_arena = TextureArena(
+            budget_check=lambda n: ri.check_budget("textures", n)
+        )
         self.upload_queue = UploadQueue()
 
     def geometry_device_arrays(self):

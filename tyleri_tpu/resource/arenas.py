@@ -133,10 +133,17 @@ class BindlessBufferAllocator:
     copy per arena per flush" — the MemoryUpdater batching analog).
     """
 
-    def __init__(self, fields: dict, initial_capacity: int, grow_factor: int = 2):
+    def __init__(self, fields: dict, initial_capacity: int, grow_factor: int = 2,
+                 budget_check=None):
         self.fields = dict(fields)
         self.capacity = int(initial_capacity)
         self.grow_factor = grow_factor
+        # ``budget_check(total_elements)`` raises MemoryError when a growth
+        # would exceed the device budget (ResourcesInfo.check_budget — the
+        # try_memory_type analog, ref: src/resource/resource_info.rs:47-58).
+        # Checked BEFORE growing so an oversized allocation fails early
+        # instead of OOMing mid-frame.
+        self._budget_check = budget_check
         self._staging = {
             name: np.zeros((self.capacity, *shape), dtype)
             for name, (shape, dtype) in self.fields.items()
@@ -154,6 +161,8 @@ class BindlessBufferAllocator:
         new_cap = self.capacity
         while new_cap < needed_end:
             new_cap *= self.grow_factor
+        if self._budget_check is not None:
+            self._budget_check(new_cap)
         for name, arr in self._staging.items():
             grown = np.zeros((new_cap, *arr.shape[1:]), arr.dtype)
             grown[: self.capacity] = arr

@@ -35,7 +35,11 @@ class StaticTexture:
 
 
 class TextureArena:
-    def __init__(self, initial_texels: int = 1 << 16):
+    def __init__(self, initial_texels: int = 1 << 16, budget_check=None):
+        # budget_check(total_texels) raises MemoryError if a growth would
+        # exceed the device budget (checked before growing, like the
+        # reference's try_memory_type probing — resource_info.rs:47-58)
+        self._budget_check = budget_check
         self._texels = np.zeros((int(initial_texels), 4), np.float32)
         self._used = 0
         self._offsets: list[int] = []
@@ -58,6 +62,8 @@ class TextureArena:
         cap = len(self._texels)
         while cap < need:
             cap *= 2
+        if self._budget_check is not None:
+            self._budget_check(cap)
         grown = np.zeros((cap, 4), np.float32)
         grown[: self._used] = self._texels[: self._used]
         self._texels = grown
