@@ -64,6 +64,50 @@ def bench_rig(device, rig, warmup=2, frames=16, budget_s=180.0):
     }
 
 
+def bench_config1(device, scenelib):
+    """BASELINE config 1: headless 512x512 triangle, pixel-matched against
+    the f64 oracle (u8 units).  Returns the max |diff| in u8 units."""
+    import jax
+    import numpy as np
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.testing import oracle
+    from tyleri_tpu.utils.math3d import Rect2D, Viewport
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    rig = scenelib.config1_triangle(device)
+    rf = ty.ForwardRenderingFunction(device, ImageViewSwapchain(rig.resolution))
+    scene = RenderScene()
+    rig.fill(scene, 0.0)
+    frame = rf.record(device, scene.render_resources, 1.0, rig.resolution)
+    got = np.asarray(jax.device_get(frame.color))
+
+    cam = scene.render_resources.cameras[0]
+    mesh = cam.mesh_renderers[0]
+    alloc = device.memory_allocator
+    pos = alloc.static_vertices_buffer.staging("pos")[
+        mesh.vertices.offset:mesh.vertices.offset + mesh.vertices.len]
+    uvs = alloc.static_vertices_buffer.staging("uv")[
+        mesh.vertices.offset:mesh.vertices.offset + mesh.vertices.len]
+    idx = alloc.static_indices_buffer.staging("idx")[
+        mesh.indices.offset:mesh.indices.offset + mesh.indices.len].astype(int)
+    mvp = (cam.get_projection_matrix().astype(np.float64)
+           @ cam.view_matrix.astype(np.float64)
+           @ np.asarray(mesh.model, np.float64))
+    h = np.concatenate([pos[idx], np.ones((len(idx), 1))], axis=1)
+    clip = (h @ mvp.T).reshape(-1, 3, 4)
+    uv3 = uvs[idx].reshape(-1, 3, 2)
+    w, hgt = rig.resolution
+    color = np.zeros((hgt, w, 4), np.float64)
+    depth = np.ones((hgt, w), np.float64)
+    oracle.rasterize(color, depth, clip, uv3, rf.common_pipeline.state,
+                     Viewport(0, 0, w, hgt), Rect2D(0, 0, w, hgt),
+                     texture=np.ones((1, 1, 4)))
+    diff = np.abs(got.astype(np.float64) - color)
+    return int(np.round(diff.max() * 255.0))
+
+
 def main():
     import jax
 
@@ -73,17 +117,25 @@ def main():
     device = ty.RenderDeviceBuilder().build()
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 480))
 
+    # config 1: single-triangle pixel-match (correctness row, not FPS)
+    try:
+        results1 = bench_config1(device, scenelib)
+    except Exception as e:
+        print(f"bench config1 failed: {type(e).__name__}: {e}", file=sys.stderr)
+        results1 = None
+
     results = {}
     # cheapest-first so something always completes inside the budget
     # frame counts chosen so the single end-of-run sync fetch (one tunnel
     # round-trip, tens of ms) is amortized to <5% of the measured window
     plans = [
         ("cube_800x600", lambda: scenelib.config2_cube(device, (800, 600)), 48),
+        ("suzanne_1k_lit", lambda: scenelib.config3_suzanne(device), 48),
         ("instances_100_1080p", lambda: scenelib.config4_instances(device), 32),
         # the north-star config: sponza-scale 1M tris @1080p (frame count
         # low enough to fit the budget at single-digit FPS, high enough to
         # amortize the end-of-run sync fence once the frame gets fast)
-        ("sponza_1M_1080p", lambda: scenelib.config5_sponza(device), 12),
+        ("sponza_1M_1080p", lambda: scenelib.config5_sponza(device), 16),
     ]
     for name, make, frames in plans:
         remaining = deadline - time.monotonic()
@@ -91,21 +143,33 @@ def main():
             break
         try:
             rig = make()
-            r = bench_rig(device, rig, warmup=2, frames=frames,
+            r = bench_rig(device, rig, warmup=3, frames=frames,
                           budget_s=max(remaining - 10, 30))
             if r:
                 results[name] = r
         except Exception as e:  # report what we have rather than die
             print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # report the north-star config when measured (VERDICT r1 item 4);
-    # fall back to the heaviest completed config otherwise
+    # one JSON line per config; the NORTH-STAR row is printed LAST so a
+    # single-line consumer parses the headline metric
+    if results1 is not None:
+        print(json.dumps({
+            "metric": "pixelmatch_triangle_512",
+            "value": results1, "unit": "max_px_diff_u8",
+            "vs_baseline": 1.0 if results1 <= 1 else 0.0,
+        }))
+    order = [n for n, _, _ in plans if n in results and n != "sponza_1M_1080p"]
+    for name in order:
+        fps = results[name]["fps"]
+        print(json.dumps({
+            "metric": f"fps_{name}", "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+        }))
     if "sponza_1M_1080p" in results:
         name = "sponza_1M_1080p"
-    elif "instances_100_1080p" in results:
-        name = "instances_100_1080p"
     elif results:
-        name = next(iter(results))
+        name = order[-1]
     else:
         print(json.dumps({"metric": "fps", "value": 0.0, "unit": "fps",
                           "vs_baseline": 0.0}))

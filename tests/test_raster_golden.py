@@ -375,3 +375,78 @@ def test_visibility_blend_deviation_bound_with_overdraw():
     # so regressions/improvements are visible
     assert frac <= 1.0
     print(f"visibility blend deviation: max {dev:.3f}, {frac:.1%} pixels")
+
+
+def test_cull_modes_match_oracle_both_windings():
+    """VERDICT r2: cull_mode was oracle-only; the production kernels must
+    honor it (ref: Vulkan cull, defaults NONE per common_pipeline.rs:96-102).
+    FRONT and BACK at both front-face conventions, visibility + exact."""
+    import dataclasses
+
+    from tyleri_tpu.pipeline.state import CullMode, FrontFace, RasterState
+
+    rng = np.random.default_rng(11)
+    clip, uv = random_scene(rng, T=48)
+    tex = checker_texture()
+    for ff in (FrontFace.COUNTER_CLOCKWISE, FrontFace.CLOCKWISE):
+        for cm in (CullMode.BACK, CullMode.FRONT):
+            st = dataclasses.replace(
+                FLAT, raster=RasterState(cull_mode=cm, front_face=ff))
+            want, wdepth = run_oracle(clip, uv, st, tex)
+            for exact in (False, True):
+                got, gdepth, _ = run_pipeline(clip, uv, st, tex, exact=exact)
+                assert_images_close(
+                    got, want, msg=f"cull {cm} {ff} exact={exact}")
+                assert_images_close(
+                    gdepth, wdepth, msg=f"cull-depth {cm} {ff} {exact}")
+            # culling must actually remove geometry vs NONE
+    none_color, _ = run_oracle(clip, uv, FLAT, tex)
+    assert np.abs(none_color - want).max() > 0.1
+
+
+def test_lit_blinn_phong_matches_oracle():
+    """Blinn-Phong lit path (BASELINE config 3 extension): visibility-path
+    lit shading vs the f64 oracle implementing the same model
+    (scene/light.py docstring)."""
+    from tyleri_tpu.scene.light import DirectionalLight
+
+    rng = np.random.default_rng(21)
+    clip, uv = random_scene(rng, T=24)
+    # world == clip here (identity view-proj): normals random unit vectors
+    n = rng.normal(size=(24, 3, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    tex = checker_texture()
+    light = DirectionalLight(direction=(0.3, -1.0, -0.5))
+    inv_vp = np.eye(4, dtype=np.float32)
+    eye = np.asarray([0.0, 0.0, 3.0], np.float32)
+
+    want = np.zeros((FB, FB, 4), np.float64)
+    wdepth = np.ones((FB, FB), np.float64)
+    oracle.rasterize(
+        want, wdepth, clip, uv, FLAT,
+        Viewport(0, 0, FB, FB), Rect2D(0, 0, FB, FB),
+        texture=tex, normals=n, light=light, inv_vp=inv_vp, eye=eye,
+    )
+
+    plan = passes.RasterPlan(fb_w=FB, fb_h=FB, entry_cap=4096,
+                             cap_per_tile=256)
+    texels, toff, tw, th = arena_from([tex])
+    color = jnp.zeros((FB, FB, 4), jnp.float32)
+    depth = jnp.ones((FB, FB), jnp.float32)
+    color, depth, stats, _ = passes.mesh_pass(
+        plan, FLAT, color, depth,
+        jnp.asarray(clip, jnp.float32), jnp.asarray(uv, jnp.float32),
+        jnp.zeros((24,), jnp.int32), jnp.ones((24,), bool),
+        Viewport(0, 0, FB, FB).as_array(), Rect2D(0, 0, FB, FB).as_array(),
+        texels, toff, tw, th,
+        normals=jnp.asarray(n, jnp.float32),
+        lit_params=(jnp.asarray(light.as_array()), jnp.asarray(inv_vp),
+                    jnp.asarray(eye)),
+    )
+    # lit shading compounds interpolation + pow rounding: slightly wider
+    # tolerance than the unlit golden budget, same edge-pixel budget
+    assert_images_close(np.asarray(color), want, budget=0.005, tol=6e-3,
+                        msg="lit")
+    # sanity: the lit image actually differs from the unlit one
+    unlit, _, _ = run_pipeline(clip, uv, FLAT, tex)
+    assert np.abs(unlit - np.asarray(color)).max() > 0.05

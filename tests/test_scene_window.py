@@ -237,3 +237,30 @@ def test_composite_alpha_inherit_exposes_framebuffer_alpha():
     img = win.flush()
     assert img[32, 32, 0] > 0 and img[32, 32, 3] == 0
     assert img[2, 2, 3] == 0
+
+
+def test_config3_lit_scene_renders_end_to_end():
+    """BASELINE config 3 through the full public API: lit vertices upload
+    (LitVertex layout), per-frame light uniform, window frame loop."""
+    import numpy as np
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.window.render_window import RenderWindow, WindowHandle
+
+    dev = ty.RenderDeviceBuilder().build()
+    rig = scenelib.config3_suzanne(dev, resolution=(160, 120))
+    win = RenderWindow(dev, WindowHandle(), resolution=rig.resolution)
+    for t in (0.0, 0.4):
+        scene = win.get_render_scene()
+        rig.fill(scene, t)
+        win.render(dev)
+    img = win.flush()
+    assert img is not None and img.shape == (120, 160, 4)
+    arr = np.asarray(img).astype(np.float32)
+    cov = (arr[..., :3].max(-1) > 4).mean()
+    assert 0.05 < cov < 0.9, f"sphere should cover part of the frame ({cov})"
+    # lighting produces shading variation across the sphere (not flat)
+    lum = arr[..., :3].max(-1)
+    lit_px = lum[lum > 4]
+    assert lit_px.std() > 8.0, "lit sphere should show shading gradients"

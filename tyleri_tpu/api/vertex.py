@@ -50,6 +50,44 @@ class Vertex:
 
 
 @dataclasses.dataclass(frozen=True)
+class LitVertex:
+    """One lit 3D mesh vertex: position + normal + texture coords.
+
+    An extension over the reference's Vertex (its shaders are unlit —
+    ref: src/pipeline/glsl/common_pipeline.frag:5-13); the BASELINE
+    config-3 target names Blinn-Phong lit rendering, which needs per-vertex
+    normals.  Meshes uploaded without normals shade as ambient-only when a
+    scene light is enabled, and identically to the reference when not."""
+
+    pos: tuple
+    normal: tuple
+    uv: tuple
+
+    FLOATS = 8
+
+    @staticmethod
+    def pack(vertices) -> np.ndarray:
+        """Pack LitVertex (or (pos, normal, uv)) into f32 [N, 8]."""
+        rows = []
+        for v in vertices:
+            if isinstance(v, LitVertex):
+                rows.append([*v.pos, *v.normal, *v.uv])
+            else:
+                pos, nrm, uv = v
+                rows.append([*pos, *nrm, *uv])
+        out = np.asarray(rows, np.float32)
+        if out.size and out.shape[1] != LitVertex.FLOATS:
+            raise ValueError(f"LitVertex rows must have {LitVertex.FLOATS} floats")
+        return out.reshape(-1, LitVertex.FLOATS)
+
+    @staticmethod
+    def soa(packed: np.ndarray):
+        """Split packed [N, 8] into (positions, normals, uvs)."""
+        packed = np.asarray(packed, np.float32).reshape(-1, LitVertex.FLOATS)
+        return packed[:, :3], packed[:, 3:6], packed[:, 6:8]
+
+
+@dataclasses.dataclass(frozen=True)
 class UIVertex:
     """One UI vertex: screen-space position in points, uv, straight rgba."""
 

@@ -112,11 +112,34 @@ class RenderDevice:
         arena = self.memory_allocator.static_vertices_buffer
 
         def adapt(writer, n):
-            def soa_writer(pos_view, uv_view):
+            def soa_writer(pos_view, uv_view, nrm_view):
                 aos = np.zeros((n, 5), np.float32)
                 writer(aos)
                 pos_view[:] = aos[:, :3]
                 uv_view[:] = aos[:, 3:5]
+                nrm_view[:] = 0.0
+
+            return soa_writer
+
+        return self._report_oom(
+            "static_vertices",
+            lambda: arena.allocate([(n, adapt(w, n)) for n, w in items]),
+        )
+
+    def create_lit_vertices(self, items):
+        """items: [(count, writer), ...]; writer(buf) gets an AoS f32
+        [count, 8] view (pos xyz + normal xyz + uv) to fill — the lit
+        extension of the reference layout (api.vertex.LitVertex); required
+        by Blinn-Phong shading (BASELINE config 3)."""
+        arena = self.memory_allocator.static_vertices_buffer
+
+        def adapt(writer, n):
+            def soa_writer(pos_view, uv_view, nrm_view):
+                aos = np.zeros((n, 8), np.float32)
+                writer(aos)
+                pos_view[:] = aos[:, :3]
+                nrm_view[:] = aos[:, 3:6]
+                uv_view[:] = aos[:, 6:8]
 
             return soa_writer
 

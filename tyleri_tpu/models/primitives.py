@@ -91,6 +91,17 @@ def uv_sphere(n_lat: int = 16, n_lon: int = 24, radius: float = 1.0):
     return np.asarray(verts, np.float32), np.asarray(idx, np.uint32)
 
 
+def uv_sphere_lit(n_lat: int = 16, n_lon: int = 24, radius: float = 1.0):
+    """uv_sphere with per-vertex normals (pos/radius) in the LitVertex AoS
+    layout [N, 8] = pos + normal + uv (BASELINE config 3 lit mesh)."""
+    verts, idx = uv_sphere(n_lat, n_lon, radius)
+    out = np.zeros((len(verts), 8), np.float32)
+    out[:, :3] = verts[:, :3]
+    out[:, 3:6] = verts[:, :3] / radius
+    out[:, 6:8] = verts[:, 3:5]
+    return out, idx
+
+
 def checkerboard_texture(n: int = 64, cells: int = 8,
                          color_a=(1.0, 1.0, 1.0, 1.0),
                          color_b=(0.2, 0.2, 0.2, 1.0)) -> np.ndarray:

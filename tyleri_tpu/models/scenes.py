@@ -94,10 +94,18 @@ def config2_cube(device, resolution=(800, 600)) -> SceneRig:
 
 
 def config3_suzanne(device, resolution=(800, 600)) -> SceneRig:
-    """~1k-triangle organic mesh, per-frame camera + uniform updates
-    (BASELINE config 3; a UV sphere stands in for Suzanne)."""
-    verts, idx = prim.uv_sphere(16, 24, 1.0)
-    v, i = _upload(device, verts, idx)
+    """~1k-triangle organic mesh, Blinn-Phong lit, per-frame camera +
+    uniform (light/model) updates (BASELINE config 3; a UV sphere stands in
+    for Suzanne)."""
+    from tyleri_tpu.scene.light import DirectionalLight
+
+    verts8, idx = prim.uv_sphere_lit(16, 24, 1.0)
+    (v,) = device.create_lit_vertices(
+        [(len(verts8), lambda buf, a=verts8: buf.__setitem__(slice(None), a))]
+    )
+    (i,) = device.create_indices(
+        [(len(idx), lambda buf, a=idx: buf.__setitem__(slice(None), a))]
+    )
     tex = _upload_texture(device, prim.gradient_texture(64))
     ntris = len(idx) // 3
 
@@ -106,9 +114,12 @@ def config3_suzanne(device, resolution=(800, 600)) -> SceneRig:
         cam = _camera(resolution, eye, [0, 0, 0])
         model = np.asarray(math3d.rotation_y(0.7 * t), np.float32)
         cam.mesh_renderers.append(MeshRenderer(v, i, tex, model))
+        # per-frame uniform update: the light orbits too
+        cam.light = DirectionalLight(
+            direction=(np.sin(0.5 * t), -1.0, np.cos(0.5 * t)))
         scene.add_camera(cam)
 
-    return SceneRig("suzanne_1k", resolution, ntris, fill)
+    return SceneRig("suzanne_1k_lit", resolution, ntris, fill)
 
 
 def config4_instances(device, resolution=(1920, 1080), n_instances=100) -> SceneRig:

@@ -55,6 +55,10 @@ class BinnedEntries(NamedTuple):
     broad_channels_cm: jax.Array  # f32 [NUM_CHANNELS, B_cap] kernel layout
     broad_tiles: jax.Array     # i32 [B_cap, 4] tile bbox (tx0, ty0, tx1, ty1)
     num_broad: jax.Array       # i32 [] live broad entries
+    # optional extra per-entry attribute rows (lit path: world-normal/w
+    # interpolation planes) gathered with the same permutations
+    entry_extra: jax.Array = None     # f32 [E_cap, K]
+    broad_extra: jax.Array = None     # f32 [B_cap, K]
 
 
 @functools.partial(
@@ -66,6 +70,7 @@ class BinnedEntries(NamedTuple):
 )
 def bin_triangles(
     setup: TriangleSetup,
+    extra=None,   # f32 [T, K] optional per-triangle rows to gather alongside
     *,
     grid_w: int,
     grid_h: int,
@@ -184,6 +189,7 @@ def bin_triangles(
     # [start, end) window, the XLA path by its tile lists), and the masking
     # pass would cost a full extra read+write of the table.
     entry_channels = setup.channels[entry_tri]
+    entry_extra = extra[entry_tri] if extra is not None else None
 
     # Broad (huge) triangles: dense side list, every covered tile scans it.
     # Compacted by inverse lookup (searchsorted over B queries) — a [T]
@@ -216,4 +222,6 @@ def bin_triangles(
         broad_channels_cm=jnp.transpose(broad_channels),
         broad_tiles=broad_tiles,
         num_broad=jnp.minimum(num_broad, broad_cap).astype(jnp.int32),
+        entry_extra=entry_extra,
+        broad_extra=extra[broad_src] if extra is not None else None,
     )

@@ -185,7 +185,7 @@ def near_cull_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
     clip, uv = jax.lax.optimization_barrier((clip, uv))
     return ClippedTriangles(
         clip=jnp.concatenate([clip, jnp.zeros((X, 3, 4), clip.dtype)]),
-        uv=jnp.concatenate([uv, jnp.zeros((X, 3, 2), uv.dtype)]),
+        uv=jnp.concatenate([uv, jnp.zeros((X, *uv.shape[1:]), uv.dtype)]),
         tex_id=jnp.concatenate([tex_id, jnp.zeros((X,), tex_id.dtype)]),
         valid=jnp.concatenate([valid & (n_in == 3), jnp.zeros((X,), bool)]),
         order=jnp.arange(T + X, dtype=jnp.float32),

@@ -58,6 +58,7 @@ def rasterize_exact(
         clip, uv, tex_id, tri_valid, viewport, scissor,
         tile_w=1, tile_h=1, grid_w=max(W, 1), grid_h=max(H, 1),
         order=order,
+        cull_mode=state.raster.cull_mode, front_face=state.raster.front_face,
     )
     use_window = window > 0 and window <= W and window <= H
     if with_vertex_color:

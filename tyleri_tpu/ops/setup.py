@@ -122,7 +122,23 @@ def viewport_transform(clip, viewport):
     return sx, sy, sz, inv_w
 
 
-@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "grid_w", "grid_h"))
+def cull_keep_mask(area2, cull_mode, front_face):
+    """Vulkan cull test (spec 28.8): orientation from the y-down shoelace
+    signed area — positive <=> counter-clockwise in framebuffer coords.
+    Mirrors the oracle (testing/oracle.py:241-250); the reference's default
+    is NONE (ref: src/pipeline/common_pipeline.rs:96-102)."""
+    from tyleri_tpu.pipeline.state import CullMode, FrontFace
+
+    if cull_mode == CullMode.NONE:
+        return None
+    if cull_mode == CullMode.FRONT_AND_BACK:
+        return jnp.zeros(area2.shape, bool)
+    is_front = (area2 > 0) == (front_face == FrontFace.COUNTER_CLOCKWISE)
+    return is_front if cull_mode == CullMode.BACK else ~is_front
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile_w", "tile_h", "grid_w", "grid_h", "cull_mode", "front_face"))
 def setup_triangles(
     clip,       # f32 [T, 3, 4] clip-space corner positions
     uv,         # f32 [T, 3, 2] per-corner texcoords
@@ -137,7 +153,15 @@ def setup_triangles(
     grid_h: int,
     order=None,  # f32 [T] draw order (defaults to the slot index); near-plane
                  # clipping passes the ORIGINAL order for split halves
+    cull_mode=None,   # pipeline cull state (static; None = CullMode.NONE)
+    front_face=None,
 ) -> TriangleSetup:
+    from tyleri_tpu.pipeline.state import CullMode, FrontFace
+
+    if cull_mode is None:
+        cull_mode = CullMode.NONE
+    if front_face is None:
+        front_face = FrontFace.COUNTER_CLOCKWISE
     T = clip.shape[0]
     if order is None:
         order = jnp.arange(T, dtype=jnp.float32)
@@ -215,6 +239,9 @@ def setup_triangles(
     on_screen = (px0 <= px1) & (py0 <= py1)
 
     valid = tri_valid & in_front & nondegenerate & on_screen
+    keep = cull_keep_mask(area2, cull_mode, front_face)
+    if keep is not None:
+        valid = valid & keep
 
     # stack in channel order (scatter-free: a scatter here costs ~300 ms at
     # 2M triangles on TPU); columns must follow the CH_* layout above
@@ -247,8 +274,9 @@ def setup_triangles(
 
 
 @functools.partial(jax.jit, static_argnames=("tri_capacity",))
-def build_triangle_table(positions, uvs, indices, first_index, vertex_offset,
-                         tri_base, tri_count, *, tri_capacity: int):
+def build_triangle_table(positions, uvs, normals, indices, first_index,
+                         vertex_offset, tri_base, tri_count, *,
+                         tri_capacity: int):
     """Materialize the per-triangle corner table for a draw list.
 
     Geometry and topology are static between scene edits (the reference's
@@ -256,8 +284,8 @@ def build_triangle_table(positions, uvs, indices, first_index, vertex_offset,
     the expensive corner gathers run once per draw-list change and the
     per-frame vertex stage (transform_corner_table) is pure matrix math.
 
-    Returns (corner f32 [Tcap, 3, 5] = pos+uv per corner, draw i32 [Tcap],
-    valid bool [Tcap]).
+    Returns (corner f32 [Tcap, 3, 8] = pos+uv+normal per corner,
+    draw i32 [Tcap], valid bool [Tcap]).
     """
     D = first_index.shape[0]
     I = indices.shape[0]
@@ -275,16 +303,16 @@ def build_triangle_table(positions, uvs, indices, first_index, vertex_offset,
     ipos = jnp.clip(ipos, 0, max(i3 - 3, 0))
     idx = indices.astype(jnp.int32)[:i3].reshape(-1, 3)[ipos // 3]  # [T, 3]
     vtx = jnp.clip(idx + vertex_offset[draw][:, None], 0, positions.shape[0] - 1)
-    verts5 = jnp.concatenate([positions, uvs], axis=1)   # [V, 5]
-    corner = verts5[vtx]                                 # [T, 3, 5] row gathers
+    verts8 = jnp.concatenate([positions, uvs, normals], axis=1)   # [V, 8]
+    corner = verts8[vtx]                                 # [T, 3, 8] row gathers
     return corner, draw, in_draw
 
 
 def transform_corner_table(corner, draw, mvps):
     """Per-frame vertex stage over a cached triangle table: gather-free.
 
-    corner f32 [T, 3, 5], draw i32 [T], mvps f32 [D, 4, 4].
-    Returns (clip [T, 3, 4], uv [T, 3, 2]).
+    corner f32 [T, 3, 5+] (pos+uv, optionally +normal), draw i32 [T],
+    mvps f32 [D, 4, 4].  Returns (clip [T, 3, 4], uv [T, 3, 2]).
     """
     T = corner.shape[0]
     D = mvps.shape[0]
@@ -328,8 +356,8 @@ def transform_mesh_corners(positions, uvs, indices, first_index, vertex_offset,
     (rendering/forward.py) and only runs the transform per frame.
     """
     corner, draw, in_draw = build_triangle_table(
-        positions, uvs, indices, first_index, vertex_offset,
-        tri_base, tri_count, tri_capacity=tri_capacity,
+        positions, uvs, jnp.zeros_like(positions), indices, first_index,
+        vertex_offset, tri_base, tri_count, tri_capacity=tri_capacity,
     )
     clip, corner_uv = transform_corner_table(corner, draw, mvps)
     return clip, corner_uv, draw, in_draw

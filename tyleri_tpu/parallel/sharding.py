@@ -92,7 +92,7 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         # round-robin draw assignment to the draws axis (ParallelGroup)
         frame = frame_body(
             bplan, mesh_state, ui_state, *arrs,
-            band_y0=y0, draw_keep=lambda ids: (ids % nd) == di,
+            band_y0=y0, draw_mod=(jnp.int32(nd), di.astype(jnp.int32)),
         )
         # composite across the draws axis: lexicographic (depth, order) —
         # min depth wins; equal-depth ties follow the pipeline's compare

@@ -56,6 +56,7 @@ class CullMode(enum.Enum):
     NONE = "none"
     FRONT = "front"
     BACK = "back"
+    FRONT_AND_BACK = "front_and_back"  # VK_CULL_MODE_FRONT_AND_BACK
 
 
 class DepthFormat(enum.Enum):

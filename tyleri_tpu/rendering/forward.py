@@ -62,6 +62,9 @@ class FramePlan:
     # branches execute), so an empty overlay must be skipped statically —
     # toggling recompiles, like the reference rebuilding command buffers.
     has_ui: bool = True
+    # Blinn-Phong lighting (any camera has a DirectionalLight).  Static for
+    # the same reason as has_ui; the unlit frame pays nothing for it.
+    lit: bool = False
 
 
 def _shift_viewport(viewport, y0):
@@ -93,11 +96,16 @@ def frame_body(
     tri_draw,        # i32 [C, T]
     tri_valid0,      # bool [C, T]
     tri_tex,         # i32 [C, T]
+    corner18,        # f32 [C, 18, Np/128, 128] field-major tables (fused path)
+    lights,          # f32 [C, 12] packed DirectionalLight uniforms
+    inv_vps,         # f32 [C, 4, 4] inverse view-projections (lit unproject)
+    eyes,            # f32 [C, 3] camera world positions
     ui_clip, ui_uv, ui_color, ui_tex, ui_valid,                 # [U, 3, ...]
     window_viewport, window_scissor,
     *,
     band_y0=None,     # traced scalar pixel offset of this band (sharded mode)
-    draw_keep=None,   # callable(draw_ids [T]) -> bool [T] (sort-last mode)
+    draw_mod=None,    # (n, i) traced pair: keep draws with id % n == i
+                      # (sharded ParallelGroup round-robin)
 ):
     """One frame (or one band of a frame): clear -> UI -> per-camera meshes.
 
@@ -127,31 +135,71 @@ def frame_body(
         order = jnp.where(depth < CLEAR_DEPTH, 0.0, order)
 
     # camera-pass order stride: per-pass order values are triangle-table
-    # slots in [0, tri_cap + clip extras)
-    span = float(plan.tri_cap + plan.raster.clip_cap + 1)
+    # slots in [0, tri_cap + clip extras) — or the fused path's padded row
+    # count, whichever is larger
+    span = float(max(plan.tri_cap + plan.raster.clip_cap,
+                     -(-plan.tri_cap // 1024) * 1024) + 1)
     bin_of = jnp.zeros((), jnp.int32)
     tile_of = jnp.zeros((), jnp.int32)
     clip_of = jnp.zeros((), jnp.int32)
     clip_x = jnp.zeros((), jnp.int32)
+    from tyleri_tpu.rendering.passes import mesh_pass_fused, use_fused_setup
+
+    fused = use_fused_setup(plan.raster, plan.draw_cap) and not plan.lit
     for c in range(plan.cam_cap):
         mvps = jnp.einsum(
             "ij,djk->dik", view_projs[c], models[c],
             precision=jax.lax.Precision.HIGHEST,
         )
-        # gather-free per-frame vertex stage over the cached triangle table
-        clip, uv3 = transform_corner_table(corners[c], tri_draw[c], mvps)
-        tex_ids = tri_tex[c]
-        tvalid = tri_valid0[c] & cam_valid[c]
-        if draw_keep is not None:
-            # round-robin draw sharding without a gather: draw id mod n
-            tvalid = tvalid & draw_keep(tri_draw[c])
-        color, depth, st, pass_order = mesh_pass(
-            plan.raster, mesh_state, color, depth,
-            clip, uv3, tex_ids, tvalid,
-            _shift_viewport(viewports[c], y0),
-            _shift_scissor(scissors[c], y0, H),
-            texels, tex_offset, tex_width, tex_height,
-        )
+        if fused:
+            # one Pallas pass: transform + near-cull + setup straight from
+            # the cached field-major corner table (ops/setup_pallas.py)
+            color, depth, st, pass_order = mesh_pass_fused(
+                plan.raster, mesh_state, color, depth,
+                corner18[c], mvps.reshape(plan.draw_cap, 16), cam_valid[c],
+                _shift_viewport(viewports[c], y0),
+                _shift_scissor(scissors[c], y0, H),
+                texels, tex_offset, tex_width, tex_height,
+                draw_mod=draw_mod,
+            )
+        else:
+            # gather-free per-frame vertex stage over the cached table
+            clip, uv3 = transform_corner_table(corners[c], tri_draw[c], mvps)
+            tex_ids = tri_tex[c]
+            tvalid = tri_valid0[c] & cam_valid[c]
+            if draw_mod is not None:
+                # round-robin draw sharding without a gather: draw id mod n
+                tvalid = tvalid & ((tri_draw[c] % draw_mod[0]) == draw_mod[1])
+            normals = lit_params = None
+            if plan.lit:
+                # world-space corner normals: per-draw inverse-transpose
+                # model rotation, selected per triangle via the same
+                # one-hot pattern as the MVPs (exact 0/1 weights)
+                D = plan.draw_cap
+                nm = jnp.transpose(
+                    jnp.linalg.inv(models[c][:, :3, :3]), (0, 2, 1)
+                )
+                onehot = (
+                    tri_draw[c][:, None] == jnp.arange(D, dtype=jnp.int32)
+                ).astype(jnp.float32)
+                tri_nm = jnp.dot(
+                    onehot, nm.reshape(D, 9),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(-1, 3, 3)
+                corner_nrm = corners[c][..., 5:8]
+                normals = jnp.einsum(
+                    "tck,tjk->tcj", corner_nrm, tri_nm,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                lit_params = (lights[c], inv_vps[c], eyes[c])
+            color, depth, st, pass_order = mesh_pass(
+                plan.raster, mesh_state, color, depth,
+                clip, uv3, tex_ids, tvalid,
+                _shift_viewport(viewports[c], y0),
+                _shift_scissor(scissors[c], y0, H),
+                texels, tex_offset, tex_width, tex_height,
+                normals=normals, lit_params=lit_params,
+            )
         if pass_order is not None:
             order = jnp.where(
                 pass_order >= 0.0, c * span + pass_order + 1.0, order
@@ -172,14 +220,20 @@ def _render_frame(plan, mesh_state, ui_state, *arrays):
 
 
 @functools.partial(jax.jit, static_argnames=("tri_capacity",))
-def _build_table(positions, uvs, indices, first_index, vertex_offset,
-                 tri_base, tri_count, draw_tex, *, tri_capacity: int):
+def _build_table(positions, uvs, normals, indices, first_index,
+                 vertex_offset, tri_base, tri_count, draw_tex, *,
+                 tri_capacity: int):
+    from tyleri_tpu.ops.setup_pallas import build_corner18
+
     corner, draw, valid = build_triangle_table(
-        positions, uvs, indices, first_index, vertex_offset,
+        positions, uvs, normals, indices, first_index, vertex_offset,
         tri_base, tri_count, tri_capacity=tri_capacity,
     )
     tex = draw_tex[draw]
-    return corner, draw, valid, tex
+    # field-major twin for the fused setup kernel (rebuilt only on scene
+    # edits, like the corner table itself)
+    corner18 = build_corner18(corner, draw, tex, valid)
+    return corner, draw, valid, tex, corner18
 
 
 class ForwardRenderingFunction:
@@ -226,14 +280,16 @@ class ForwardRenderingFunction:
         # crossing-free frames the plan drops the full clip machinery;
         # any reported crossing re-enables it for the NEXT frame and
         # quadruples the threshold (exponential backoff so an oscillating
-        # camera cannot thrash recompiles).  0 = never auto-disable — the
-        # DEFAULT, because although the cull pass alone measures ~9 ms
-        # cheaper at 1M tris, the FUSED no-clip frame is ~13 ms SLOWER
-        # (XLA re-fuses the vertex transform into every setup consumer;
-        # an optimization_barrier does not recover it).  The machinery
-        # stays available for workloads where it measures well.
+        # camera cannot thrash recompiles).  With the fused setup kernel
+        # available (ops/setup_pallas.py) the no-clip frame is the FAST
+        # path (one Pallas pass replaces transform+cull+setup), so default
+        # to disabling after 2 clean frames; note_overflow only disables
+        # when the fused kernel would actually engage — the XLA cull path
+        # alone measures ~13 ms SLOWER fused (XLA re-fuses the vertex
+        # transform into every setup consumer; optimization_barrier does
+        # not recover it).
         self._clip_clean_frames = 0
-        self._clip_disable_after = 0
+        self._clip_disable_after = 2
         # VERDICT r2: a pipeline state outside the Pallas kernel's support
         # envelope silently dropped to the much slower XLA path; surface it
         # through the debug messenger as a performance message.
@@ -384,16 +440,21 @@ class ForwardRenderingFunction:
                     self._clip_clean_frames = 0
             # adaptive near-clip skip: count crossing-free frames while the
             # full clip pass is on; disable it once the scene has proven
-            # crossing-free for a while (recompiles, like any plan change)
+            # crossing-free for a while (recompiles, like any plan change).
+            # Only worthwhile when the fused setup kernel then engages —
+            # the XLA cull path alone fuses SLOWER than clipping.
             if self.plan.raster.near_clip and self._clip_disable_after > 0:
                 if clip_crossings == 0 and clip_overflow == 0:
                     self._clip_clean_frames += 1
-                    if self._clip_clean_frames >= self._clip_disable_after:
+                    from tyleri_tpu.rendering.passes import use_fused_setup
+
+                    noclip = dataclasses.replace(
+                        self.plan.raster, near_clip=False
+                    )
+                    if (self._clip_clean_frames >= self._clip_disable_after
+                            and use_fused_setup(noclip, self.plan.draw_cap)):
                         self.plan = dataclasses.replace(
-                            self.plan,
-                            raster=dataclasses.replace(
-                                self.plan.raster, near_clip=False
-                            ),
+                            self.plan, raster=noclip
                         )
                         self._clip_clean_frames = 0
                 else:
@@ -483,6 +544,13 @@ class ForwardRenderingFunction:
         scissors = np.zeros((C, 4), np.int32)
         view_projs = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         models = np.tile(np.eye(4, dtype=np.float32), (C, D, 1, 1))
+        lights = np.zeros((C, 12), np.float32)
+        inv_vps = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        eyes = np.zeros((C, 3), np.float32)
+
+        has_light = any(getattr(c, "light", None) is not None for c in cams)
+        if has_light != plan.lit:
+            self.plan = plan = dataclasses.replace(plan, lit=has_light)
 
         cam_sigs = []
         for ci, cam in enumerate(cams):
@@ -493,6 +561,12 @@ class ForwardRenderingFunction:
             sc = cam.scissor
             scissors[ci] = [sc.x, sc.y, sc.width, sc.height]
             view_projs[ci] = cam.get_projection_matrix() @ cam.view_matrix
+            if plan.lit:
+                if cam.light is not None:
+                    lights[ci] = cam.light.as_array()
+                inv_vps[ci] = np.linalg.inv(
+                    view_projs[ci].astype(np.float64)).astype(np.float32)
+                eyes[ci] = cam.eye_position()
             for di, mesh in enumerate(cam.mesh_renderers):
                 models[ci, di] = mesh.model
             cam_sigs.append(tuple(
@@ -501,7 +575,8 @@ class ForwardRenderingFunction:
                 for m in cam.mesh_renderers
             ))
 
-        corners, tri_draw, tri_valid0, tri_tex = self._triangle_tables(
+        (corners, tri_draw, tri_valid0, tri_tex,
+         corner18) = self._triangle_tables(
             render_device, cams, cam_sigs, plan
         )
 
@@ -551,7 +626,8 @@ class ForwardRenderingFunction:
             texels, toff, tw, th,
             np.asarray(CLEAR_COLOR, np.float32),
             cam_valid, viewports, scissors, view_projs, models,
-            corners, tri_draw, tri_valid0, tri_tex,
+            corners, tri_draw, tri_valid0, tri_tex, corner18,
+            lights, inv_vps, eyes,
             ui_clip, ui_uv, ui_colors, ui_tex, ui_valid,
             window_viewport, window_scissor,
         )
@@ -575,7 +651,7 @@ class ForwardRenderingFunction:
         if cached is not None and cached[0] == key:
             return cached[1]
 
-        positions, uvs, indices = alloc.geometry_device_arrays()
+        positions, uvs, normals, indices = alloc.geometry_device_arrays()
         C, D, Tcap = plan.cam_cap, plan.draw_cap, plan.tri_cap
         per_cam = []
         for ci in range(C):
@@ -598,14 +674,14 @@ class ForwardRenderingFunction:
             for di in range(len(meshes), D):
                 tri_base[di] = base
             per_cam.append(_build_table(
-                positions, uvs, indices,
+                positions, uvs, normals, indices,
                 *jax.device_put((first_index, vertex_offset, tri_base,
                                  tri_count, draw_tex)),
                 tri_capacity=Tcap,
             ))
 
         tables = tuple(
-            jnp.stack([per_cam[ci][k] for ci in range(C)]) for k in range(4)
+            jnp.stack([per_cam[ci][k] for ci in range(C)]) for k in range(5)
         )
         tables = jax.block_until_ready(tables)
         self._tri_table_cache = (key, tables)

@@ -56,6 +56,10 @@ class RasterPlan:
     # disables it after crossing-free frames, re-enables on any crossing —
     # the full pass costs ~9 ms/frame at 1M tris even with zero crossings)
     near_clip: bool = True
+    # fused transform+cull+setup Pallas kernel (ops/setup_pallas.py): used
+    # when near_clip is False (cull semantics) and the plan supports it;
+    # "auto" = on TPU, True forces (interpret off-TPU), False disables
+    fused_setup: object = "auto"
     exact: bool = False  # ordered per-fragment blending (slow, parity mode)
     # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
     # True forces Pallas (interpret-mode off-TPU), False forces XLA
@@ -134,6 +138,63 @@ class PassStats(NamedTuple):
                                       # (adaptive clip-skip feedback)
 
 
+def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
+    """Host-side choice of the fused transform+cull+setup Pallas kernel.
+    Requires cull semantics (near_clip off — the adaptive feedback in
+    ForwardRenderingFunction turns it off after crossing-free frames)."""
+    from tyleri_tpu.ops import setup_pallas
+
+    supported = (
+        not plan.exact
+        and not plan.near_clip
+        and draw_cap <= 64
+        and setup_pallas.supports(plan)
+    )
+    if plan.fused_setup is True:
+        if not supported:
+            raise ValueError(
+                "RasterPlan.fused_setup=True needs near_clip=False, "
+                "exact=False, pow2 tiles, a packable grid and draw_cap<=64"
+            )
+        return True
+    if plan.fused_setup == "auto":
+        import jax
+
+        return supported and jax.default_backend() == "tpu"
+    return False
+
+
+def mesh_pass_fused(
+    plan: RasterPlan,
+    state: PipelineState,
+    color, depth,
+    corner18,    # f32 [18, N/128, 128] field-major corner table
+    mvps,        # f32 [D, 16] per-draw view_proj @ model
+    cam_valid,   # bool []
+    viewport, scissor,
+    texels, tex_offset, tex_width, tex_height,
+    draw_mod=None,
+):
+    """mesh_pass via the fused setup kernel (cull semantics + crossing
+    telemetry; the frame plan re-enables real clipping on any crossing)."""
+    import jax
+
+    from tyleri_tpu.ops.setup_pallas import fused_setup
+
+    su, crossings = fused_setup(
+        corner18, mvps, cam_valid, viewport, scissor, draw_mod,
+        tile_w=plan.tile_w, tile_h=plan.tile_h,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+        draw_cap=mvps.shape[0],
+        cull_mode=state.raster.cull_mode, front_face=state.raster.front_face,
+        interpret=jax.default_backend() != "tpu",
+    )
+    zero = jnp.zeros((), jnp.int32)
+    return _raster_binned(plan, state, color, depth, su, viewport, scissor,
+                          texels, tex_offset, tex_width, tex_height,
+                          clip_overflow=zero, clip_crossings=crossings)
+
+
 def mesh_pass(
     plan: RasterPlan,
     state: PipelineState,
@@ -146,22 +207,34 @@ def mesh_pass(
     viewport,    # f32 [6]
     scissor,     # i32 [4]
     texels, tex_offset, tex_width, tex_height,
+    normals=None,     # f32 [T, 3, 3] world-space corner normals (lit path)
+    lit_params=None,  # (light [12], inv_vp [4, 4], eye [3]) (lit path)
 ):
     """Draw a batch of mesh triangles.
 
     Returns (color, depth, PassStats, order_map) — order_map is the
     per-pixel draw order of this pass's winner (-1 where the pass wrote
     nothing; None in exact mode, which has no visibility buffer)."""
+    lit = normals is not None and lit_params is not None
+    if lit and plan.exact:
+        raise NotImplementedError(
+            "lit shading is a visibility-path feature; exact mode renders "
+            "unlit (the reference's fragment path)"
+        )
+    # normals ride the uv slot through the clip pass (its rotate/lerp
+    # machinery is shape-agnostic on the attribute dim)
+    attrs = jnp.concatenate([uv, normals], axis=-1) if lit else uv
     if plan.near_clip:
         ct = near_clip_triangles(
-            clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
+            clip, attrs, tex_id, tri_valid, extra_cap=plan.clip_cap)
     else:
         ct = near_cull_triangles(
-            clip, uv, tex_id, tri_valid, extra_cap=plan.clip_cap)
+            clip, attrs, tex_id, tri_valid, extra_cap=plan.clip_cap)
+    ct_uv = ct.uv[..., :2] if lit else ct.uv
 
     if plan.exact:
         color, depth = rasterize_exact(
-            color, depth, ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
+            color, depth, ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
             texels, tex_offset, tex_width, tex_height, state=state,
             order=ct.order,
         )
@@ -170,13 +243,45 @@ def mesh_pass(
                 PassStats(zero, zero, ct.overflow, ct.crossings), None)
 
     su = setup_triangles(
-        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
+        ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
         tile_w=plan.tile_w, tile_h=plan.tile_h,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
         order=ct.order,
+        cull_mode=state.raster.cull_mode, front_face=state.raster.front_face,
     )
+    extra = None
+    if lit:
+        # world-normal/w interpolation planes per (post-clip) triangle:
+        # plane-evaluating (n_k * 1/w) then multiplying by w per pixel is
+        # the perspective-correct normal interpolation (Vulkan 27.7)
+        import jax
+
+        w = ct.clip[..., 3]
+        iw = jnp.where(jnp.abs(w) > 1e-12, 1.0 / w, 0.0)   # [Tct, 3]
+        nw_iw = ct.uv[..., 2:5] * iw[..., None]            # [Tct, 3, 3]
+        planes = jnp.einsum("tik,tic->tkc", nw_iw, su.lam,
+                            precision=jax.lax.Precision.HIGHEST)
+        extra = jnp.pad(planes.reshape(planes.shape[0], 9), ((0, 0), (0, 3)))
+    return _raster_binned(plan, state, color, depth, su, viewport, scissor,
+                          texels, tex_offset, tex_width, tex_height,
+                          clip_overflow=ct.overflow,
+                          clip_crossings=ct.crossings,
+                          extra=extra, lit_params=lit_params)
+
+
+def _raster_binned(
+    plan: RasterPlan,
+    state: PipelineState,
+    color, depth,
+    su,          # TriangleSetup
+    viewport, scissor,
+    texels, tex_offset, tex_width, tex_height,
+    *,
+    clip_overflow, clip_crossings,
+    extra=None, lit_params=None,
+):
     binned = bin_triangles(
-        su,
+        su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
         entry_cap=plan.entry_cap,
         max_tiles_per_tri=plan.max_tiles_per_tri,
@@ -206,14 +311,20 @@ def mesh_pass(
             cap_per_tile=plan.cap_per_tile, chunk=plan.chunk,
             depth_state=state.depth,
         )
+    lit = None
+    if extra is not None and lit_params is not None:
+        light, inv_vp, eye = lit_params
+        combined = jnp.concatenate([binned.entry_extra, binned.broad_extra])
+        lit = (combined, light, inv_vp, eye, viewport)
     color = shade_visibility(
         vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
+        lit=lit,
     )
     depth = vis.depth if state.depth.write_enable else depth
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
     return (color, depth,
-            PassStats(binned.overflow, tile_overflow, ct.overflow,
-                      ct.crossings),
+            PassStats(binned.overflow, tile_overflow, clip_overflow,
+                      clip_crossings),
             pass_order)
 
 

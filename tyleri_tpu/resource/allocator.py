@@ -47,8 +47,11 @@ class MemoryAllocator:
         # budget-checked first (try_memory_type analog): an oversized
         # allocation raises MemoryError early instead of OOMing mid-frame.
         ri = self.resources_info
+        # "nrm" extends the reference layout for the lit path (BASELINE
+        # config 3); unlit uploads leave it zero and cost nothing extra.
         self.static_vertices_buffer = BindlessBufferAllocator(
-            {"pos": ((3,), np.float32), "uv": ((2,), np.float32)},
+            {"pos": ((3,), np.float32), "uv": ((2,), np.float32),
+             "nrm": ((3,), np.float32)},
             VERTICES_INIT_SIZE,
             budget_check=lambda n: ri.check_budget("static_vertices", n),
         )
@@ -62,11 +65,12 @@ class MemoryAllocator:
         self.upload_queue = UploadQueue()
 
     def geometry_device_arrays(self):
-        """(positions, uvs, indices) HBM snapshots (uploaded if dirty)."""
+        """(positions, uvs, normals, indices) HBM snapshots (uploaded if
+        dirty)."""
         v, i = self.upload_queue.flush(
             self.static_vertices_buffer, self.static_indices_buffer
         )
-        return v["pos"], v["uv"], i["idx"]
+        return v["pos"], v["uv"], v["nrm"], i["idx"]
 
     def texture_device_arrays(self):
         return self.texture_arena.device_arrays()

@@ -24,6 +24,15 @@ class Camera:
         self.viewport = Viewport()
         self.scissor = Rect2D()
         self.mesh_renderers = []
+        # Optional directional light (scene.light.DirectionalLight).  None
+        # (the default) = the reference's unlit fragment path; set -> the
+        # whole camera pass shades Blinn-Phong (BASELINE config 3).
+        self.light = None
+
+    def eye_position(self) -> np.ndarray:
+        """World-space camera position (inverse view translation)."""
+        v = np.asarray(self.view_matrix, np.float64)
+        return (-v[:3, :3].T @ v[:3, 3]).astype(np.float32)
 
     def get_projection_matrix(self) -> np.ndarray:
         return np.asarray(

@@ -188,6 +188,10 @@ def rasterize(
     scissor: Rect2D,
     texture=None,
     vertex_color=None,
+    normals=None,   # optional [T, 3, 3] WORLD-space corner normals
+    light=None,     # optional scene.light.DirectionalLight (Blinn-Phong)
+    inv_vp=None,    # [4, 4] inverse view-projection (lit unproject)
+    eye=None,       # [3] camera world position
 ):
     """Rasterize triangles in draw order into ``color``/``depth`` (in place).
 
@@ -210,20 +214,30 @@ def rasterize(
     if sx0 >= sx1 or sy0 >= sy1:
         return
 
+    lit = None
+    if normals is not None and light is not None:
+        assert vertex_color is None, "lit + vertex color unsupported"
+        lit = (np.asarray(light.as_array(), np.float64),
+               np.asarray(inv_vp, np.float64),
+               np.asarray(eye, np.float64))
     for t in range(clip.shape[0]):
         attrs = [uv[t]]  # each [3, k]
         if vertex_color is not None:
             attrs.append(np.asarray(vertex_color[t], np.float64))
+        if lit is not None:
+            attrs.append(np.asarray(normals[t], np.float64))
         packed = np.concatenate([clip[t]] + attrs, axis=1)  # [3, 4+k]
         for tri in clip_triangle(packed):
             _raster_one(
                 color, depth, tri, state, viewport,
                 (sx0, sy0, sx1, sy1), texture,
                 has_vcolor=vertex_color is not None,
+                lit=lit,
             )
 
 
-def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor):
+def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor,
+                lit=None):
     xyzw = tri[:, :4]
     w = xyzw[:, 3]
     if np.any(w <= 0):  # clipped volume guarantees w>0 up to fp noise
@@ -306,6 +320,43 @@ def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor):
     u = (l0 * att[0, 0] * inv_w[0] + l1 * att[1, 0] * inv_w[1] + l2 * att[2, 0] * inv_w[2]) / denom
     v = (l0 * att[0, 1] * inv_w[0] + l1 * att[1, 1] * inv_w[1] + l2 * att[2, 1] * inv_w[2]) / denom
     frag = sample_bilinear(texture, u, v)
+    if lit is not None:
+        # Blinn-Phong (scene/light.py model; mirrors ops/shade.py).  The
+        # pipeline reconstructs position from the QUANTIZED depth buffer,
+        # so the oracle unprojects zq as well.
+        larr, inv_vp, eye = lit
+        nc = att[:, 2:5]
+        n = (
+            l0[..., None] * nc[0] * inv_w[0]
+            + l1[..., None] * nc[1] * inv_w[1]
+            + l2[..., None] * nc[2] * inv_w[2]
+        ) / denom[..., None]
+        nn = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.where(nn == 0, 1.0, nn)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        ndc_x = ((xx + 0.5) - vp.x) / vp.width * 2.0 - 1.0
+        ndc_y = ((yy + 0.5) - vp.y) / vp.height * 2.0 - 1.0
+        dspan = (vp.max_depth - vp.min_depth) or 1.0
+        ndc_z = (zq - vp.min_depth) / dspan
+        h4 = np.stack([ndc_x, ndc_y, ndc_z, np.ones_like(ndc_z)], axis=-1)
+        wp = h4 @ inv_vp.T
+        wdiv = np.where(wp[..., 3] == 0, 1.0, wp[..., 3])
+        p_world = wp[..., :3] / wdiv[..., None]
+        ldir = larr[:3]
+        lcol = larr[3:6]
+        ambient, spec_s, shin = larr[6], larr[7], larr[8]
+        vvec = eye - p_world
+        vn = np.linalg.norm(vvec, axis=-1, keepdims=True)
+        vvec = vvec / np.where(vn == 0, 1.0, vn)
+        hvec = ldir + vvec
+        hn = np.linalg.norm(hvec, axis=-1, keepdims=True)
+        hvec = hvec / np.where(hn == 0, 1.0, hn)
+        ndl = np.maximum(np.sum(n * ldir, axis=-1), 0.0)
+        ndh = np.maximum(np.sum(n * hvec, axis=-1), 0.0)
+        spec = spec_s * ndh ** shin
+        frag = frag.copy()
+        frag[..., :3] = (frag[..., :3] * (ambient + lcol * ndl[..., None])
+                         + lcol * spec[..., None])
     if has_vcolor:
         vc = att[:, 2:6]
         vcol = (
