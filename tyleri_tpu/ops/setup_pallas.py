@@ -96,11 +96,17 @@ def _setup_kernel(
 
     # ---- per-draw MVP selection: masked sweep over the draw table ----
     # (exact: selects only, no arithmetic — matches the XLA one-hot matmul
-    # at HIGHEST precision, which is also exact for 0/1 weights)
+    # at HIGHEST precision, which is also exact for 0/1 weights).  The
+    # sharded round-robin draw mask folds into the same sweep as a SCALAR
+    # rem per draw — a per-lane i32 rem by a dynamic divisor would lower to
+    # bit-serial division.
     draw = fld(F_DRAW).astype(jnp.int32)
     m = [jnp.zeros((8, 128), jnp.float32) for _ in range(16)]
+    draw_kept = jnp.zeros((8, 128), jnp.bool_)
     for d in range(draw_cap):
         sel = draw == d
+        keep_d = jax.lax.rem(jnp.int32(d), camv_ref[1]) == camv_ref[2]
+        draw_kept = draw_kept | (sel & keep_d)
         for k in range(16):
             m[k] = jnp.where(sel, mvp_ref[d, k], m[k])
 
@@ -124,10 +130,7 @@ def _setup_kernel(
           (fld(F_V2 + 3), fld(F_V2 + 4))]
 
     tex = fld(F_TEX)
-    tri_valid = (tex >= 0.0) & (camv_ref[0] > 0)
-    tri_valid = tri_valid & (
-        jax.lax.rem(draw, camv_ref[1]) == camv_ref[2]
-    )
+    tri_valid = (tex >= 0.0) & (camv_ref[0] > 0) & draw_kept
 
     # ---- near-plane cull + crossing telemetry (clip.py semantics) ----
     ins0 = c0[2] >= 0.0
