@@ -68,29 +68,26 @@ def supports(plan) -> bool:
     )
 
 
-def _setup_kernel(
+def _transform_kernel(
     viewport_ref,   # f32 [6] SMEM (x, y, w, h, min_depth, max_depth)
-    scissor_ref,    # f32 [4] SMEM (x, y, w, h)
+    scissor_ref,    # f32 [4] SMEM (unused here; shared prefetch signature)
     camv_ref,       # i32 [3] SMEM (camera-valid, draw_mod_n, draw_mod_i) —
                     # the mod mask is the sharded path's ParallelGroup
                     # round-robin (parallel/sharding.py)
     corner_ref,     # f32 [18, 8, 128] block
     mvp_ref,        # f32 [D, 16] SMEM per-draw MVP (row-major 4x4)
-    ch_ref,         # f32 [BLOCK, 24] out
-    packed_ref,     # i32 [8, 128] out
+    win_ref,        # f32 [12, 8, 128] out: (sx, sy, sz, 1/w) x 3 corners
+    flags_ref,      # i32 [8, 128] out: bit0 pre-valid, bit1 crossed
     *,
-    tile_shift_x: int,
-    tile_shift_y: int,
-    grid_w: int,
-    grid_h: int,
     draw_cap: int,
-    bw: int,
-    bh: int,
-    cull: int,       # 0 none / 1 cull backfaces / 2 cull frontfaces / 3 all
-    ccw_front: bool,
 ):
-    i = pl.program_id(0)
+    """Stage 1 of the fused setup: MVP transform + near-cull + viewport.
 
+    Split from the plane-setup stage because the single fused kernel sat on
+    a Mosaic compile cliff: with everything in one body, compiles exceeded
+    10 minutes, while removing ANY one feature dropped them to ~3 s.  Two
+    kernels of ~half the op count each compile in seconds; the win12
+    intermediate is 64 B/triangle of HBM traffic (~0.2 ms at 1M)."""
     def fld(k):
         return corner_ref[k]
 
@@ -125,9 +122,6 @@ def _setup_kernel(
     c0 = transform(F_V0)
     c1 = transform(F_V1)
     c2 = transform(F_V2)
-    uv = [(fld(F_V0 + 3), fld(F_V0 + 4)),
-          (fld(F_V1 + 3), fld(F_V1 + 4)),
-          (fld(F_V2 + 3), fld(F_V2 + 4))]
 
     tex = fld(F_TEX)
     tri_valid = (tex >= 0.0) & (camv_ref[0] > 0) & draw_kept
@@ -148,21 +142,64 @@ def _setup_kernel(
     vw, vh = viewport_ref[2], viewport_ref[3]
     dmin, dmax = viewport_ref[4], viewport_ref[5]
 
-    def window(c):
+    for ci, c in enumerate((c0, c1, c2)):
+        # dead/behind corners use the safe_clip=1 substitution (XLA path)
         w = jnp.where(in_front, c[3], one)
         inv_w = 1.0 / w
-        sx = (c[0] * inv_w * 0.5 + 0.5) * vw + vx
-        sy = (c[1] * inv_w * 0.5 + 0.5) * vh + vy
-        sz = dmin + c[2] * inv_w * (dmax - dmin)
-        return sx, sy, sz, inv_w
+        cx = jnp.where(in_front, c[0], one)
+        cy = jnp.where(in_front, c[1], one)
+        cz = jnp.where(in_front, c[2], one)
+        win_ref[4 * ci] = (cx * inv_w * 0.5 + 0.5) * vw + vx
+        win_ref[4 * ci + 1] = (cy * inv_w * 0.5 + 0.5) * vh + vy
+        win_ref[4 * ci + 2] = dmin + cz * inv_w * (dmax - dmin)
+        win_ref[4 * ci + 3] = inv_w
 
-    # dead/behind corners use the safe_clip=1 substitution like the XLA path
-    def safe(c):
-        return [jnp.where(in_front, v, one) for v in c]
+    flags_ref[...] = (
+        (tri_valid & in_front).astype(jnp.int32)
+        | (crossed.astype(jnp.int32) << 1)
+    )
 
-    sx0, sy0, sz0, iw0 = window(safe(c0))
-    sx1, sy1, sz1, iw1 = window(safe(c1))
-    sx2, sy2, sz2, iw2 = window(safe(c2))
+
+def _plane_kernel(
+    viewport_ref,   # f32 [6] SMEM
+    scissor_ref,    # f32 [4] SMEM (x, y, w, h)
+    camv_ref,       # i32 [3] SMEM (unused here; shared prefetch signature)
+    corner_ref,     # f32 [18, 8, 128] block (uv + tex fields)
+    win_ref,        # f32 [12, 8, 128] block from _transform_kernel
+    flags_ref,      # i32 [8, 128] block from _transform_kernel
+    ch_ref,         # f32 [BLOCK, 24] out
+    packed_ref,     # i32 [8, 128] out
+    ch_scratch,     # f32 [24, 8, 128] VMEM channel staging
+    *,
+    tile_shift_x: int,
+    tile_shift_y: int,
+    grid_w: int,
+    grid_h: int,
+    bw: int,
+    bh: int,
+    cull: int,       # 0 none / 1 cull backfaces / 2 cull frontfaces / 3 all
+    ccw_front: bool,
+):
+    """Stage 2 of the fused setup: edge/interp planes, tile bbox, validity,
+    z-min bound, channel emit (see _transform_kernel for the split note)."""
+    i = pl.program_id(0)
+
+    def fld(k):
+        return corner_ref[k]
+
+    uv = [(fld(F_V0 + 3), fld(F_V0 + 4)),
+          (fld(F_V1 + 3), fld(F_V1 + 4)),
+          (fld(F_V2 + 3), fld(F_V2 + 4))]
+    tex = fld(F_TEX)
+    one = jnp.float32(1.0)
+    vx, vy = viewport_ref[0], viewport_ref[1]
+    vw, vh = viewport_ref[2], viewport_ref[3]
+    sx0, sy0, sz0, iw0 = (win_ref[0], win_ref[1], win_ref[2], win_ref[3])
+    sx1, sy1, sz1, iw1 = (win_ref[4], win_ref[5], win_ref[6], win_ref[7])
+    sx2, sy2, sz2, iw2 = (win_ref[8], win_ref[9], win_ref[10], win_ref[11])
+    flags = flags_ref[...]
+    tri_valid = (flags & 1) > 0
+    in_front = tri_valid  # folded into bit 0 by the transform stage
 
     # ---- signed doubled area + edge planes (setup.py) ----
     area2 = (sx1 - sx0) * (sy2 - sy0) - (sy1 - sy0) * (sx2 - sx0)
@@ -185,22 +222,27 @@ def _setup_kernel(
         edx = dx * sgn
         edy = dy * sgn
         tl.append(jnp.where((edy < 0) | ((edy == 0) & (edx > 0)), 1.0, 0.0))
+        # stage to VMEM immediately (see ch_scratch note)
+        ch_scratch[3 * e] = eA[e]
+        ch_scratch[3 * e + 1] = eB[e]
+        ch_scratch[3 * e + 2] = eC[e]
 
     lamA = [eA[e] * inv_abs_area2 for e in range(3)]
     lamB = [eB[e] * inv_abs_area2 for e in range(3)]
     lamC = [eC[e] * inv_abs_area2 for e in range(3)]
 
-    def attr_plane(v0, v1, v2):
-        return (
-            v0 * lamA[0] + v1 * lamA[1] + v2 * lamA[2],
-            v0 * lamB[0] + v1 * lamB[1] + v2 * lamB[2],
-            v0 * lamC[0] + v1 * lamC[1] + v2 * lamC[2],
-        )
+    def attr_plane(row, v0, v1, v2):
+        ch_scratch[row] = v0 * lamA[0] + v1 * lamA[1] + v2 * lamA[2]
+        ch_scratch[row + 1] = v0 * lamB[0] + v1 * lamB[1] + v2 * lamB[2]
+        ch_scratch[row + 2] = v0 * lamC[0] + v1 * lamC[1] + v2 * lamC[2]
 
-    zA, zB, zC = attr_plane(sz0, sz1, sz2)
-    wA, wB, wC = attr_plane(iw0, iw1, iw2)
-    uwA, uwB, uwC = attr_plane(uv[0][0] * iw0, uv[1][0] * iw1, uv[2][0] * iw2)
-    vwA, vwB, vwC = attr_plane(uv[0][1] * iw0, uv[1][1] * iw1, uv[2][1] * iw2)
+    attr_plane(S.CH_Z, sz0, sz1, sz2)
+    attr_plane(S.CH_INVW, iw0, iw1, iw2)
+    attr_plane(S.CH_UW, uv[0][0] * iw0, uv[1][0] * iw1, uv[2][0] * iw2)
+    attr_plane(S.CH_VW, uv[0][1] * iw0, uv[1][1] * iw1, uv[2][1] * iw2)
+    zA = ch_scratch[S.CH_Z]
+    zB = ch_scratch[S.CH_Z + 1]
+    zC = ch_scratch[S.CH_Z + 2]
 
     # ---- tile bbox clamped to scissor (setup.py) ----
     scx, scy = scissor_ref[0], scissor_ref[1]
@@ -223,7 +265,8 @@ def _setup_kernel(
     ty1 = jnp.clip(py1 >> tile_shift_y, 0, grid_h - 1)
     on_screen = (px0 <= px1) & (py0 <= py1)
 
-    valid = tri_valid & in_front & nondeg & on_screen
+    valid = tri_valid & nondeg & on_screen
+    crossed = (flags & 2) > 0
     # Vulkan cull test, as setup.py::cull_keep_mask
     if cull == 3:
         valid = valid & False
@@ -244,27 +287,18 @@ def _setup_kernel(
     zq = jnp.clip(jnp.floor(zmin * 65535.0) - S.ZMIN_SLACK_Q, 0.0, 65535.0)
     ch_zmin = jnp.where(zsafe, zq, 0.0)
 
-    # ---- META + draw order (row index) ----
+    # ---- emit: staged channels -> row-major [BLOCK, 24] ----
+    ch_scratch[S.CH_ZMIN] = ch_zmin
     tl_bits = tl[0] + 2.0 * tl[1] + 4.0 * tl[2]
     texf = jnp.clip(tex, 0.0, float(S.META_TEX_MASK))
-    meta = tl_bits * float(1 << S.META_TEX_BITS) + jnp.floor(texf)
+    ch_scratch[S.CH_META] = (
+        tl_bits * float(1 << S.META_TEX_BITS) + jnp.floor(texf)
+    )
     row = (i * BLOCK
            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
-    order = row.astype(jnp.float32)
-
-    # ---- emit: 24 channel vregs -> row-major [BLOCK, 24] ----
-    chans = [
-        eA[0], eB[0], eC[0],
-        eA[1], eB[1], eC[1],
-        eA[2], eB[2], eC[2],
-        zA, zB, zC,
-        wA, wB, wC,
-        uwA, uwB, uwC,
-        vwA, vwB, vwC,
-        meta, order, ch_zmin,
-    ]
-    stacked = jnp.stack(chans, axis=0).reshape(24, BLOCK)
+    ch_scratch[S.CH_ORDER] = row.astype(jnp.float32)
+    stacked = ch_scratch[...].reshape(24, BLOCK)
     ch_ref[...] = jnp.transpose(stacked, (1, 0))
 
     packed = (
@@ -318,14 +352,19 @@ def fused_setup(
     bw, bh = sh
     assert tile_w & (tile_w - 1) == 0 and tile_h & (tile_h - 1) == 0
 
-    kernel = functools.partial(
-        _setup_kernel,
-        tile_shift_x=tile_w.bit_length() - 1,
-        tile_shift_y=tile_h.bit_length() - 1,
-        grid_w=grid_w, grid_h=grid_h, draw_cap=draw_cap, bw=bw, bh=bh,
-        cull=cull, ccw_front=ccw_front,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+    if draw_mod is None:
+        dm = jnp.array([1, 0], jnp.int32)
+    else:
+        dm = jnp.stack([draw_mod[0].astype(jnp.int32),
+                        draw_mod[1].astype(jnp.int32)])
+    flags_in = jnp.concatenate(
+        [cam_valid.astype(jnp.int32).reshape(1), dm])
+    vp_f = viewport.astype(jnp.float32)
+    sc_f = scissor.astype(jnp.float32)
+
+    # stage 1: transform + cull + viewport (see _transform_kernel note on
+    # why this is two kernels)
+    t_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(N // BLOCK,),
         in_specs=[
@@ -333,32 +372,53 @@ def fused_setup(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK, 24), lambda i, *_: (i, 0)),
+            pl.BlockSpec((12, BLOCK // 128, 128), lambda i, *_: (0, i, 0)),
             pl.BlockSpec((BLOCK // 128, 128), lambda i, *_: (i, 0)),
         ],
     )
-    if draw_mod is None:
-        dm = jnp.array([1, 0], jnp.int32)
-    else:
-        dm = jnp.stack([draw_mod[0].astype(jnp.int32),
-                        draw_mod[1].astype(jnp.int32)])
-    flags = jnp.concatenate(
-        [cam_valid.astype(jnp.int32).reshape(1), dm])
+    win12, flagsA = pl.pallas_call(
+        functools.partial(_transform_kernel, draw_cap=draw_cap),
+        grid_spec=t_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((12, nrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(vp_f, sc_f, flags_in, corner18, mvps.astype(jnp.float32))
+
+    # stage 2: plane setup + bbox + channel emit
+    p_kernel = functools.partial(
+        _plane_kernel,
+        tile_shift_x=tile_w.bit_length() - 1,
+        tile_shift_y=tile_h.bit_length() - 1,
+        grid_w=grid_w, grid_h=grid_h, bw=bw, bh=bh,
+        cull=cull, ccw_front=ccw_front,
+    )
+    p_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((18, BLOCK // 128, 128), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((12, BLOCK // 128, 128), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((BLOCK // 128, 128), lambda i, *_: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK, 24), lambda i, *_: (i, 0)),
+            pl.BlockSpec((BLOCK // 128, 128), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((24, BLOCK // 128, 128), jnp.float32),
+        ],
+    )
     channels, packed = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        p_kernel,
+        grid_spec=p_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, 24), jnp.float32),
             jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        viewport.astype(jnp.float32),
-        scissor.astype(jnp.float32),
-        flags,
-        corner18,
-        mvps.astype(jnp.float32),
-    )
+    )(vp_f, sc_f, flags_in, corner18, win12, flagsA)
 
     packed_flat = packed.reshape(N)
     mask = (1 << bw) - 1

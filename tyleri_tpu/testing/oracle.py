@@ -256,6 +256,8 @@ def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor,
         # Vulkan spec 28.8: orientation is decided by the shoelace signed area
         # in framebuffer (y-down) coords; positive area <=> counter-clockwise.
         # area2 above equals that shoelace sum.
+        if state.raster.cull_mode == CullMode.FRONT_AND_BACK:
+            return
         ccw_fb = area2 > 0
         is_front = ccw_fb == (state.raster.front_face == FrontFace.COUNTER_CLOCKWISE)
         if state.raster.cull_mode == CullMode.BACK and not is_front:
