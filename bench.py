@@ -20,41 +20,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR_FPS = 60.0
 
 
-def bench_rig(device, rig, warmup=2, frames=16, budget_s=180.0):
-    """Measure steady-state pipelined FPS of one scene rig (headless).
+def bench_rig(device, rig, warmup=8, frames=16, budget_s=180.0):
+    """Measure steady-state pipelined FPS of one scene rig through the
+    PRODUCTION frame loop (RenderWindow: steal scene -> record -> recycle,
+    with occupancy/adaptive feedback — rf.record alone never fires
+    note_overflow, so the steady-state fused-setup/valid_cap plans would
+    not engage).  present_mode="immediate": FIFO would pace to 60 Hz.
 
-    Synchronization fetches a pixel from the final frame:
-    jax.block_until_ready does not reliably wait on remote runtimes, so a
-    tiny device_get is the only honest fence."""
-    import jax
-    import numpy as np
+    The end-of-window flush() is the only honest fence
+    (jax.block_until_ready does not wait on remote runtimes; flush fetches
+    stats + the final image).  Warmup covers the adaptive recompiles:
+    near-clip flip after 2 clean frames, valid_cap shrink after 4."""
+    from tyleri_tpu.window.render_window import RenderWindow, WindowHandle
 
-    from tyleri_tpu.scene.render_scene import RenderScene
-    from tyleri_tpu.window.swapchain import ImageViewSwapchain
-    import tyleri_tpu as ty
-
-    swapchain = ImageViewSwapchain(rig.resolution)
-    rf = ty.ForwardRenderingFunction(device, swapchain)
+    win = RenderWindow(device, WindowHandle(), resolution=rig.resolution,
+                       present_mode="immediate")
 
     def one_frame(t):
-        scene = RenderScene()
+        scene = win.get_render_scene()
         rig.fill(scene, t)
-        return rf.record(device, scene.render_resources, 1.0, rig.resolution)
-
-    def sync(frame):
-        np.asarray(jax.device_get(frame.color[0, 0]))
+        return win.render(device)
 
     t0 = time.perf_counter()
     for k in range(warmup):
-        sync(one_frame(0.1 * k))
+        one_frame(0.1 * k)
         if time.perf_counter() - t0 > budget_s:
+            win.flush()
             return None
+    win.flush()  # drain so the timed window starts clean
     start = time.perf_counter()
-    last = None
     for k in range(frames):
-        last = one_frame(0.3 + 0.05 * k)
-    sync(last)
+        one_frame(0.3 + 0.05 * k)
+    img = win.flush()   # single end fence for the pipelined window
     dt = time.perf_counter() - start
+    assert img is not None
     fps = frames / dt
     return {
         "fps": fps,
@@ -143,7 +142,7 @@ def main():
             break
         try:
             rig = make()
-            r = bench_rig(device, rig, warmup=3, frames=frames,
+            r = bench_rig(device, rig, warmup=8, frames=frames,
                           budget_s=max(remaining - 10, 30))
             if r:
                 results[name] = r

@@ -87,3 +87,70 @@ def test_spill_overflow_is_reported_not_dropped_silently():
                           broad_cap=16, spill_cap=128)
     # the scene has far more than 128 spill entries: must be REPORTED
     assert int(tight.overflow) > 0
+
+
+def test_valid_cap_compaction_is_exact_and_truncation_reported():
+    """A valid_cap >= the live narrow count produces identical per-tile
+    lists to the full table (the dense compaction is lossless); one below
+    it REPORTS the dropped dense slots."""
+    su, grid_w, grid_h = make_setup(np.random.default_rng(5))
+    kwargs = dict(grid_w=grid_w, grid_h=grid_h, entry_cap=1 << 14,
+                  max_tiles_per_tri=32, broad_cap=16, spill_cap=1 << 13)
+    full = bin_triangles(su, **kwargs)
+    demand = int(full.dense_demand)
+    assert 0 < demand < su.valid.shape[0]  # scene has culled/invalid rows
+
+    shrunk = bin_triangles(su, valid_cap=demand, **kwargs)
+    assert int(shrunk.overflow) == 0
+    assert int(shrunk.num_entries) == int(full.num_entries)
+    from tyleri_tpu.ops import setup as S
+
+    ts_f = np.asarray(full.tile_start)
+    ts_s = np.asarray(shrunk.tile_start)
+    of = np.asarray(full.entry_channels)[:, S.CH_ORDER].astype(int)
+    os_ = np.asarray(shrunk.entry_channels)[:, S.CH_ORDER].astype(int)
+    for tile_id in range(grid_w * grid_h):
+        a = sorted(of[ts_f[tile_id]:ts_f[tile_id + 1]].tolist())
+        b = sorted(os_[ts_s[tile_id]:ts_s[tile_id + 1]].tolist())
+        assert a == b, f"tile {tile_id}"
+
+    tight = bin_triangles(su, valid_cap=max(demand - 64, 1), **kwargs)
+    assert int(tight.overflow) >= 64
+
+
+def test_adaptive_valid_cap_feedback():
+    """note_overflow learns the dense-slot demand, shrinks valid_cap (and
+    the derived entry_cap) once stable, and resets on a bin overflow."""
+    import tyleri_tpu as ty
+    from tyleri_tpu.ops.binning import spill_rows
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = ty.RenderDeviceBuilder().build()
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+    # a >2-granule triangle table so a shrink can save >= 1 granule
+    rf._grow_plan(1, 1, (1 << 17) + 5, 0)
+    p0 = rf.plan
+    assert p0.tri_cap >= (1 << 17)
+
+    for _ in range(rf._valid_shrink_after):
+        rf.note_overflow(0, 0, 0, 0, bin_demand=50_000)
+    p1 = rf.plan
+    assert p1.raster.valid_cap == 1 << 16  # ceil(62500 / 65536) granules
+    rf._grow_plan(1, 1, (1 << 17) + 5, 0)  # steady-state record re-derives
+    p1 = rf.plan
+    # the dense base IS valid_cap (demand already counts post-clip rows)
+    assert p1.raster.entry_cap == (1 << 16) \
+        + spill_rows(p1.raster.spill_cap, p1.raster.max_tiles_per_tri)
+
+    # overflow resets to the full table and backs off the threshold
+    before = rf._valid_shrink_after
+    rf.note_overflow(123, 0, 0, 0, bin_demand=0)
+    assert rf.plan.raster.valid_cap == 0
+    assert rf._valid_shrink_after == before * 2
+
+    # a tri_cap growth also invalidates a learned shrink
+    for _ in range(rf._valid_shrink_after):
+        rf.note_overflow(0, 0, 0, 0, bin_demand=50_000)
+    assert rf.plan.raster.valid_cap
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    assert rf.plan.raster.valid_cap == 0

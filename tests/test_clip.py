@@ -127,9 +127,16 @@ def test_adaptive_near_clip_skip_and_reenable():
     sv, si = _upload(dev, sverts, np.array([0, 1, 2], np.uint32))
     white = _upload_texture(dev, np.ones((1, 1, 4), np.float32))
 
+    import dataclasses
+
     win = RenderWindow(dev, resolution=(64, 64), present_mode="immediate")
     rf = win.rendering_function
-    rf._clip_disable_after = 4   # opt in (auto-disable is off by default)
+    rf._clip_disable_after = 4
+    # the adaptive skip only disables clipping when the fused setup kernel
+    # will take over (the XLA cull path alone fuses slower); force the
+    # fused path (interpret mode on CPU) so the feedback loop engages
+    rf.plan = dataclasses.replace(
+        rf.plan, raster=dataclasses.replace(rf.plan.raster, fused_setup=True))
 
     def draw_frame(mesh_v, mesh_i):
         scene = win.get_render_scene()

@@ -119,6 +119,20 @@ def main():
     dt = timeit("full frame", frame_fn, *arrays)
     print(f"{'fps':22s} {1.0 / dt:9.2f}")
 
+    # the steady-state production frame: near_clip disabled after 2 clean
+    # frames -> fused transform+cull+setup Pallas kernels
+    import dataclasses
+
+    from tyleri_tpu.rendering.passes import use_fused_setup
+
+    noclip = dataclasses.replace(rf.plan.raster, near_clip=False)
+    if use_fused_setup(noclip, rf.plan.draw_cap):
+        plan2 = dataclasses.replace(rf.plan, raster=noclip)
+        frame2 = functools.partial(
+            _render_frame, plan2, rf.mesh_state, rf.ui_state)
+        dt = timeit("fused-setup frame", frame2, *arrays)
+        print(f"{'fused fps':22s} {1.0 / dt:9.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -34,6 +34,8 @@ __version__ = "0.1.0"
 _EXPORTS = {
     "Vertex": "tyleri_tpu.api.vertex",
     "UIVertex": "tyleri_tpu.api.vertex",
+    "LitVertex": "tyleri_tpu.api.vertex",
+    "DirectionalLight": "tyleri_tpu.scene.light",
     "RenderDeviceBuilder": "tyleri_tpu.device.builders",
     "ValidationLevel": "tyleri_tpu.device.builders",
     "RenderDevice": "tyleri_tpu.device.render_device",

@@ -59,13 +59,47 @@ class BinnedEntries(NamedTuple):
     # interpolation planes) gathered with the same permutations
     entry_extra: jax.Array = None     # f32 [E_cap, K]
     broad_extra: jax.Array = None     # f32 [B_cap, K]
+    dense_demand: jax.Array = None    # i32 [] live narrow triangles
+                                      # (pre-cap dense-slot demand; drives
+                                      # the adaptive valid_cap shrink)
+
+
+# Per-level capacity fractions of ``spill_cap``, tuned to the measured
+# sponza-scale cover histogram at (16, 128) tiles (triangles with
+# scount >= 1, 2, 4, 8, 16 are ~13%, 4%, 1.5%, 0.5%, 0.2% of the table;
+# fractions carry ~1.2x headroom over those at the default spill_cap).
+_LEVEL_FRACS = (0.6, 0.2, 0.08, 0.03, 0.012)
+
+
+def _level_caps(spill_cap: int, K: int) -> list[int]:
+    caps = []
+    lo, j = 1, 0
+    while lo < K:
+        frac = _LEVEL_FRACS[min(j, len(_LEVEL_FRACS) - 1)]
+        caps.append(max(int(spill_cap * frac) // 512 * 512, 512))
+        lo *= 2
+        j += 1
+    return caps
+
+
+def spill_rows(spill_cap: int, K: int = 32) -> int:
+    """Total spill slot rows the multi-level expansion emits — callers size
+    ``entry_cap`` as tri_cap + spill_rows so the big sort never slices live
+    entries (and the result stays a multiple of 128 for the Pallas chunks
+    when tri_cap is)."""
+    total, lo = 0, 1
+    for cap in _level_caps(spill_cap, K):
+        hi = min(2 * lo, K) - 1
+        total += (hi - lo + 1) * cap
+        lo *= 2
+    return total
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid_w", "grid_h", "entry_cap", "max_tiles_per_tri", "broad_cap",
-        "spill_cap",
+        "spill_cap", "valid_cap",
     ),
 )
 def bin_triangles(
@@ -78,6 +112,9 @@ def bin_triangles(
     max_tiles_per_tri: int = 32,
     broad_cap: int = 256,
     spill_cap: int = 1 << 16,
+    valid_cap: int = 0,   # dense slots for live narrow triangles (0 = T):
+                          # culled/invalid rows beyond it stop riding the
+                          # big sort + channel gather as dead weight
 ) -> BinnedEntries:
     T = setup.valid.shape[0]
     ntiles = grid_w * grid_h
@@ -96,55 +133,117 @@ def bin_triangles(
 
     dense_live = jnp.sum(is_narrow.astype(jnp.int32))
 
-    # Expansion: dense first tile + spill repeat for the remainder.  On
-    # 16-row tiles ~90% of small-triangle entries are a triangle's FIRST
-    # covered tile (measured ~1.1 tiles/tri at sponza scale), so that slot
-    # is dense — one slot per setup row, tile id computed elementwise, no
-    # expansion gather at all.  Only the (ncover - 1) remainder rides the
-    # repeat + rank-arithmetic path, bounded by the occupancy-grown
-    # ``spill_cap`` (overflow is reported, never dropped silently).
+    # Expansion from ONE T-row packed 2-operand sort + ELEMENTWISE emits.
+    # Measured on TPU, every data-dependent row of gather / scatter /
+    # jnp.repeat (which lowers to an HLO scatter-add) costs ~40-90 ns of
+    # fixed latency, so any expansion formulation touching ~10^5+ such rows
+    # loses tens of ms: full-table jnp.repeat ~16 ms, searchsorted-over-
+    # cumsum compaction ~39 ms, compacted gather+repeat chains ~35 ms.
+    # Sorts, by contrast, run ~5 ms per million rows and slice for free.
+    #
+    # The sort key packs (dead, 31 - scount, tw - 1, tri) so narrow
+    # triangles sort by DESCENDING spill count, giving nested prefixes:
+    #   - the first `valid_cap` rows hold every live narrow triangle —
+    #     the DENSE (first covered tile) slots, skipping the ~40-50% of
+    #     the table that is culled/invalid (those rows would otherwise
+    #     ride the big expansion sort and channel gather as dead weight)
+    #   - spill level j (slot budget doubling: 1, 2, 4, 8, 16 covers) owns
+    #     cover indices [2^(j-1), min(2^j, K) - 1]; the triangles needing
+    #     it (scount >= 2^(j-1)) are exactly a PREFIX, sliced at the
+    #     static per-level cap — no re-sorts, no gathers
+    # Every slot emits its (tile, zmin, tri) purely elementwise from the
+    # packed operands; dead slots carry the ntiles sentinel and the big
+    # sort moves them past every live entry.  A triangle with scount
+    # covers occupies ceil-to-level-boundary slots, a ~1.4x row overhead
+    # on sponza-scale histograms — cheap against latency-bound ops.
     tri_ids = jnp.arange(T, dtype=jnp.int32)
     zmin_q = setup.channels[:, S.CH_ZMIN].astype(jnp.int32)  # 0..65535 exact
-    dense_tile = jnp.where(is_narrow, ty0 * grid_w + tx0, jnp.int32(ntiles))
 
-    counts = jnp.where(is_narrow, ncover - 1, 0)
-    total_spill = jnp.sum(counts)
-    # Live entries actually placed (post spill truncation); the two overflow
-    # terms are disjoint: spill-cap drops, then entry-cap drops of the rest.
-    live_placed = dense_live + jnp.minimum(total_spill, spill_cap)
+    scount = jnp.where(is_narrow, jnp.maximum(ncover - 1, 0), 0)
+    total_spill = jnp.sum(scount)
+
+    assert grid_w <= 256 and grid_h <= 256, "packed opA needs 8-bit tiles"
+    assert K <= 32, "packed key carries scount/tw in 5 bits each"
+    assert T < (1 << 21), "packed key carries the triangle id in 21 bits"
+    caps = _level_caps(spill_cap, K)
+
+    # packed operands (all elementwise; tri ids of equal-scount rows keep
+    # every key distinct, so the unstable sort is deterministic):
+    #   key = dead<<31 | (31-scount)<<26 | (tw-1)<<21 | tri   (u32, exact)
+    #   opA = zmin<<16 | ty0<<8 | tx0                         (u32, exact)
+    twc = jnp.clip(tw, 1, K).astype(jnp.uint32)
+    key = (
+        ((31 - scount).astype(jnp.uint32) << 26)
+        | ((twc - 1) << 21)
+        | tri_ids.astype(jnp.uint32)
+    )
+    key = jnp.where(is_narrow, key, jnp.uint32(0xFFFFFFFF))
+    opA = (
+        (jnp.clip(zmin_q, 0, 65535).astype(jnp.uint32) << 16)
+        | (jnp.clip(ty0, 0, 255).astype(jnp.uint32) << 8)
+        | jnp.clip(tx0, 0, 255).astype(jnp.uint32)
+    )
+    vcap = min(valid_cap, entry_cap) if valid_cap else T
+    n_pad = max(max(vcap, max(caps)) - T, 0)
+    if n_pad:
+        key = jnp.concatenate(
+            [key, jnp.full((n_pad,), 0xFFFFFFFF, jnp.uint32)])
+        opA = jnp.concatenate([opA, jnp.zeros((n_pad,), jnp.uint32)])
+    key, opA = jax.lax.sort(
+        (key, opA), dimension=0, num_keys=1, is_stable=False)
+
+    def unpack(cap):
+        k = key[:cap]
+        a = opA[:cap]
+        live = k != jnp.uint32(0xFFFFFFFF)
+        scnt = (31 - ((k >> 26) & 0x1F).astype(jnp.int32))
+        twl = (((k >> 21) & 0x1F) + 1).astype(jnp.int32)
+        tril = (k & jnp.uint32((1 << 21) - 1)).astype(jnp.int32)
+        zq = (a >> 16).astype(jnp.int32)
+        ty = ((a >> 8) & 0xFF).astype(jnp.int32)
+        tx = (a & 0xFF).astype(jnp.int32)
+        return live, scnt, twl, tril, zq, ty, tx
+
+    # dense slots: every live narrow triangle, compacted
+    live, _, _, tril, zq, ty, tx = unpack(vcap)
+    seg_tile = [jnp.where(live, ty * grid_w + tx, jnp.int32(ntiles))]
+    seg_zmin = [zq]
+    seg_tri = [tril]
+    placed_dense = jnp.sum(live.astype(jnp.int32))
+
+    placed_spill = jnp.int32(0)
+    lo = 1
+    for cap in caps:
+        hi = min(2 * lo, K) - 1           # cover indices [lo, hi] this level
+        live, scnt, twl, tril, zq, ty, tx = unpack(cap)
+        for c in range(lo, hi + 1):       # static slot loop, elementwise
+            lv = live & (scnt >= c)
+            cy = ty + c // twl
+            cx = tx + c - (c // twl) * twl
+            seg_tile.append(jnp.where(lv, cy * grid_w + cx,
+                                      jnp.int32(ntiles)))
+            seg_zmin.append(zq)
+            seg_tri.append(tril)
+            placed_spill = placed_spill + jnp.sum(lv.astype(jnp.int32))
+        lo = 2 * lo
+        if lo >= K:
+            break
+
+    # Live entries actually placed; the overflow terms are disjoint:
+    # valid_cap drops, level-cap drops, then entry-cap drops of the rest
+    # (possible only when entry_cap < the emitted row budget).
+    live_placed = placed_dense + placed_spill
     overflow = (
-        jnp.maximum(total_spill - spill_cap, 0)
+        (dense_live - placed_dense)
+        + (total_spill - placed_spill)
         + jnp.maximum(live_placed - entry_cap, 0)
     )
-    spill_tri = jnp.repeat(
-        tri_ids, counts, total_repeat_length=spill_cap
-    ).astype(jnp.int32)
-    sidx = jnp.arange(spill_cap, dtype=jnp.int32)
-    spill_live = sidx < jnp.minimum(total_spill, spill_cap)
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), spill_tri[1:] != spill_tri[:-1]]
-    )
-    seg_start = jax.lax.cummax(jnp.where(boundary, sidx, 0))
-    rank = sidx - seg_start
-    bbox_tbl = jnp.concatenate(
-        [tx0[:, None], ty0[:, None], jnp.maximum(tw, 1)[:, None],
-         zmin_q[:, None]], axis=1
-    ).astype(jnp.int32)                       # [T, 4]
-    ebox = bbox_tbl[spill_tri]                # ONE small row gather [spill, 4]
-    twr = ebox[:, 2]
-    cidx = rank + 1                           # cover index 1.. (0 is dense)
-    ctx = ebox[:, 0] + cidx % twr
-    cty = ebox[:, 1] + cidx // twr
-    spill_tile = jnp.where(
-        spill_live, cty * grid_w + ctx, jnp.int32(ntiles)
-    ).astype(jnp.int32)
-    spill_zmin = ebox[:, 3]
 
-    rows = T + spill_cap
+    rows = sum(s.shape[0] for s in seg_tile)
     pad = max(entry_cap - rows, 0)
-    all_tile = jnp.concatenate([dense_tile, spill_tile])
-    all_zmin = jnp.concatenate([zmin_q, spill_zmin])
-    all_tri = jnp.concatenate([tri_ids, spill_tri])
+    all_tile = jnp.concatenate(seg_tile)
+    all_zmin = jnp.concatenate(seg_zmin)
+    all_tri = jnp.concatenate(seg_tri)
     if pad:
         all_tile = jnp.concatenate(
             [all_tile, jnp.full((pad,), ntiles, jnp.int32)]
@@ -224,4 +323,5 @@ def bin_triangles(
         num_broad=jnp.minimum(num_broad, broad_cap).astype(jnp.int32),
         entry_extra=entry_extra,
         broad_extra=extra[broad_src] if extra is not None else None,
+        dense_demand=dense_live.astype(jnp.int32),
     )

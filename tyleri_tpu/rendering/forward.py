@@ -143,6 +143,7 @@ def frame_body(
     tile_of = jnp.zeros((), jnp.int32)
     clip_of = jnp.zeros((), jnp.int32)
     clip_x = jnp.zeros((), jnp.int32)
+    bin_dem = jnp.zeros((), jnp.int32)
     from tyleri_tpu.rendering.passes import mesh_pass_fused, use_fused_setup
 
     fused = use_fused_setup(plan.raster, plan.draw_cap) and not plan.lit
@@ -208,10 +209,12 @@ def frame_body(
         tile_of = tile_of + st.tile_overflow
         clip_of = clip_of + st.clip_overflow
         clip_x = clip_x + st.clip_crossings
+        if st.bin_demand is not None:
+            bin_dem = jnp.maximum(bin_dem, st.bin_demand)
 
     return Frame(color=color, depth=depth, bin_overflow=bin_of,
                  tile_overflow=tile_of, order=order, clip_overflow=clip_of,
-                 clip_crossings=clip_x)
+                 clip_crossings=clip_x, bin_demand=bin_dem)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
@@ -262,14 +265,12 @@ class ForwardRenderingFunction:
         # entries/tri on 16-row tiles for 1M-tri scenes) and grow on
         # REPORTED bin overflow (note_overflow) — binning's sort/gather
         # cost scales with the static cap, not with live entries, so a
-        # blanket 2x-tris cap taxes every frame of big scenes
-        # 1.15: measured ~1.13 entries/tri on sponza-scale scenes with
-        # (16,128) tiles; mid-size-triangle scenes overflow once and grow
-        self._entry_headroom = 1.15
-        # spill slots (tiles 2..n of multi-tile triangles) per triangle;
-        # measured ~0.22 on sponza at (16,128) tiles.  Grown on the same
-        # reported bin overflow as the entry headroom.
-        self._spill_headroom = 0.3
+        # blanket 2x-tris cap taxes every frame of big scenes.
+        # Spill slots (tiles 2..n of multi-tile triangles) per triangle;
+        # measured ~0.13 mean on sponza at (16,128) tiles; entry_cap is
+        # DERIVED (tri_cap + clip_cap + spill slot rows) so binning never
+        # truncates live entries.
+        self._spill_headroom = 0.2
         # record() mutates host state (plan growth, triangle-table cache);
         # DispatchQueue workers may run successive records on different
         # threads, so serialize them here (the per-rf ordering guarantee)
@@ -290,6 +291,15 @@ class ForwardRenderingFunction:
         # not recover it).
         self._clip_clean_frames = 0
         self._clip_disable_after = 2
+        # adaptive dense-slot shrink: ~40-50% of the triangle table is
+        # culled/invalid on real scenes, and binning's big sort + channel
+        # gather pay for every STATIC row.  After this many overflow-free
+        # frames the plan shrinks valid_cap to 1.25x the observed live
+        # narrow count (1<<16 granule); any bin overflow resets it to full
+        # and doubles the threshold (same backoff as the clip skip)
+        self._valid_demand = 0
+        self._valid_clean_frames = 0
+        self._valid_shrink_after = 4
         # VERDICT r2: a pipeline state outside the Pallas kernel's support
         # envelope silently dropped to the much slower XLA path; surface it
         # through the debug messenger as a performance message.
@@ -337,29 +347,37 @@ class ForwardRenderingFunction:
             )
 
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
+        from tyleri_tpu.ops.binning import spill_rows
+
         p = self.plan
         # capacities only grow (each growth recompiles, like swapchain
-        # recreation); entries get ~2 tiles per triangle headroom
-        # entry headroom: ~1.1 entries/tri measured on sponza-scale scenes
-        # with 16-row tiles, but mid-size triangles (tens of px) straddle
-        # several tiles each, so 2x is the safe general-scene bound
-        entry_cap = _cap_growth(
-            int(self._entry_headroom * n_tris), 1 << 16, p.raster.entry_cap
+        # recreation)
+        tri_cap = _cap_growth(n_tris, 1 << 16, p.tri_cap)
+        # spill list (tiles 2.. of multi-tile triangles): occupancy-grown
+        # headroom; the multi-level expansion derives per-level caps from
+        # this single bound (ops/binning.py::_level_caps)
+        spill_cap = _cap_growth(
+            int(self._spill_headroom * n_tris), 1 << 16, p.raster.spill_cap
         )
+        # a tri_cap growth invalidates the learned dense-slot occupancy
+        # (new geometry changes the live-narrow count); drop the shrink and
+        # let the demand feedback re-learn it
+        valid_cap = 0 if tri_cap > p.tri_cap else p.raster.valid_cap
+        vbase = tri_cap + p.raster.clip_cap
+        if valid_cap:
+            vbase = min(valid_cap, vbase)
         raster = dataclasses.replace(
             p.raster,
-            # 1<<16 granule: every E-proportional binning op (repeat, bbox
-            # gather, sort, channel gather) pays for the STATIC cap, so the
-            # coarser 1<<18 granule taxed big scenes up to 20%
-            entry_cap=entry_cap,
-            # spill list (tiles 2.. of multi-tile triangles): separately
-            # grown headroom — (entry_cap - n_tris) under-provisions when
-            # many triangles are invalid/culled (dense slots go unused but
-            # live triangles still spill)
-            spill_cap=_cap_growth(
-                int(self._spill_headroom * n_tris), 1 << 16,
-                p.raster.spill_cap
-            ),
+            # every row of the expansion has a reserved slot, so the big
+            # sort never truncates live entries and entry overflow reduces
+            # to valid_cap / spill-level overflow (reported + grown via
+            # note_overflow); tri_cap is a 1<<16 granule and spill_rows a
+            # 512 granule, so this stays a multiple of the Pallas chunk
+            # (128); with a learned valid_cap the dense base shrinks to it
+            entry_cap=vbase + spill_rows(
+                spill_cap, p.raster.max_tiles_per_tri),
+            spill_cap=spill_cap,
+            valid_cap=valid_cap,
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays
             # for tri_cap + clip_cap rows
@@ -371,7 +389,7 @@ class ForwardRenderingFunction:
             # granule (not pow2) growth: the whole per-triangle pipeline
             # (transform, clip scan, plane setup) is O(tri_cap), and pow2
             # overshoots by up to 2x — tens of ms at 1M triangles
-            tri_cap=_cap_growth(n_tris, 1 << 16, p.tri_cap),
+            tri_cap=tri_cap,
             ui_tri_cap=_next_pow2(n_ui, p.ui_tri_cap),
             has_ui=p.has_ui,
         )
@@ -380,33 +398,60 @@ class ForwardRenderingFunction:
 
     def note_overflow(self, bin_overflow: int, tile_overflow: int,
                       clip_overflow: int = 0,
-                      clip_crossings: int = 0) -> None:
+                      clip_crossings: int = 0,
+                      bin_demand: int = 0) -> None:
         """Occupancy feedback from the frame loop (RenderWindow recycle):
-        a reported bin overflow grows the entry headroom so the next plan
+        a reported bin overflow grows the spill headroom so the next plan
         re-bins with more capacity (recompiles, like swapchain recreation —
         the VariableLengthBuffer.expand_to analog for the raster tables).
         A tile overflow (XLA backend's per-tile lists) doubles that cap; a
         clip overflow quadruples the near-plane split work set.
 
-        Headroom ceilings: a narrow triangle can cover up to
-        max_tiles_per_tri (32) tiles, so the entry bound converges for any
-        real scene well below the 8.0/6.0 caps — beyond them the overflow
+        Headroom ceiling: a narrow triangle can spill at most
+        max_tiles_per_tri - 1 (31) covers, so the spill bound converges for
+        any real scene well below the 6.0 cap — beyond it the overflow
         keeps being REPORTED every frame (never silently dropped) rather
         than risking an entry table tens of GB large."""
         with self._record_lock:
             if bin_overflow > 0:
-                # the counter conflates entry, spill and broad-list
-                # truncation, so grow all three bounds (extra capacity
-                # costs ~linearly; broad_cap is tiny)
-                self._entry_headroom = min(self._entry_headroom * 1.5, 8.0)
+                # the counter conflates valid_cap, spill-level and
+                # broad-list truncation, so grow/reset all three bounds
+                # (extra capacity costs ~linearly; broad_cap is tiny;
+                # entry_cap follows spill_cap + valid_cap by derivation in
+                # _grow_plan).  A learned valid_cap goes back to full —
+                # dense drops mean the live-narrow count rose past it.
                 self._spill_headroom = min(self._spill_headroom * 2.0, 6.0)
+                if self.plan.raster.valid_cap:
+                    self._valid_shrink_after = min(
+                        self._valid_shrink_after * 2, 512)
+                self._valid_demand = 0
+                self._valid_clean_frames = 0
                 self.plan = dataclasses.replace(
                     self.plan,
                     raster=dataclasses.replace(
                         self.plan.raster,
                         broad_cap=min(self.plan.raster.broad_cap * 4, 1 << 16),
+                        valid_cap=0,
                     ),
                 )
+            elif bin_demand > 0:
+                # overflow-free frame with an observed dense-slot demand:
+                # learn the live-narrow occupancy and shrink valid_cap once
+                # it is stable (the shrunk plan recompiles, like any plan
+                # change; _grow_plan rederives entry_cap from it)
+                self._valid_demand = max(self._valid_demand, int(bin_demand))
+                self._valid_clean_frames += 1
+                p = self.plan
+                if (self._valid_clean_frames >= self._valid_shrink_after
+                        and not p.raster.valid_cap):
+                    full = p.tri_cap + p.raster.clip_cap
+                    cand = -(-int(self._valid_demand * 1.25) // (1 << 16)) \
+                        * (1 << 16)
+                    if cand <= full - (1 << 16):
+                        self.plan = dataclasses.replace(
+                            p, raster=dataclasses.replace(
+                                p.raster, valid_cap=cand)
+                        )
             if tile_overflow > 0:
                 self.plan = dataclasses.replace(
                     self.plan,
@@ -415,29 +460,31 @@ class ForwardRenderingFunction:
                         cap_per_tile=self.plan.raster.cap_per_tile * 2,
                     ),
                 )
-            if clip_overflow > 0:
-                p = self.plan
-                if p.raster.near_clip:
-                    # real clipping in play: grow the split work set
-                    new_cap = min(
-                        max(p.raster.clip_cap * 4,
-                            _next_pow2(p.raster.clip_cap + clip_overflow, 256)),
-                        _next_pow2(p.tri_cap, 256),
-                    )
-                    self.plan = dataclasses.replace(
-                        p, raster=dataclasses.replace(p.raster, clip_cap=new_cap)
-                    )
-                else:
-                    # cull path reported crossings: re-enable real clipping
-                    # (the crossing triangles were culled+reported for this
-                    # frame only) and back off the disable threshold
-                    self.plan = dataclasses.replace(
-                        p, raster=dataclasses.replace(p.raster, near_clip=True)
-                    )
-                    self._clip_disable_after = min(
-                        self._clip_disable_after * 4, 512
-                    )
-                    self._clip_clean_frames = 0
+            p = self.plan
+            if clip_overflow > 0 and p.raster.near_clip:
+                # real clipping in play: grow the split work set
+                new_cap = min(
+                    max(p.raster.clip_cap * 4,
+                        _next_pow2(p.raster.clip_cap + clip_overflow, 256)),
+                    _next_pow2(p.tri_cap, 256),
+                )
+                self.plan = dataclasses.replace(
+                    p, raster=dataclasses.replace(p.raster, clip_cap=new_cap)
+                )
+            elif (not p.raster.near_clip
+                  and (clip_overflow > 0 or clip_crossings > 0)):
+                # cull path (XLA or fused kernel) saw crossings: the
+                # crossing triangles were culled+reported for this frame
+                # only — re-enable real clipping and back off the disable
+                # threshold (exponential, so an oscillating camera cannot
+                # thrash recompiles)
+                self.plan = dataclasses.replace(
+                    p, raster=dataclasses.replace(p.raster, near_clip=True)
+                )
+                self._clip_disable_after = min(
+                    max(self._clip_disable_after, 1) * 4, 512
+                )
+                self._clip_clean_frames = 0
             # adaptive near-clip skip: count crossing-free frames while the
             # full clip pass is on; disable it once the scene has proven
             # crossing-free for a while (recompiles, like any plan change).

@@ -29,6 +29,9 @@ class Frame(NamedTuple):
     clip_overflow: jax.Array = None  # i32 [] near-clip splits beyond capacity
     clip_crossings: jax.Array = None  # i32 [] near-plane crossings observed
                                       # (adaptive clip-skip feedback)
+    bin_demand: jax.Array = None      # i32 [] max live narrow triangles over
+                                      # the frame's passes (dense-slot
+                                      # demand; adaptive valid_cap feedback)
 
 
 class RenderingFunction(Protocol):

@@ -51,6 +51,10 @@ class RasterPlan:
     # capacity of binning's spill list (tiles 2.. of multi-tile triangles;
     # tile 1 is a dense slot per triangle) — occupancy-grown like entry_cap
     spill_cap: int = 1 << 16
+    # dense (first-tile) slots for LIVE narrow triangles: binning compacts
+    # culled/invalid rows past this bound so they stop riding the big
+    # expansion sort and the channel gather (0 = one slot per setup row)
+    valid_cap: int = 0
     # near-plane clipping machinery: True = full split/rewrite pass;
     # False = the cheap cull-and-report pass (adaptive: occupancy feedback
     # disables it after crossing-free frames, re-enables on any crossing —
@@ -136,6 +140,9 @@ class PassStats(NamedTuple):
     clip_overflow: jax.Array  # i32 [] near-plane crossings beyond clip_cap
     clip_crossings: jax.Array = None  # i32 [] total crossings observed
                                       # (adaptive clip-skip feedback)
+    bin_demand: jax.Array = None  # i32 [] live narrow triangles (dense-slot
+                                  # demand, pre-cap) — drives the one-time
+                                  # valid_cap shrink in the frame feedback
 
 
 def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
@@ -144,17 +151,17 @@ def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
     ForwardRenderingFunction turns it off after crossing-free frames)."""
     from tyleri_tpu.ops import setup_pallas
 
-    supported = (
-        not plan.exact
-        and not plan.near_clip
-        and draw_cap <= 64
-        and setup_pallas.supports(plan)
-    )
+    # near-clip on = the full split/rewrite pass is required; the fused
+    # kernel only implements cull semantics, so it simply does not engage
+    # (the adaptive feedback turns near_clip off on crossing-free frames)
+    if plan.exact or plan.near_clip:
+        return False
+    supported = draw_cap <= 64 and setup_pallas.supports(plan)
     if plan.fused_setup is True:
         if not supported:
             raise ValueError(
-                "RasterPlan.fused_setup=True needs near_clip=False, "
-                "exact=False, pow2 tiles, a packable grid and draw_cap<=64"
+                "RasterPlan.fused_setup=True needs pow2 tiles, a packable "
+                "grid and draw_cap<=64"
             )
         return True
     if plan.fused_setup == "auto":
@@ -240,7 +247,7 @@ def mesh_pass(
         )
         zero = jnp.zeros((), jnp.int32)
         return (color, depth,
-                PassStats(zero, zero, ct.overflow, ct.crossings), None)
+                PassStats(zero, zero, ct.overflow, ct.crossings, zero), None)
 
     su = setup_triangles(
         ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
@@ -287,6 +294,7 @@ def _raster_binned(
         max_tiles_per_tri=plan.max_tiles_per_tri,
         broad_cap=plan.broad_cap,
         spill_cap=plan.spill_cap,
+        valid_cap=plan.valid_cap,
     )
     if _use_pallas(plan, state):
         import jax
@@ -324,7 +332,7 @@ def _raster_binned(
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
     return (color, depth,
             PassStats(binned.overflow, tile_overflow, clip_overflow,
-                      clip_crossings),
+                      clip_crossings, binned.dense_demand),
             pass_order)
 
 

@@ -89,12 +89,17 @@ class _UsingResources:
                     self._future.result().color, opaque=self._opaque
                 )
 
-    def wait(self) -> np.ndarray:
-        """Fence-wait analog (ref: render_window.rs:193): block on the device
-        result and return the presented u8 image."""
+    def wait(self, fetch: bool = True):
+        """Fence-wait analog (ref: render_window.rs:193): block on the
+        submission and return the presented u8 image — the DEVICE array
+        unless ``fetch`` (a host copy costs a full device->host transfer,
+        hundreds of ms for a 1080p image on remote accelerators; the
+        swapchain presents on-device, readback is the exception)."""
         self._future.result()
         self._ensure_u8()
-        return np.asarray(jax.block_until_ready(self._u8))
+        if fetch:
+            return np.asarray(jax.device_get(self._u8))
+        return self._u8
 
 
 class RenderWindow:
@@ -150,7 +155,21 @@ class RenderWindow:
             raise ValueError(f"unsupported composite_alpha {composite_alpha!r}")
         self.composite_alpha = composite_alpha
         self.present_target = present_target
-        self.latest_image: Optional[np.ndarray] = None
+        # the last presented u8 image: kept as the DEVICE array; the
+        # ``latest_image`` property fetches (and caches) the host copy on
+        # demand — presentation itself never reads back
+        self._latest_u8 = None
+        # stats readback costs a host<->device round trip (~tens of ms on
+        # remote accelerators), so the recycle path hands it to one
+        # background worker (the Vulkan async-query analog): the render
+        # loop never blocks on the tunnel, reports stay ordered, and
+        # flush() drains before returning
+        import concurrent.futures
+
+        self._stats_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="tyleri-stats"
+        )
+        self._stats_pending: list = []
         self.frame_index = 0
         # pre-populated scenes: one available + one per in-flight image
         # (the reference pre-signals fences with fresh CBs,
@@ -172,6 +191,16 @@ class RenderWindow:
     def get_render_scene(self) -> RenderScene:
         return self._available_scene
 
+    @property
+    def latest_image(self) -> Optional[np.ndarray]:
+        """Host copy of the last presented image (lazy readback: fetched
+        from the device on first access, then cached)."""
+        if self._latest_u8 is None:
+            return None
+        if not isinstance(self._latest_u8, np.ndarray):
+            self._latest_u8 = np.asarray(jax.device_get(self._latest_u8))
+        return self._latest_u8
+
     def get_swapchain_images(self) -> int:
         return self.swapchain.image_count
 
@@ -187,7 +216,7 @@ class RenderWindow:
         self.swapchain = ImageViewSwapchain(
             resolution, present_mode=self.swapchain.present_mode
         )
-        self.latest_image = None
+        self._latest_u8 = None
         rs = getattr(self.rendering_function, "resize", None)
         if rs is not None:
             rs(resolution)
@@ -233,12 +262,22 @@ class RenderWindow:
         )
 
         if previous is not None:
-            # fence wait on the frame previously using this image slot
-            img = previous.wait()
-            self.latest_image = img
+            # fence wait on the frame previously using this image slot; the
+            # host copy is fetched only for a real consumer (present_target)
+            img = previous.wait(fetch=self.present_target is not None)
+            self._latest_u8 = img
             if self.present_target is not None:
                 self.present_target(img)
-            self._report_frame_stats(device, previous.frame)
+            # async stats readback (see __init__): the report lands a frame
+            # or two later, like a Vulkan query pool
+            self._stats_pending = [
+                f for f in self._stats_pending if not f.done()
+            ]
+            self._stats_pending.append(
+                self._stats_pool.submit(
+                    self._report_frame_stats, device, previous.frame
+                )
+            )
             previous.scene.clear()
             self._available_scene = previous.scene
         else:
@@ -255,36 +294,46 @@ class RenderWindow:
 
     def _report_frame_stats(self, device, frame) -> None:
         """Report a completed frame's capacity overflows (never dropped)
-        and feed the occupancy-growth loop."""
-        bin_of = int(frame.bin_overflow)
-        tile_of = int(frame.tile_overflow)
-        clip_of = int(frame.clip_overflow)
-        clip_x = int(frame.clip_crossings) if frame.clip_crossings is not None else 0
+        and feed the occupancy-growth loop.  ONE batched device_get: each
+        separate scalar fetch pays a full host<->device round trip."""
+        stats = (frame.bin_overflow, frame.tile_overflow, frame.clip_overflow,
+                 frame.clip_crossings, frame.bin_demand)
+        fetched = iter(jax.device_get(
+            tuple(s for s in stats if s is not None)
+        ))
+        bin_of, tile_of, clip_of, clip_x, bin_dem = (
+            int(next(fetched)) if s is not None else 0 for s in stats
+        )
         device.debug_messenger.check_overflow("bin-entries", bin_of)
         device.debug_messenger.check_overflow("tile-entries", tile_of)
         device.debug_messenger.check_overflow("clip-splits", clip_of)
         # occupancy feedback: a reported overflow grows the raster
         # capacities for subsequent frames (recompile, like swapchain
-        # recreation); crossing counts drive the adaptive near-clip skip
+        # recreation); crossing counts drive the adaptive near-clip skip,
+        # the dense-slot demand the adaptive valid_cap shrink
         note = getattr(self.rendering_function, "note_overflow", None)
         if note is not None:
-            note(bin_of, tile_of, clip_of, clip_x)
+            note(bin_of, tile_of, clip_of, clip_x, bin_dem)
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
         ref: render_window.rs:226-233); returns the last presented image.
         Drained frames still report their capacity overflows."""
+        # drain the async stats reports submitted by render() recycles
+        for f in self._stats_pending:
+            f.result()
+        self._stats_pending.clear()
         last_idx = self.swapchain.last_acquired_image
         img = None
         for idx, using in list(self._using.items()):
-            img_i = using.wait()
+            img_i = using.wait(fetch=idx == last_idx)
             if idx == last_idx:
                 img = img_i
             self._report_frame_stats(self.render_device, using.frame)
             using.scene.clear()
         self._using.clear()
         if img is not None:
-            self.latest_image = img
+            self._latest_u8 = img
             if self.present_target is not None:
                 self.present_target(img)
         return self.latest_image
