@@ -133,6 +133,25 @@ def main():
         dt = timeit("fused-setup frame", frame2, *arrays)
         print(f"{'fused fps':22s} {1.0 / dt:9.2f}")
 
+        # ... plus the adaptive valid_cap shrink (dense-slot demand learned
+        # from a frame's bin_demand, note_overflow's 1.25x + 1<<16 granule)
+        from tyleri_tpu.ops.binning import spill_rows
+
+        dem = int(jax.device_get(frame2(*arrays).bin_demand))
+        vcap = -(-int(dem * 1.25) // (1 << 16)) * (1 << 16)
+        full = rf.plan.tri_cap + noclip.clip_cap
+        if vcap <= full - (1 << 16):
+            r3 = dataclasses.replace(
+                noclip, valid_cap=vcap,
+                entry_cap=vcap + spill_rows(
+                    noclip.spill_cap, noclip.max_tiles_per_tri),
+            )
+            plan3 = dataclasses.replace(rf.plan, raster=r3)
+            frame3 = functools.partial(
+                _render_frame, plan3, rf.mesh_state, rf.ui_state)
+            dt = timeit(f"steady frame (v{vcap >> 16})", frame3, *arrays)
+            print(f"{'steady fps':22s} {1.0 / dt:9.2f}")
+
 
 if __name__ == "__main__":
     main()
