@@ -30,14 +30,22 @@ def render_once(device, rig, *, xla_reference: bool):
     if xla_reference:
         # 8x8 tiles need worst-case entry headroom: a triangle contributes
         # up to max_tiles_per_tri narrow entries, and every padded slot up
-        # to tri_cap contributes one — start generous, retry on overflow
+        # to tri_cap contributes one — start generous, retry on overflow.
+        # spill_cap must be big enough that every multi-level spill cap
+        # (_LEVEL_FRACS fractions of it, tuned for (16,128) tiles where
+        # spilling is rare) covers the FULL triangle count: at 8x8 tiles
+        # most triangles spill, and level-cap drops are governed by
+        # spill_cap, not entry_cap.
         worst = 36 * rig.triangle_count + (1 << 16)
         cap = max(rf.plan.raster.entry_cap, -(-worst // 128) * 128)
+        spill = max(1 << 16,
+                    -(-int(rig.triangle_count / 0.012) // 512) * 512)
         rf.plan = dataclasses.replace(
             rf.plan,
             raster=dataclasses.replace(
                 rf.plan.raster, tile_w=8, tile_h=8, chunk=32, pallas=False,
-                entry_cap=cap, cap_per_tile=4096,
+                entry_cap=cap, cap_per_tile=4096, spill_cap=spill,
+                valid_cap=0,
                 # mid-size triangles cover >32 8x8 tiles and go broad
                 broad_cap=4096),
         )
@@ -52,7 +60,10 @@ def render_once(device, rig, *, xla_reference: bool):
         if xla_reference and over:
             cap = rf.plan.raster.entry_cap + -(-2 * over // 128) * 128
             rf.plan = dataclasses.replace(
-                rf.plan, raster=dataclasses.replace(rf.plan.raster, entry_cap=cap))
+                rf.plan, raster=dataclasses.replace(
+                    rf.plan.raster, entry_cap=cap,
+                    spill_cap=rf.plan.raster.spill_cap * 2,
+                    broad_cap=rf.plan.raster.broad_cap * 2))
             rf.note_overflow(0, 0, clip_over)
         else:
             # production path: occupancy feedback grows the entry headroom
