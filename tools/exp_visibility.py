@@ -270,13 +270,28 @@ def main():
     cache = {}
 
     def variant(name, tile_h=16, chunk=128, unroll=4,
-                strip_attrs=False, hoist_loads=False):
+                strip_attrs=False, hoist_loads=False, empty=False,
+                seg=0):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
+        tile_start = b.tile_start
+        nbroad = b.num_broad
+        if empty:
+            # all segments empty: measures the pure per-grid-step cost
+            # (state init, output writes, loop scaffolding)
+            tile_start = jnp.zeros_like(b.tile_start)
+            nbroad = jnp.zeros_like(b.num_broad)
+        elif seg:
+            # exactly `seg` live entries per tile: per-entry cost at a
+            # uniform load with no early-exit variance
+            tile_start = jnp.minimum(
+                jnp.arange(grid_w * grid_h + 1, dtype=jnp.int32) * seg,
+                b.entry_channels.shape[0])
+            nbroad = jnp.zeros_like(b.num_broad)
         print(f"[{name}] entries={int(b.num_entries)}", flush=True)
-        timeit(name, run_variant, b.entry_channels, b.tile_start,
-               b.num_broad, depth0, scissors[0],
+        timeit(name, run_variant, b.entry_channels, tile_start,
+               nbroad, depth0, scissors[0],
                fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
                strip_attrs=strip_attrs, hoist_loads=hoist_loads)
@@ -308,6 +323,13 @@ def main():
         "th64c256": dict(tile_h=64, chunk=256),
         "c512": dict(chunk=512),
         "th32hoist": dict(tile_h=32, chunk=256, hoist_loads=True),
+        "empty": dict(empty=True),
+        "empty_th32": dict(empty=True, tile_h=32),
+        "empty_th64": dict(empty=True, tile_h=64),
+        "seg32": dict(seg=32),
+        "seg64": dict(seg=64),
+        "seg128": dict(seg=128),
+        "seg256": dict(seg=256),
     }
     for name in sel:
         variant(name, **runs[name])
