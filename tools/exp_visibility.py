@@ -34,7 +34,13 @@ def _variant_kernel(
     ebuf, sem,
     *, tile_w, tile_h, grid_w, chunk, e_cap,
     unroll=4, strip_attrs=False, hoist_loads=False,
+    lex=False,        # production tie-break compare (order channel)
+    zmax_carry=False,  # per-chunk tile-zmax reduce carried as a scalar
+    cond_dma=False,    # DMA start/wait gated on the carried alive flag
+    exit_test=False,   # full production early exit (implies the other 3)
 ):
+    if exit_test:
+        lex = zmax_carry = cond_dma = True
     gy = pl.program_id(0)
     gx = pl.program_id(1)
     t = gy * grid_w + gx
@@ -70,11 +76,16 @@ def _variant_kernel(
         zc = jnp.clip(z, 0.0, 1.0)
         zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0)
         frag = cov & (z == zc) & in_sc & live
-        passing = frag & (zq <= zbuf)
+        if lex:
+            order = coeff(S.CH_ORDER)
+            passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
+        else:
+            passing = frag & (zq <= zbuf)
         zbuf = jnp.where(passing, zq, zbuf)
         owner = jnp.where(passing, eid, owner)
         if not strip_attrs:
-            obuf = jnp.where(passing, coeff(S.CH_ORDER), obuf)
+            obuf = jnp.where(
+                passing, order if lex else coeff(S.CH_ORDER), obuf)
             uwb = jnp.where(passing, plane(S.CH_UW), uwb)
             vwb = jnp.where(passing, plane(S.CH_VW), vwb)
             iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
@@ -110,16 +121,49 @@ def _variant_kernel(
     def _():
         start_dma(0, 0).start()
 
+    def tile_zmax(st):
+        return jnp.max(st[0])
+
+    inv_q = jnp.float32(1.0 / 65535.0)
+
     def chunk_body(k, carry):
+        if zmax_carry:
+            state, thresh, alive = carry
+        else:
+            state, alive = carry, True
         slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < nchunks)
-        def _():
-            start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+        if cond_dma:
+            @pl.when(alive)
+            def _():
+                start_dma(slot, k).wait()
+        else:
+            start_dma(slot, k).wait()
 
-        start_dma(slot, k).wait()
         s = chunk_slice(k)
+        if exit_test:
+            idx0 = jnp.maximum(start - s, 0)
+            zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+            proceed = alive & (zmin0 <= thresh)
+        elif cond_dma:
+            # data-dependent but always-true gate: isolates the gating
+            # structure's cost without actually skipping work
+            proceed = alive & (thresh > -1.0)
+        else:
+            proceed = alive if zmax_carry else True
+
+        if cond_dma:
+            @pl.when(proceed & (k + 1 < nchunks))
+            def _():
+                start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+        else:
+            @pl.when(k + 1 < nchunks)
+            def _():
+                start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
         n_here = jnp.clip(end - s, 0, chunk)
+        if exit_test:
+            n_here = jnp.where(proceed, n_here, 0)
 
         def entry_body(jj, inner):
             j = jj * unroll
@@ -133,11 +177,21 @@ def _variant_kernel(
                 inner = resolve_entry(c_u, idx + u, live_u, inner)
             return inner
 
-        return jax.lax.fori_loop(
-            0, (n_here + unroll - 1) // unroll, entry_body, carry
+        state = jax.lax.fori_loop(
+            0, (n_here + unroll - 1) // unroll, entry_body, state
         )
+        if zmax_carry:
+            thresh = jnp.where(proceed, tile_zmax(state), thresh) \
+                if exit_test else tile_zmax(state)
+            return state, thresh, (proceed if exit_test else alive)
+        return state
 
-    state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
+    if zmax_carry:
+        state, _, _ = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (state0, tile_zmax(state0), nchunks > 0))
+    else:
+        state = jax.lax.fori_loop(0, nchunks, chunk_body, state0)
 
     zbuf, owner, obuf, uwb, vwb, iwb, texb = state
     owner_ref[...] = owner
@@ -152,11 +206,13 @@ def _variant_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
-                     "chunk", "unroll", "strip_attrs", "hoist_loads"),
+                     "chunk", "unroll", "strip_attrs", "hoist_loads",
+                     "lex", "zmax_carry", "cond_dma", "exit_test"),
 )
 def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
-                unroll, strip_attrs, hoist_loads):
+                unroll, strip_attrs, hoist_loads,
+                lex=False, zmax_carry=False, cond_dma=False, exit_test=False):
     e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -169,6 +225,7 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
         _variant_kernel,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w, chunk=chunk, e_cap=e_cap,
         unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
+        lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma, exit_test=exit_test,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -269,9 +326,30 @@ def main():
 
     cache = {}
 
+    def prod(name, tile_h=16, chunk=128):
+        """Time the PRODUCTION kernel (with its front-to-back early exit)."""
+        from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+        from tyleri_tpu.pipeline.state import MESH_PIPELINE_STATE
+        if tile_h not in cache:
+            cache[tile_h] = bin_for(tile_h)
+        b, grid_w, grid_h = cache[tile_h]
+        print(f"[{name}] entries={int(b.num_entries)}", flush=True)
+        _, _, nvis = rasterize_visibility_pallas(
+            b, depth0, scissors[0],
+            fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
+            grid_w=grid_w, grid_h=grid_h, chunk=chunk,
+            depth_state=MESH_PIPELINE_STATE.depth, debug_counts=True)
+        print(f"[{name}] visited={int(jnp.sum(nvis))} "
+              f"(incl. chunk-align lead slots)", flush=True)
+        timeit(name, rasterize_visibility_pallas, b, depth0, scissors[0],
+               fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
+               grid_w=grid_w, grid_h=grid_h, chunk=chunk,
+               depth_state=MESH_PIPELINE_STATE.depth)
+
     def variant(name, tile_h=16, chunk=128, unroll=4,
                 strip_attrs=False, hoist_loads=False, empty=False,
-                seg=0):
+                seg=0, lex=False, zmax_carry=False, cond_dma=False,
+                exit_test=False):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
@@ -294,7 +372,9 @@ def main():
                nbroad, depth0, scissors[0],
                fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
-               strip_attrs=strip_attrs, hoist_loads=hoist_loads)
+               strip_attrs=strip_attrs, hoist_loads=hoist_loads,
+               lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma,
+               exit_test=exit_test)
 
     sel = sys.argv[1:] or [
         "base", "th8", "th32", "chunk256", "unroll8",
@@ -302,6 +382,10 @@ def main():
     ]
     runs = {
         "base": dict(),
+        "lex": dict(lex=True),
+        "zmax": dict(zmax_carry=True),
+        "zmaxdma": dict(zmax_carry=True, cond_dma=True),
+        "exit": dict(exit_test=True),
         "th8": dict(tile_h=8),
         "th32": dict(tile_h=32),
         "chunk256": dict(chunk=256),
@@ -332,7 +416,15 @@ def main():
         "seg256": dict(seg=256),
     }
     for name in sel:
-        variant(name, **runs[name])
+        if name.startswith("prod"):
+            kw = {}
+            if "c64" in name:
+                kw["chunk"] = 64
+            if "c32" in name:
+                kw["chunk"] = 32
+            prod(name, **kw)
+        else:
+            variant(name, **runs[name])
 
 
 if __name__ == "__main__":

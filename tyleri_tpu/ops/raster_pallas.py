@@ -76,10 +76,9 @@ def _visibility_kernel(
     vw_ref,           # f32 [th, tw] winner v/w
     iw_ref,           # f32 [th, tw] winner 1/w
     tex_ref,          # i32 [th, tw] winner texture slot
-    # scratch
-    ebuf,             # f32 [2, CHUNK, 128] (SMEM)
-    sem,              # DMA sems [2]
-    *,
+    # [nvis_ref i32 (1,1) SMEM if debug_counts] + scratch:
+    #   ebuf f32 [2, CHUNK, 128] (SMEM), sem DMA sems [2]
+    *rest,
     tile_w: int,
     tile_h: int,
     grid_w: int,
@@ -87,7 +86,12 @@ def _visibility_kernel(
     e_cap: int,
     depth_state: DepthState,
     le: bool,
+    debug_counts: bool = False,
 ):
+    if debug_counts:
+        nvis_ref, ebuf, sem = rest
+    else:
+        ebuf, sem = rest
     gy = pl.program_id(0)
     gx = pl.program_id(1)
     t = gy * grid_w + gx
@@ -236,7 +240,10 @@ def _visibility_kernel(
     inv_q = jnp.float32(1.0 / 65535.0)
 
     def chunk_body(k, carry):
-        state, thresh, alive = carry
+        if debug_counts:
+            state, thresh, alive, nvis = carry
+        else:
+            state, thresh, alive = carry
         slot = jax.lax.rem(k, 2)
 
         @pl.when(alive)
@@ -276,11 +283,20 @@ def _visibility_kernel(
             0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
         )
         thresh = jnp.where(proceed, tile_zmax(state), thresh)
+        if debug_counts:
+            return state, thresh, proceed, nvis + n_here
         return state, thresh, proceed
 
-    state, _, _ = jax.lax.fori_loop(
-        0, nchunks, chunk_body, (state0, tile_zmax(state0), nchunks > 0)
-    )
+    if debug_counts:
+        state, _, _, nvis = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (state0, tile_zmax(state0), nchunks > 0, jnp.int32(0)),
+        )
+        nvis_ref[0, 0] = nvis
+    else:
+        state, _, _ = jax.lax.fori_loop(
+            0, nchunks, chunk_body, (state0, tile_zmax(state0), nchunks > 0)
+        )
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
     # live count (zero-cost when no huge triangles exist) ----
@@ -319,7 +335,7 @@ def _visibility_kernel(
     jax.jit,
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
-        "chunk", "depth_state", "interpret",
+        "chunk", "depth_state", "interpret", "debug_counts",
     ),
 )
 def rasterize_visibility_pallas(
@@ -336,11 +352,17 @@ def rasterize_visibility_pallas(
     chunk: int = 64,
     depth_state: DepthState,
     interpret: bool = False,
+    debug_counts: bool = False,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
     Unlike the XLA path there is no per-tile capacity (tiles stream their
     whole segment), so tile overflow cannot occur.
+
+    debug_counts=True (instrumentation builds only) returns a third value:
+    an i32 [grid_h, grid_w] per-tile count of narrow entries actually
+    processed before the front-to-back early exit — for validating the
+    exit against the host-side walk sims (tools/exp_zwalk2.py).
     """
     if depth_state.compare_op not in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL):
         raise NotImplementedError(
@@ -366,6 +388,7 @@ def rasterize_visibility_pallas(
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
         chunk=chunk, e_cap=e_cap, depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
+        debug_counts=debug_counts,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -384,7 +407,9 @@ def rasterize_visibility_pallas(
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
             for _ in range(7)
-        ],
+        ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+                           memory_space=pltpu.SMEM)]
+             if debug_counts else []),
         scratch_shapes=[
             pltpu.SMEM((2, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -397,7 +422,7 @@ def rasterize_visibility_pallas(
         binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
     )
 
-    owner, z, order, uw, vw, iw, tex = pl.pallas_call(
+    owner, z, order, uw, vw, iw, tex, *nvis = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -408,7 +433,8 @@ def rasterize_visibility_pallas(
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((grid_h, grid_w), jnp.int32)]
+             if debug_counts else []),
         interpret=interpret,
     )(
         binned.tile_start,
@@ -429,4 +455,6 @@ def rasterize_visibility_pallas(
         iw=iw[:fb_h, :fb_w],
         tex=tex[:fb_h, :fb_w],
     )
+    if debug_counts:
+        return vis, jnp.zeros((), jnp.int32), nvis[0]
     return vis, jnp.zeros((), jnp.int32)
