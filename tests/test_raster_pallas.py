@@ -39,10 +39,11 @@ def random_scene(rng, T=24, grid=16):
 
 def run(clip, uv, pallas, plan_kw=None):
     T = clip.shape[0]
+    kw = dict(entry_cap=1024, cap_per_tile=512, chunk=128)
+    kw.update(plan_kw or {})
     plan = passes.RasterPlan(
         fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
-        entry_cap=1024, cap_per_tile=512, chunk=128,
-        pallas=pallas, **(plan_kw or {}),
+        pallas=pallas, **kw,
     )
     texels = jnp.ones((4, 16), jnp.float32)
     meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
@@ -233,3 +234,27 @@ def test_less_tie_across_broad_and_narrow_lists():
         # the earlier-drawn broad triangle wins every equal-z pixel
         assert (c[covered][:, 1] == 0).all(), f"green leaked (pallas={pallas})"
         assert (c[covered][:, 0] == 1.0).all()
+
+
+def test_pallas_segment_pressing_entry_cap():
+    """Chunk windows start unaligned at each tile's segment start; a
+    segment whose end reaches entry_cap forces the clamped final window
+    that re-covers processed entries (idempotent under the (z, order)
+    resolve).  Tight entry_cap + one crowded tile exercises both paths."""
+    rng = np.random.default_rng(7)
+    # many triangles crowded into the first tile column so one tile's
+    # segment ends at/near the cap
+    T = 48
+    xy = rng.uniform(-1, -0.2, size=(T, 3, 2))
+    z = rng.integers(1, 63, size=(T,)).astype(np.float64) / 64.0
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = z[:, None]
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2)).astype(np.float32)
+    kw = dict(entry_cap=128, cap_per_tile=128, spill_cap=128)
+    cx, dx = run(clip, uv, pallas=False, plan_kw=kw)
+    cp, dp = run(clip, uv, pallas=True, plan_kw=kw)
+    np.testing.assert_array_equal(dx, dp)
+    np.testing.assert_array_equal(cx, cp)

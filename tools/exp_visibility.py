@@ -38,7 +38,11 @@ def _variant_kernel(
     zmax_carry=False,  # per-chunk tile-zmax reduce carried as a scalar
     cond_dma=False,    # DMA start/wait gated on the carried alive flag
     exit_test=False,   # full production early exit (implies the other 3)
+    exit_while=False,  # early exit via lax.while_loop: dead chunks never
+                       # iterate (no scaffolding, no zmax on dead chunks)
 ):
+    if exit_while:
+        exit_test = True
     if exit_test:
         lex = zmax_carry = cond_dma = True
     gy = pl.program_id(0)
@@ -186,7 +190,46 @@ def _variant_kernel(
             return state, thresh, (proceed if exit_test else alive)
         return state
 
-    if zmax_carry:
+    if exit_while:
+        # alive(k) implies DMA(k) was started: k=0 by the prologue, k>0 by
+        # body k-1 under the same predicate that set alive
+        def w_cond(c):
+            k, alive, state, thresh = c
+            return alive
+
+        def w_body(c):
+            k, alive, state, thresh = c
+            slot = jax.lax.rem(k, 2)
+            start_dma(slot, k).wait()
+            s = chunk_slice(k)
+            idx0 = jnp.maximum(start - s, 0)
+            zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+            proceed = zmin0 <= thresh
+
+            @pl.when(proceed & (k + 1 < nchunks))
+            def _():
+                start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+            n_here = jnp.where(proceed, jnp.clip(end - s, 0, chunk), 0)
+
+            def entry_body(jj, inner):
+                j = jj * unroll
+                idx = s + j
+                for u in range(unroll):
+                    live_u = (idx + u >= start) & (idx + u < end)
+                    c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
+                    inner = resolve_entry(c_u, idx + u, live_u, inner)
+                return inner
+
+            state = jax.lax.fori_loop(
+                0, (n_here + unroll - 1) // unroll, entry_body, state)
+            thresh = jnp.where(proceed, tile_zmax(state), thresh)
+            return k + 1, proceed & (k + 1 < nchunks), state, thresh
+
+        _, _, state, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), nchunks > 0, state0,
+                             tile_zmax(state0)))
+    elif zmax_carry:
         state, _, _ = jax.lax.fori_loop(
             0, nchunks, chunk_body,
             (state0, tile_zmax(state0), nchunks > 0))
@@ -207,12 +250,14 @@ def _variant_kernel(
     jax.jit,
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
                      "chunk", "unroll", "strip_attrs", "hoist_loads",
-                     "lex", "zmax_carry", "cond_dma", "exit_test"),
+                     "lex", "zmax_carry", "cond_dma", "exit_test",
+                     "exit_while"),
 )
 def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
                 unroll, strip_attrs, hoist_loads,
-                lex=False, zmax_carry=False, cond_dma=False, exit_test=False):
+                lex=False, zmax_carry=False, cond_dma=False,
+                exit_test=False, exit_while=False):
     e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -226,6 +271,7 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w, chunk=chunk, e_cap=e_cap,
         unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
         lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma, exit_test=exit_test,
+        exit_while=exit_while,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -349,7 +395,7 @@ def main():
     def variant(name, tile_h=16, chunk=128, unroll=4,
                 strip_attrs=False, hoist_loads=False, empty=False,
                 seg=0, lex=False, zmax_carry=False, cond_dma=False,
-                exit_test=False):
+                exit_test=False, exit_while=False):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
@@ -374,7 +420,7 @@ def main():
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
                strip_attrs=strip_attrs, hoist_loads=hoist_loads,
                lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma,
-               exit_test=exit_test)
+               exit_test=exit_test, exit_while=exit_while)
 
     sel = sys.argv[1:] or [
         "base", "th8", "th32", "chunk256", "unroll8",
@@ -386,6 +432,7 @@ def main():
         "zmax": dict(zmax_carry=True),
         "zmaxdma": dict(zmax_carry=True, cond_dma=True),
         "exit": dict(exit_test=True),
+        "exitw": dict(exit_while=True),
         "th8": dict(tile_h=8),
         "th32": dict(tile_h=32),
         "chunk256": dict(chunk=256),

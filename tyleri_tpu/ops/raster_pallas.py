@@ -30,10 +30,10 @@ implementation; tests assert agreement), but hand-scheduled for TPU:
   in ops/setup.py::_zmin_quantized covers f32 evaluation error).  Measured
   on sponza-1M: ~60% of entries skipped, and skipped chunks also skip
   their DMA (ascending z-min makes deadness monotone per tile)
-* chunk windows tile [start, end) exactly: ``e_cap % chunk == 0`` and the
-  base is chunk-aligned, so no window ever re-covers processed entries
-  (re-processing is semantically harmless under the associative resolve
-  but would waste work)
+* chunk windows start exactly at ``start`` (leading-dim DMA offsets need
+  no alignment) so no dead lead slots ride the entry loop; only a window
+  clamped against ``e_cap`` re-covers processed entries, which is
+  idempotent under the associative resolve
 * the huge-triangle ("broad") side list lives wholly in SMEM and is scanned
   by every tile with a scalar bbox test, after the narrow stream (order of
   lists is immaterial: same associative resolve)
@@ -202,16 +202,16 @@ def _visibility_kernel(
     )
 
     # ---- narrow entries: double-buffered DMA over the tile's segment ----
-    # Chunk-aligned windows over [start, end) keep the slice arithmetic
-    # static-friendly; the live mask trims both edges.
-    base = start - jax.lax.rem(start, chunk)
-    nchunks = jnp.where(end > start, pl.cdiv(end - base, chunk), 0)
+    # Windows start exactly at ``start`` (leading-dim DMA offsets need no
+    # alignment on TPU — only lane extents must be whole 128-lane tiles),
+    # so no dead lead slots ride the entry loop and the exit gate tests the
+    # true next unprocessed entry.  Only the segment's LAST window can
+    # clamp against e_cap and re-cover processed entries; re-processing is
+    # idempotent under the associative (z, order) resolve.
+    nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
 
     def chunk_slice(k):
-        # base is chunk-aligned and k < cdiv(end - base, chunk) with
-        # end <= e_cap and chunk | e_cap, so base + k*chunk <= e_cap - chunk
-        # always: no clamp, no window ever re-covers processed entries
-        return pl.multiple_of(base + k * chunk, chunk)
+        return jnp.minimum(start + k * chunk, e_cap - chunk)
 
     def start_dma(slot, k):
         return pltpu.make_async_copy(
@@ -251,8 +251,9 @@ def _visibility_kernel(
             start_dma(slot, k).wait()
 
         s = chunk_slice(k)
-        # first live entry of this chunk (alignment can leave dead slots at
-        # the low edge of chunk 0); ascending zmin makes it the chunk's min
+        # first UNPROCESSED entry of this window (clamped windows re-cover
+        # processed entries whose smaller zmin only makes the gate more
+        # conservative); ascending zmin makes it the window's live min
         idx0 = jnp.maximum(start - s, 0)
         zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
         proceed = alive & (zmin0 <= thresh)
