@@ -43,8 +43,12 @@ def _variant_kernel(
 ):
     if exit_while:
         exit_test = True
+        cond_dma = True
     if exit_test:
-        lex = zmax_carry = cond_dma = True
+        # exit needs the lex compare + the carried threshold; the DMA chain
+        # may stay unconditional (speculative prefetch of chunks the exit
+        # will skip) — pass cond_dma=True for the production gating
+        lex = zmax_carry = True
     gy = pl.program_id(0)
     gx = pl.program_id(1)
     t = gy * grid_w + gx
@@ -431,7 +435,8 @@ def main():
         "lex": dict(lex=True),
         "zmax": dict(zmax_carry=True),
         "zmaxdma": dict(zmax_carry=True, cond_dma=True),
-        "exit": dict(exit_test=True),
+        "exit": dict(exit_test=True, cond_dma=True),
+        "exitspec": dict(exit_test=True),
         "exitw": dict(exit_while=True),
         "th8": dict(tile_h=8),
         "th32": dict(tile_h=32),
