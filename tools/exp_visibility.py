@@ -40,6 +40,9 @@ def _variant_kernel(
     exit_test=False,   # full production early exit (implies the other 3)
     exit_while=False,  # early exit via lax.while_loop: dead chunks never
                        # iterate (no scaffolding, no zmax on dead chunks)
+    lag2=False,        # gate chunk k with the zmax from chunk k-2: hides
+                       # the vector->scalar reduce crossing behind a full
+                       # chunk of work (still exact: older zmax >= current)
 ):
     if exit_while:
         exit_test = True
@@ -135,7 +138,9 @@ def _variant_kernel(
     inv_q = jnp.float32(1.0 / 65535.0)
 
     def chunk_body(k, carry):
-        if zmax_carry:
+        if zmax_carry and lag2:
+            state, thresh, thresh1, alive = carry
+        elif zmax_carry:
             state, thresh, alive = carry
         else:
             state, alive = carry, True
@@ -188,6 +193,9 @@ def _variant_kernel(
         state = jax.lax.fori_loop(
             0, (n_here + unroll - 1) // unroll, entry_body, state
         )
+        if zmax_carry and lag2:
+            new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
+            return state, thresh1, new_zm, (proceed if exit_test else alive)
         if zmax_carry:
             thresh = jnp.where(proceed, tile_zmax(state), thresh) \
                 if exit_test else tile_zmax(state)
@@ -198,11 +206,17 @@ def _variant_kernel(
         # alive(k) implies DMA(k) was started: k=0 by the prologue, k>0 by
         # body k-1 under the same predicate that set alive
         def w_cond(c):
-            k, alive, state, thresh = c
+            if lag2:
+                k, alive, state, thresh, thresh1 = c
+            else:
+                k, alive, state, thresh = c
             return alive
 
         def w_body(c):
-            k, alive, state, thresh = c
+            if lag2:
+                k, alive, state, thresh, thresh1 = c
+            else:
+                k, alive, state, thresh = c
             slot = jax.lax.rem(k, 2)
             start_dma(slot, k).wait()
             s = chunk_slice(k)
@@ -227,12 +241,24 @@ def _variant_kernel(
 
             state = jax.lax.fori_loop(
                 0, (n_here + unroll - 1) // unroll, entry_body, state)
+            alive2 = proceed & (k + 1 < nchunks)
+            if lag2:
+                return k + 1, alive2, state, thresh1, tile_zmax(state)
             thresh = jnp.where(proceed, tile_zmax(state), thresh)
-            return k + 1, proceed & (k + 1 < nchunks), state, thresh
+            return k + 1, alive2, state, thresh
 
-        _, _, state, _ = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), nchunks > 0, state0,
-                             tile_zmax(state0)))
+        if lag2:
+            _, _, state, _, _ = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), nchunks > 0, state0,
+                                 tile_zmax(state0), tile_zmax(state0)))
+        else:
+            _, _, state, _ = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), nchunks > 0, state0,
+                                 tile_zmax(state0)))
+    elif zmax_carry and lag2:
+        state, _, _, _ = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (state0, tile_zmax(state0), tile_zmax(state0), nchunks > 0))
     elif zmax_carry:
         state, _, _ = jax.lax.fori_loop(
             0, nchunks, chunk_body,
@@ -255,13 +281,13 @@ def _variant_kernel(
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
                      "chunk", "unroll", "strip_attrs", "hoist_loads",
                      "lex", "zmax_carry", "cond_dma", "exit_test",
-                     "exit_while"),
+                     "exit_while", "lag2"),
 )
 def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
                 unroll, strip_attrs, hoist_loads,
                 lex=False, zmax_carry=False, cond_dma=False,
-                exit_test=False, exit_while=False):
+                exit_test=False, exit_while=False, lag2=False):
     e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -275,7 +301,7 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w, chunk=chunk, e_cap=e_cap,
         unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
         lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma, exit_test=exit_test,
-        exit_while=exit_while,
+        exit_while=exit_while, lag2=lag2,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -399,7 +425,7 @@ def main():
     def variant(name, tile_h=16, chunk=128, unroll=4,
                 strip_attrs=False, hoist_loads=False, empty=False,
                 seg=0, lex=False, zmax_carry=False, cond_dma=False,
-                exit_test=False, exit_while=False):
+                exit_test=False, exit_while=False, lag2=False):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
@@ -424,7 +450,7 @@ def main():
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
                strip_attrs=strip_attrs, hoist_loads=hoist_loads,
                lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma,
-               exit_test=exit_test, exit_while=exit_while)
+               exit_test=exit_test, exit_while=exit_while, lag2=lag2)
 
     sel = sys.argv[1:] or [
         "base", "th8", "th32", "chunk256", "unroll8",
@@ -437,6 +463,8 @@ def main():
         "zmaxdma": dict(zmax_carry=True, cond_dma=True),
         "exit": dict(exit_test=True, cond_dma=True),
         "exitspec": dict(exit_test=True),
+        "exit2": dict(exit_test=True, cond_dma=True, lag2=True),
+        "exitw2": dict(exit_while=True, lag2=True),
         "exitw": dict(exit_while=True),
         "th8": dict(tile_h=8),
         "th32": dict(tile_h=32),

@@ -175,3 +175,80 @@ if __name__ == "__main__":
     walk(d, "chunk", local=True)
     walk(d, "group", group=8, local=True)
     walk(d, "ideal", local=True)
+
+
+def walk_lag(d, chunk=128, lag=2):
+    """chunk-mode walk with the threshold LAGGING ``lag`` chunk boundaries
+    (pipelined vector->scalar crossing in the kernel hides the reduce
+    latency behind a chunk of work; costs these extra visits)."""
+    tw, th, gw, gh = d["tw"], d["th"], d["gw"], d["gh"]
+    sx, sy, sz = d["sx"], d["sy"], d["sz"]
+    area2 = d["area2"]
+    px0, px1, py0, py1 = d["px0"], d["px1"], d["py0"], d["py1"]
+    bound = np.clip(d["zmin"][d["order"]], 0, 1)
+    key = d["tile"].astype(np.int64) * (1 << 22) + np.minimum(
+        (bound * 65535).astype(np.int64), 65535) * 32
+    sort_idx = np.argsort(key, kind="stable")
+    e_tri = d["order"][sort_idx]
+    e_bound = bound[sort_idx]
+    e_tile = d["tile"][sort_idx]
+    seg = np.searchsorted(e_tile, np.arange(gw * gh + 1))
+    sgn = np.where(area2 > 0, 1.0, -1.0)
+    ex = np.stack([sx[:, (e + 1) % 3] - sx[:, e] for e in range(3)], 1)
+    ey = np.stack([sy[:, (e + 1) % 3] - sy[:, e] for e in range(3)], 1)
+    visited = 0
+    yy_cache = {}
+    for t in range(gw * gh):
+        s, e = int(seg[t]), int(seg[t + 1])
+        if s == e:
+            continue
+        tx, ty = t % gw, t // gw
+        x_lo, y_lo = tx * tw, ty * th
+        zb = np.ones((th, tw), np.float64)
+        hist = [1.0] * lag  # thresholds pending publication
+        k = s
+        while k < e:
+            k_hi = min(k + chunk, e)
+            if e_bound[k] > hist[0]:
+                break
+            for kk in range(k, k_hi):
+                visited += 1
+                tri = e_tri[kk]
+                bx0 = max(px0[tri], x_lo); bx1 = min(px1[tri], x_lo + tw - 1)
+                by0 = max(py0[tri], y_lo); by1 = min(py1[tri], y_lo + th - 1)
+                if bx0 > bx1 or by0 > by1:
+                    continue
+                shape = (by1 - by0 + 1, bx1 - bx0 + 1)
+                if shape not in yy_cache:
+                    yy_cache[shape] = np.mgrid[0:shape[0], 0:shape[1]]
+                dy, dx = yy_cache[shape]
+                pxc = bx0 + dx + 0.5; pyc = by0 + dy + 0.5
+                inside = np.ones(shape, bool)
+                for ei in range(3):
+                    ev = ((pyc - sy[tri, ei]) * ex[tri, ei]
+                          - (pxc - sx[tri, ei]) * ey[tri, ei]) * sgn[tri]
+                    tl = (ey[tri, ei] * sgn[tri] < 0) | (
+                        (ey[tri, ei] == 0) & (ex[tri, ei] * sgn[tri] > 0))
+                    inside &= (ev > 0) | ((ev == 0) & tl)
+                if not inside.any():
+                    continue
+                l0 = ((pyc - sy[tri, 1]) * ex[tri, 1]
+                      - (pxc - sx[tri, 1]) * ey[tri, 1]) * sgn[tri]
+                l1 = ((pyc - sy[tri, 2]) * ex[tri, 2]
+                      - (pxc - sx[tri, 2]) * ey[tri, 2]) * sgn[tri]
+                l2 = ((pyc - sy[tri, 0]) * ex[tri, 0]
+                      - (pxc - sx[tri, 0]) * ey[tri, 0]) * sgn[tri]
+                den = l0 + l1 + l2
+                den = np.where(den == 0, 1.0, den)
+                z = np.clip((l0 * sz[tri, 2] + l1 * sz[tri, 0]
+                             + l2 * sz[tri, 1]) / den, 0.0, 1.0)
+                sl = (slice(by0 - y_lo, by1 - y_lo + 1),
+                      slice(bx0 - x_lo, bx1 - x_lo + 1))
+                zv = zb[sl]
+                passing = inside & (z <= zv)
+                zv[passing] = z[passing]
+            hist = hist[1:] + [zb.max()]
+            k = k_hi
+    print(f"lag{lag}            entries={d['total']/1e6:.2f}M "
+          f"visited={visited/1e6:.3f}M ({100*visited/d['total']:.0f}%)",
+          flush=True)
