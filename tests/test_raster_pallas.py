@@ -258,3 +258,48 @@ def test_pallas_segment_pressing_entry_cap():
     cp, dp = run(clip, uv, pallas=True, plan_kw=kw)
     np.testing.assert_array_equal(dx, dp)
     np.testing.assert_array_equal(cx, cp)
+
+
+def test_early_exit_skips_occluded_entries():
+    """The front-to-back early exit must actually fire: a near full-cover
+    quad (sorted first by CH_ZMIN) occludes hundreds of far triangles in
+    the same tile, so the kernel should visit ~one chunk, not the whole
+    segment (guards the exit semantics without TPU timing)."""
+    from tyleri_tpu.ops.setup import setup_triangles
+    from tyleri_tpu.ops.binning import bin_triangles
+    from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+    from tyleri_tpu.pipeline.state import MESH_PIPELINE_STATE
+
+    rng = np.random.default_rng(3)
+    n_far = 400
+    far_xy = rng.uniform(-1, 1, (n_far, 3, 2)) * 0.9
+    near = [[[-2, -2], [4, -2], [-2, 4]], [[4, 4], [-2, 4], [4, -2]]]
+    xy = np.concatenate([np.array(near, np.float64), far_xy], 0)
+    T = xy.shape[0]
+    z = np.full((T, 3), 0.9)
+    z[0] = z[1] = 0.1
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = z
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2)).astype(np.float32)
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.asarray(uv), jnp.zeros((T,), jnp.int32),
+        jnp.ones((T,), bool),
+        jnp.array([0, 0, 128, 16, 0, 1], jnp.float32),
+        jnp.array([0, 0, 128, 16], jnp.int32),
+        tile_w=128, tile_h=16, grid_w=1, grid_h=1,
+        order=jnp.arange(T, dtype=jnp.float32))
+    b = bin_triangles(su, grid_w=1, grid_h=1, entry_cap=1024,
+                      max_tiles_per_tri=4, broad_cap=8, spill_cap=512)
+    assert int(b.num_entries) == T
+    _, _, nvis = rasterize_visibility_pallas(
+        b, jnp.ones((16, 128), jnp.float32),
+        jnp.array([0, 0, 128, 16], jnp.int32),
+        fb_w=128, fb_h=16, tile_w=128, tile_h=16, grid_w=1, grid_h=1,
+        chunk=128, depth_state=MESH_PIPELINE_STATE.depth, interpret=True,
+        debug_counts=True)
+    visits = int(np.asarray(nvis).sum())
+    # the quad fills the tile in chunk 1; chunks 2+ must be skipped
+    assert visits <= 256, f"early exit dead: visited {visits} of {T}"
