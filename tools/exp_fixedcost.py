@@ -196,3 +196,47 @@ def probe_launch():
 
 if __name__ == "__main__" and os.environ.get("PROBE"):
     probe_launch()
+
+
+def gather_variants():
+    """Price the binning gather's output-pad: row gather to [E,24] vs the
+    lane-padded [E,128] the kernel consumes vs a 5-entries-per-row packed
+    [E/5,128] built from 5 interleaved gathers (all lanes live, no pad)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    E = 1_179_648
+    T = 1_114_112
+    key = jax.random.PRNGKey(1)
+    table = jax.random.uniform(key, (T, S.NUM_CHANNELS), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (E,), 0, T, jnp.int32)
+
+    @jax.jit
+    def g_narrow(t, i):
+        return t[i]
+
+    @jax.jit
+    def g_pad(t, i):
+        return jnp.pad(t[i], ((0, 0), (0, 128 - S.NUM_CHANNELS)))
+
+    @jax.jit
+    def g_packed5(t, i):
+        cols = [t[i[u::5]] for u in range(5)]
+        out = jnp.concatenate(cols, axis=1)          # [E/5, 120]
+        return jnp.pad(out, ((0, 0), (0, 8)))        # [E/5, 128]
+
+    frames = int(os.environ.get("FRAMES", "8"))
+
+    def timeit(name, fn, *args):
+        np.asarray(jax.device_get(fn(*args).ravel()[:1]))
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = fn(*args)
+        np.asarray(jax.device_get(out.ravel()[:1]))
+        dt = (time.perf_counter() - t0) / frames
+        print(f"{name:28s} {dt * 1000:9.3f} ms", flush=True)
+
+    timeit("gather_narrow[E,24]", g_narrow, table, ids)
+    timeit("gather_pad[E,128]", g_pad, table, ids)
+    timeit("gather_packed5[E/5,128]", g_packed5, table, ids)
