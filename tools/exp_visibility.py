@@ -496,6 +496,16 @@ def main():
         "seg256": dict(seg=256),
     }
     for name in sel:
+        if name.startswith("packed5"):
+            b, grid_w, grid_h = cache.setdefault(16, bin_for(16))
+            packed = jax.block_until_ready(jax.jit(pack5)(b.entry_channels))
+            print(f"[{name}] entries={int(b.num_entries)} "
+                  f"packed_rows={packed.shape[0]}", flush=True)
+            timeit(name, run_packed, packed, b.tile_start, b.num_broad,
+                   depth0, scissors[0], fb_w=fb_w, fb_h=fb_h,
+                   tile_w=128, tile_h=16, grid_w=grid_w, grid_h=grid_h,
+                   exit_test="noexit" not in name, lag2="lag2" in name)
+            continue
         if name.startswith("prod"):
             kw = {}
             if "c64" in name:
@@ -509,3 +519,228 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Packed-5 table variant: 5 entries per 128-lane row (24 channels each, lanes
+# 0..119 live).  The binning gather builds it from 5 interleaved gathers +
+# lane concat — writes [E/5,128] (~121 MB at 1.18M entries) instead of the
+# lane-padded [E,128] (~604 MB), and the kernel DMAs 5x fewer bytes.  DMA
+# windows cover whole packed rows (ROWS_PER_WIN), so with UNROLL=5 every
+# entry's lane offset is STATIC; up to 4 dead lead entries mask out.
+# ---------------------------------------------------------------------------
+PACK = 5
+ROWS_PER_WIN = 26          # 130 entries per window
+ENT_PER_WIN = PACK * ROWS_PER_WIN
+
+
+def _packed_kernel(
+    tile_start_ref, scissor_ref, nbroad_ref,
+    entries_ref,    # f32 [Ep, 128] packed rows
+    depth_init_ref,
+    owner_ref, z_ref, order_ref, uw_ref, vw_ref, iw_ref, tex_ref,
+    ebuf, sem,
+    *, tile_w, tile_h, grid_w, e_rows,
+    exit_test=True, lag2=False,
+):
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+    t = gy * grid_w + gx
+    start = tile_start_ref[t]
+    end = tile_start_ref[t + 1]
+
+    xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    xf = xcb.astype(jnp.float32) + 0.5
+    in_sc = (xcb >= scissor_ref[0]) & (xcb < scissor_ref[0] + scissor_ref[2])
+    yc = gy * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    in_sc = in_sc & (yc >= scissor_ref[1]) & (yc < scissor_ref[1] + scissor_ref[3])
+    yf = yc.astype(jnp.float32) + 0.5
+
+    def resolve_entry(coeff, eid, live, st):
+        zbuf, owner, obuf, uwb, vwb, iwb, texb = st
+
+        def plane(row):
+            return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
+
+        meta = coeff(S.CH_META).astype(jnp.int32)
+        tl = meta >> S.META_TEX_BITS
+        e0 = plane(S.CH_E0)
+        e1 = plane(S.CH_E1)
+        e2 = plane(S.CH_E2)
+        cov = (
+            ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
+            & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
+            & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
+        )
+        z = plane(S.CH_Z)
+        zc = jnp.clip(z, 0.0, 1.0)
+        zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0)
+        frag = cov & (z == zc) & in_sc & live
+        order = coeff(S.CH_ORDER)
+        passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
+        zbuf = jnp.where(passing, zq, zbuf)
+        owner = jnp.where(passing, eid, owner)
+        obuf = jnp.where(passing, order, obuf)
+        uwb = jnp.where(passing, plane(S.CH_UW), uwb)
+        vwb = jnp.where(passing, plane(S.CH_VW), vwb)
+        iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
+        texb = jnp.where(
+            passing, jnp.full_like(texb, 0) + (meta & S.META_TEX_MASK), texb)
+        return zbuf, owner, obuf, uwb, vwb, iwb, texb
+
+    state0 = (
+        depth_init_ref[:],
+        jnp.full((tile_h, tile_w), -1, jnp.int32),
+        jnp.full((tile_h, tile_w), -1.0, jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.ones((tile_h, tile_w), jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.int32),
+    )
+
+    r0 = start // PACK            # first packed row
+    e_base = r0 * PACK            # first entry covered by window 0
+    nwin = jnp.where(end > start, pl.cdiv(end - e_base, ENT_PER_WIN), 0)
+
+    def win_rows(k):
+        return jnp.minimum(r0 + k * ROWS_PER_WIN, e_rows - ROWS_PER_WIN)
+
+    def start_dma(slot, k):
+        return pltpu.make_async_copy(
+            entries_ref.at[pl.ds(win_rows(k), ROWS_PER_WIN), :],
+            ebuf.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nwin > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def tile_zmax(st):
+        return jnp.max(st[0])
+
+    inv_q = jnp.float32(1.0 / 65535.0)
+
+    def win_body(k, carry):
+        if lag2:
+            state, thresh, thresh1, alive = carry
+        else:
+            state, thresh, alive = carry
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(alive)
+        def _():
+            start_dma(slot, k).wait()
+
+        ew0 = win_rows(k) * PACK           # first entry in the buffer
+        j0 = jnp.maximum(start - ew0, 0)   # first live entry's buffer index
+        zmin0 = ebuf[slot, j0 // PACK,
+                     24 * jax.lax.rem(j0, PACK) + S.CH_ZMIN] * inv_q
+        proceed = alive & (zmin0 <= thresh) if exit_test else alive
+
+        @pl.when(proceed & (k + 1 < nwin))
+        def _():
+            start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        n_here = jnp.clip(end - ew0, 0, ENT_PER_WIN)
+        if exit_test:
+            n_here = jnp.where(proceed, n_here, 0)
+
+        def entry_body(jj, inner):
+            idx = ew0 + jj * PACK
+            for u in range(PACK):
+                live_u = (idx + u >= start) & (idx + u < end)
+                c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
+                inner = resolve_entry(c_u, idx + u, live_u, inner)
+            return inner
+
+        state = jax.lax.fori_loop(
+            0, (n_here + PACK - 1) // PACK, entry_body, state)
+        if lag2:
+            new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
+            return state, thresh1, new_zm, proceed
+        thresh = jnp.where(proceed, tile_zmax(state), thresh)
+        return state, thresh, proceed
+
+    if lag2:
+        state, _, _, _ = jax.lax.fori_loop(
+            0, nwin, win_body,
+            (state0, tile_zmax(state0), tile_zmax(state0), nwin > 0))
+    else:
+        state, _, _ = jax.lax.fori_loop(
+            0, nwin, win_body, (state0, tile_zmax(state0), nwin > 0))
+
+    zbuf, owner, obuf, uwb, vwb, iwb, texb = state
+    owner_ref[...] = owner
+    z_ref[...] = zbuf
+    order_ref[...] = obuf
+    uw_ref[...] = uwb
+    vw_ref[...] = vwb
+    iw_ref[...] = iwb
+    tex_ref[...] = texb
+
+
+def pack5(entry_channels):
+    """[E,24] -> packed [ceil(E/5)+pad, 128] (5 interleaved gathers' layout,
+    built here by reshape for the harness; the fused frame would emit it
+    straight from the binning gather)."""
+    E = entry_channels.shape[0]
+    Ep = -(-E // PACK)
+    pad_e = Ep * PACK - E
+    t = jnp.pad(entry_channels, ((0, pad_e), (0, 0)))
+    t = t.reshape(Ep, PACK * S.NUM_CHANNELS)
+    t = jnp.pad(t, ((0, 0), (0, 128 - PACK * S.NUM_CHANNELS)))
+    # window DMA clamp needs ROWS_PER_WIN slack
+    return jnp.pad(t, ((0, ROWS_PER_WIN), (0, 0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
+                     "exit_test", "lag2"),
+)
+def run_packed(packed, tile_start, num_broad, init_depth, scissor, *,
+               fb_w, fb_h, tile_w, tile_h, grid_w, grid_h,
+               exit_test=True, lag2=False):
+    e_rows = packed.shape[0]
+    pad_h = grid_h * tile_h
+    pad_w = grid_w * tile_w
+    depth0 = jnp.pad(
+        init_depth.astype(jnp.float32),
+        ((0, pad_h - fb_h), (0, pad_w - fb_w)),
+        constant_values=jnp.float32(-jnp.inf),
+    )
+    kernel = functools.partial(
+        _packed_kernel, tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
+        e_rows=e_rows, exit_test=exit_test, lag2=lag2,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(grid_h, grid_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM)
+            for _ in range(7)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, ROWS_PER_WIN, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        ],
+    )(tile_start, scissor, num_broad.reshape(1), packed, depth0)
+    return outs
