@@ -303,3 +303,40 @@ def test_early_exit_skips_occluded_entries():
     visits = int(np.asarray(nvis).sum())
     # the quad fills the tile in chunk 1; chunks 2+ must be skipped
     assert visits <= 256, f"early exit dead: visited {visits} of {T}"
+
+
+def test_pallas_packed_entries_match_xla():
+    """plan.packed_entries: the 5-entries-per-row table must render
+    identically to the XLA path (and to the unpacked kernel)."""
+    rng = np.random.default_rng(91)
+    clip, uv = random_scene(rng, T=64)
+    c_ref, d_ref = run(clip, uv, pallas=False)
+    c_pk, d_pk = run(clip, uv, pallas=True,
+                     plan_kw=dict(packed_entries=True))
+    np.testing.assert_array_equal(d_pk, d_ref)
+    np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
+
+
+def test_pallas_packed_broad_and_cap_pressure():
+    """packed mode with a broad triangle + a segment pressing entry_cap
+    (clamped windows re-cover; entry_cap not a PACK multiple)."""
+    rng = np.random.default_rng(17)
+    T = 40
+    xy = rng.uniform(-1, -0.1, size=(T, 3, 2))
+    z = rng.integers(1, 63, size=(T,)).astype(np.float64) / 64.0
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = z[:, None]
+    clip[..., 3] = 1.0
+    big = np.array([[[-4, -4, 0.9, 1], [4, -4, 0.9, 1], [0, 4, 0.9, 1]]],
+                   np.float32)
+    clip = np.concatenate([big, clip], 0)
+    uv = rng.random((T + 1, 3, 2)).astype(np.float32)
+    kw = dict(entry_cap=126, cap_per_tile=128, spill_cap=128,
+              max_tiles_per_tri=2, broad_cap=8)
+    c_ref, d_ref = run(clip, uv, pallas=False, plan_kw=kw)
+    c_pk, d_pk = run(clip, uv, pallas=True,
+                     plan_kw=dict(packed_entries=True, **kw))
+    np.testing.assert_array_equal(d_pk, d_ref)
+    np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)

@@ -87,11 +87,16 @@ def _visibility_kernel(
     depth_state: DepthState,
     le: bool,
     debug_counts: bool = False,
+    packed: bool = False,
 ):
     if debug_counts:
         nvis_ref, ebuf, sem = rest
     else:
         ebuf, sem = rest
+    if packed:
+        from tyleri_tpu.ops.binning import PACK
+        rows_win = chunk // PACK
+        e_rows = e_cap  # packed mode: e_cap is the packed table's row count
     gy = pl.program_id(0)
     gx = pl.program_id(1)
     t = gy * grid_w + gx
@@ -208,17 +213,40 @@ def _visibility_kernel(
     # true next unprocessed entry.  Only the segment's LAST window can
     # clamp against e_cap and re-cover processed entries; re-processing is
     # idempotent under the associative (z, order) resolve.
-    nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
+    #
+    # packed mode: windows cover whole PACKED ROWS (PACK entries each) so
+    # every entry's 24 coefficient lane offsets are STATIC under the
+    # PACK-wide unroll; up to PACK-1 dead lead entries mask out.
+    if packed:
+        r0 = start // PACK
+        e_base0 = r0 * PACK
+        nchunks = jnp.where(end > start, pl.cdiv(end - e_base0, chunk), 0)
 
-    def chunk_slice(k):
-        return jnp.minimum(start + k * chunk, e_cap - chunk)
+        def win_rows(k):
+            return jnp.minimum(r0 + k * rows_win, e_rows - rows_win)
 
-    def start_dma(slot, k):
-        return pltpu.make_async_copy(
-            entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
-            ebuf.at[slot],
-            sem.at[slot],
-        )
+        def chunk_slice(k):
+            # first ENTRY covered by window k's buffer
+            return win_rows(k) * PACK
+
+        def start_dma(slot, k):
+            return pltpu.make_async_copy(
+                entries_ref.at[pl.ds(win_rows(k), rows_win), :],
+                ebuf.at[slot],
+                sem.at[slot],
+            )
+    else:
+        nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
+
+        def chunk_slice(k):
+            return jnp.minimum(start + k * chunk, e_cap - chunk)
+
+        def start_dma(slot, k):
+            return pltpu.make_async_copy(
+                entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
+                ebuf.at[slot],
+                sem.at[slot],
+            )
 
     @pl.when(nchunks > 0)
     def _():
@@ -255,7 +283,11 @@ def _visibility_kernel(
         # processed entries whose smaller zmin only makes the gate more
         # conservative); ascending zmin makes it the window's live min
         idx0 = jnp.maximum(start - s, 0)
-        zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+        if packed:
+            zmin0 = ebuf[slot, idx0 // PACK,
+                         24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
+        else:
+            zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
         proceed = alive & (zmin0 <= thresh)
 
         @pl.when(proceed & (k + 1 < nchunks))
@@ -268,15 +300,19 @@ def _visibility_kernel(
 
         # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
         # scalar loads overlap earlier entries' vector work (measured best
-        # of 2/4/8 at 16-row tiles with the row-major table)
-        UNROLL = 4
+        # of 2/4/8 at 16-row tiles with the row-major table).  packed mode
+        # unrolls by PACK so each entry's lane offset is static.
+        UNROLL = PACK if packed else 4
 
         def entry_body(jj, inner):
             j = jj * UNROLL
             idx = s + j
             for u in range(UNROLL):
                 live_u = (idx + u >= start) & (idx + u < end)
-                c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
+                if packed:
+                    c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
+                else:
+                    c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
                 inner = resolve_entry(c_u, idx + u, live_u, inner)
             return inner
 
@@ -336,7 +372,7 @@ def _visibility_kernel(
     jax.jit,
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
-        "chunk", "depth_state", "interpret", "debug_counts",
+        "chunk", "depth_state", "interpret", "debug_counts", "packed",
     ),
 )
 def rasterize_visibility_pallas(
@@ -354,6 +390,7 @@ def rasterize_visibility_pallas(
     depth_state: DepthState,
     interpret: bool = False,
     debug_counts: bool = False,
+    packed: bool = False,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
@@ -372,9 +409,20 @@ def rasterize_visibility_pallas(
     if not (depth_state.test_enable and depth_state.write_enable):
         raise NotImplementedError("pallas visibility needs depth test+write")
 
-    e_cap = binned.entry_channels.shape[0]
-    if e_cap % chunk != 0:
-        raise ValueError(f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
+    if packed:
+        from tyleri_tpu.ops.binning import PACK
+        if binned.entry_packed is None:
+            raise ValueError("packed=True needs bin_triangles(packed=True)")
+        if chunk % PACK != 0:
+            raise ValueError(f"packed chunk {chunk} must be a PACK multiple")
+        e_cap = binned.entry_packed.shape[0]  # packed table ROW count
+        if binned.entry_packed.shape[0] * PACK < chunk:
+            raise ValueError("packed table smaller than one window")
+    else:
+        e_cap = binned.entry_channels.shape[0]
+        if e_cap % chunk != 0:
+            raise ValueError(
+                f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
 
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -389,7 +437,7 @@ def rasterize_visibility_pallas(
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
         chunk=chunk, e_cap=e_cap, depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
-        debug_counts=debug_counts,
+        debug_counts=debug_counts, packed=packed,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -412,16 +460,20 @@ def rasterize_visibility_pallas(
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
         scratch_shapes=[
-            pltpu.SMEM((2, chunk, 128), jnp.float32),
+            pltpu.SMEM(
+                (2, chunk // PACK if packed else chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    # lane-pad to the physical 128-lane row (XLA fuses the pad into the
-    # binning gather's output write; the padded bytes exist in HBM anyway)
-    entries_padded = jnp.pad(
-        binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
-    )
+    if packed:
+        entries_padded = binned.entry_packed
+    else:
+        # lane-pad to the physical 128-lane row (XLA fuses the pad into the
+        # binning gather's output write; the padded bytes exist in HBM anyway)
+        entries_padded = jnp.pad(
+            binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
+        )
 
     owner, z, order, uw, vw, iw, tex, *nvis = pl.pallas_call(
         kernel,

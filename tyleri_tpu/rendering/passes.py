@@ -68,6 +68,11 @@ class RasterPlan:
     # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
     # True forces Pallas (interpret-mode off-TPU), False forces XLA
     pallas: object = "auto"
+    # packed entry table for the Pallas kernel: PACK (5) entries per
+    # 128-lane row — the binning gather writes ~5x less HBM and the kernel
+    # DMAs ~5x less per chunk, with every coefficient lane offset static.
+    # Only meaningful when the Pallas backend is selected.
+    packed_entries: bool = False
 
     @property
     def grid_w(self) -> int:
@@ -115,7 +120,9 @@ def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
         and state.depth.compare_op in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL)
         and plan.tile_w % 128 == 0
         and plan.chunk % 128 == 0
-        and plan.entry_cap % plan.chunk == 0
+        # packed windows clamp against the table end instead of needing
+        # the cap to tile exactly into chunks
+        and (plan.packed_entries or plan.entry_cap % plan.chunk == 0)
     )
     if plan.pallas is True:
         if not supported:
@@ -287,6 +294,8 @@ def _raster_binned(
     clip_overflow, clip_crossings,
     extra=None, lit_params=None,
 ):
+    use_pallas = _use_pallas(plan, state)
+    packed = bool(plan.packed_entries) and use_pallas
     binned = bin_triangles(
         su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
@@ -295,10 +304,12 @@ def _raster_binned(
         broad_cap=plan.broad_cap,
         spill_cap=plan.spill_cap,
         valid_cap=plan.valid_cap,
+        packed=packed,
     )
-    if _use_pallas(plan, state):
+    if use_pallas:
         import jax
 
+        from tyleri_tpu.ops.binning import PACK
         from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
 
         vis, tile_overflow = rasterize_visibility_pallas(
@@ -306,9 +317,10 @@ def _raster_binned(
             fb_w=plan.fb_w, fb_h=plan.fb_h,
             tile_w=plan.tile_w, tile_h=plan.tile_h,
             grid_w=plan.grid_w, grid_h=plan.grid_h,
-            chunk=plan.chunk,
+            chunk=-(-plan.chunk // PACK) * PACK if packed else plan.chunk,
             depth_state=state.depth,
             interpret=jax.default_backend() != "tpu",
+            packed=packed,
         )
     else:
         vis, tile_overflow = rasterize_visibility(
