@@ -91,6 +91,14 @@ class RasterPlan:
 
         entry_cap = max(1024, 2 * tri_capacity)
         cap_per_tile = max(128, min(4096, entry_cap // 8))
+        # perf A/B knob for the packed entry table (tools/profile_*.py,
+        # bench.py): plans built through for_scene flip packed_entries
+        # without a code edit
+        import os
+
+        if os.environ.get("TYLERI_PACKED"):
+            kw.setdefault("packed_entries",
+                          os.environ["TYLERI_PACKED"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
