@@ -88,6 +88,7 @@ def _visibility_kernel(
     le: bool,
     debug_counts: bool = False,
     packed: bool = False,
+    lag2: bool = False,
 ):
     if debug_counts:
         nvis_ref, ebuf, sem = rest
@@ -268,8 +269,13 @@ def _visibility_kernel(
     inv_q = jnp.float32(1.0 / 65535.0)
 
     def chunk_body(k, carry):
-        if debug_counts:
+        extras = ()
+        if debug_counts and lag2:
+            state, thresh, thresh1, alive, nvis = carry
+        elif debug_counts:
             state, thresh, alive, nvis = carry
+        elif lag2:
+            state, thresh, thresh1, alive = carry
         else:
             state, thresh, alive = carry
         slot = jax.lax.rem(k, 2)
@@ -319,20 +325,38 @@ def _visibility_kernel(
         state = jax.lax.fori_loop(
             0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
         )
+        if lag2:
+            # publish this chunk's zmax one boundary LATE: the gate for
+            # chunk k+1 uses the (still-valid, looser) bound from k-1, so
+            # the vector->scalar reduce crossing hides behind a full chunk
+            # of entry work instead of serializing every boundary
+            new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
+            if debug_counts:
+                return state, thresh1, new_zm, proceed, nvis + n_here
+            return state, thresh1, new_zm, proceed
         thresh = jnp.where(proceed, tile_zmax(state), thresh)
         if debug_counts:
             return state, thresh, proceed, nvis + n_here
         return state, thresh, proceed
 
-    if debug_counts:
+    zm0 = tile_zmax(state0)
+    if debug_counts and lag2:
+        state, _, _, _, nvis = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (state0, zm0, zm0, nchunks > 0, jnp.int32(0)))
+        nvis_ref[0, 0] = nvis
+    elif debug_counts:
         state, _, _, nvis = jax.lax.fori_loop(
             0, nchunks, chunk_body,
-            (state0, tile_zmax(state0), nchunks > 0, jnp.int32(0)),
+            (state0, zm0, nchunks > 0, jnp.int32(0)),
         )
         nvis_ref[0, 0] = nvis
+    elif lag2:
+        state, _, _, _ = jax.lax.fori_loop(
+            0, nchunks, chunk_body, (state0, zm0, zm0, nchunks > 0))
     else:
         state, _, _ = jax.lax.fori_loop(
-            0, nchunks, chunk_body, (state0, tile_zmax(state0), nchunks > 0)
+            0, nchunks, chunk_body, (state0, zm0, nchunks > 0)
         )
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
@@ -373,6 +397,7 @@ def _visibility_kernel(
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
         "chunk", "depth_state", "interpret", "debug_counts", "packed",
+        "lag2",
     ),
 )
 def rasterize_visibility_pallas(
@@ -391,6 +416,7 @@ def rasterize_visibility_pallas(
     interpret: bool = False,
     debug_counts: bool = False,
     packed: bool = False,
+    lag2: bool = False,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
@@ -437,7 +463,7 @@ def rasterize_visibility_pallas(
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
         chunk=chunk, e_cap=e_cap, depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
-        debug_counts=debug_counts, packed=packed,
+        debug_counts=debug_counts, packed=packed, lag2=lag2,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -73,6 +73,11 @@ class RasterPlan:
     # DMAs ~5x less per chunk, with every coefficient lane offset static.
     # Only meaningful when the Pallas backend is selected.
     packed_entries: bool = False
+    # publish the early-exit threshold one chunk boundary late (still an
+    # upper bound, so still exact): pipelines the per-chunk vector->scalar
+    # zmax crossing behind a chunk of entry work at the cost of up to one
+    # extra chunk of visits per tile
+    exit_lag2: bool = False
 
     @property
     def grid_w(self) -> int:
@@ -99,6 +104,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_PACKED"):
             kw.setdefault("packed_entries",
                           os.environ["TYLERI_PACKED"] not in ("0", ""))
+        if os.environ.get("TYLERI_LAG2"):
+            kw.setdefault("exit_lag2",
+                          os.environ["TYLERI_LAG2"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -329,6 +337,7 @@ def _raster_binned(
             depth_state=state.depth,
             interpret=jax.default_backend() != "tpu",
             packed=packed,
+            lag2=bool(plan.exit_lag2),
         )
     else:
         vis, tile_overflow = rasterize_visibility(
