@@ -89,6 +89,7 @@ def _visibility_kernel(
     debug_counts: bool = False,
     packed: bool = False,
     lag2: bool = False,
+    exit_while: bool = False,
 ):
     if debug_counts:
         nvis_ref, ebuf, sem = rest
@@ -269,15 +270,10 @@ def _visibility_kernel(
     inv_q = jnp.float32(1.0 / 65535.0)
 
     def chunk_body(k, carry):
-        extras = ()
-        if debug_counts and lag2:
-            state, thresh, thresh1, alive, nvis = carry
-        elif debug_counts:
-            state, thresh, alive, nvis = carry
-        elif lag2:
-            state, thresh, thresh1, alive = carry
-        else:
-            state, thresh, alive = carry
+        # uniform carry: (state, thresh, thresh1, alive, nvis) — thresh1 is
+        # the pending lag2 publication (mirrors thresh otherwise), nvis the
+        # debug visit counter (constant 0 otherwise; both cost one scalar)
+        state, thresh, thresh1, alive, nvis = carry
         slot = jax.lax.rem(k, 2)
 
         @pl.when(alive)
@@ -325,39 +321,41 @@ def _visibility_kernel(
         state = jax.lax.fori_loop(
             0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
         )
+        nvis = nvis + n_here if debug_counts else nvis
+        # the carried liveness also folds in the chunk-count bound so the
+        # while structure's cond terminates; for the fori structure the
+        # extra term is inert (iteration k+1 only runs when it holds)
+        alive2 = proceed & (k + 1 < nchunks)
         if lag2:
             # publish this chunk's zmax one boundary LATE: the gate for
             # chunk k+1 uses the (still-valid, looser) bound from k-1, so
             # the vector->scalar reduce crossing hides behind a full chunk
             # of entry work instead of serializing every boundary
             new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
-            if debug_counts:
-                return state, thresh1, new_zm, proceed, nvis + n_here
-            return state, thresh1, new_zm, proceed
+            return state, thresh1, new_zm, alive2, nvis
         thresh = jnp.where(proceed, tile_zmax(state), thresh)
-        if debug_counts:
-            return state, thresh, proceed, nvis + n_here
-        return state, thresh, proceed
+        return state, thresh, thresh, alive2, nvis
 
     zm0 = tile_zmax(state0)
-    if debug_counts and lag2:
-        state, _, _, _, nvis = jax.lax.fori_loop(
-            0, nchunks, chunk_body,
-            (state0, zm0, zm0, nchunks > 0, jnp.int32(0)))
-        nvis_ref[0, 0] = nvis
-    elif debug_counts:
-        state, _, _, nvis = jax.lax.fori_loop(
-            0, nchunks, chunk_body,
-            (state0, zm0, nchunks > 0, jnp.int32(0)),
-        )
-        nvis_ref[0, 0] = nvis
-    elif lag2:
-        state, _, _, _ = jax.lax.fori_loop(
-            0, nchunks, chunk_body, (state0, zm0, zm0, nchunks > 0))
+    carry0 = (state0, zm0, zm0, nchunks > 0, jnp.int32(0))
+    if exit_while:
+        # dead chunks never iterate at all: no loop scaffolding, no zmax
+        # reduce, no gated-DMA bookkeeping past the exit
+        def w_cond(c):
+            _, carry = c
+            return carry[3]
+
+        def w_body(c):
+            k, carry = c
+            return k + 1, chunk_body(k, carry)
+
+        _, (state, _, _, _, nvis) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), carry0))
     else:
-        state, _, _ = jax.lax.fori_loop(
-            0, nchunks, chunk_body, (state0, zm0, nchunks > 0)
-        )
+        state, _, _, _, nvis = jax.lax.fori_loop(
+            0, nchunks, chunk_body, carry0)
+    if debug_counts:
+        nvis_ref[0, 0] = nvis
 
     # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
     # live count (zero-cost when no huge triangles exist) ----
@@ -397,7 +395,7 @@ def _visibility_kernel(
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
         "chunk", "depth_state", "interpret", "debug_counts", "packed",
-        "lag2",
+        "lag2", "exit_while",
     ),
 )
 def rasterize_visibility_pallas(
@@ -417,6 +415,7 @@ def rasterize_visibility_pallas(
     debug_counts: bool = False,
     packed: bool = False,
     lag2: bool = False,
+    exit_while: bool = False,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
@@ -464,6 +463,7 @@ def rasterize_visibility_pallas(
         chunk=chunk, e_cap=e_cap, depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
+        exit_while=exit_while,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -78,6 +78,10 @@ class RasterPlan:
     # zmax crossing behind a chunk of entry work at the cost of up to one
     # extra chunk of visits per tile
     exit_lag2: bool = False
+    # chunk loop structure: lax.while_loop exits the loop entirely at the
+    # front-to-back cutoff (dead chunks never iterate) instead of running
+    # inert fori iterations to the segment end
+    exit_while: bool = False
 
     @property
     def grid_w(self) -> int:
@@ -107,6 +111,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_LAG2"):
             kw.setdefault("exit_lag2",
                           os.environ["TYLERI_LAG2"] not in ("0", ""))
+        if os.environ.get("TYLERI_WHILE"):
+            kw.setdefault("exit_while",
+                          os.environ["TYLERI_WHILE"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -338,6 +345,7 @@ def _raster_binned(
             interpret=jax.default_backend() != "tpu",
             packed=packed,
             lag2=bool(plan.exit_lag2),
+            exit_while=bool(plan.exit_while),
         )
     else:
         vis, tile_overflow = rasterize_visibility(
