@@ -1,0 +1,174 @@
+"""Cell-granularity visibility kernel vs the XLA reference path.
+
+The cells kernel (ops/raster_cells.py) must produce bit-identical pixels to
+rasterize_visibility (the XLA path) on the same triangle setup: same plane
+arithmetic at the same pixel centers, same associative (quantized z, draw
+order) resolve — including draw-order ties at EQUAL quantized depth, which
+the kernel breaks by stream position under the (cell, order) sort."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tyleri_tpu.ops.binning import (
+    bin_triangles, bin_triangles_cells, compact_medium, spill_rows_cells,
+)
+from tyleri_tpu.ops.raster_cells import rasterize_visibility_cells
+from tyleri_tpu.ops.setup import setup_triangles
+from tyleri_tpu.ops.visibility import rasterize_visibility
+from tyleri_tpu.pipeline.state import CompareOp, DepthState
+
+FB_W, FB_H = 256, 64          # tiles (16, 128): grid 2x4
+TILE_W, TILE_H = 128, 16
+CELL_W, CELL_H = 16, 8
+CGW, CGH = FB_W // CELL_W, FB_H // CELL_H
+
+
+def make_clip(rng, T, big_frac=0.1, dup_frac=0.15):
+    """Random small triangles + some multi-tile ones + exact-z duplicates
+    (distinct draw order, identical geometry -> quantized-depth ties)."""
+    base = rng.uniform(-0.95, 0.95, (T, 1, 2))
+    scale = np.where(rng.random((T, 1, 1)) < big_frac, 0.6, 0.06)
+    ext = (rng.uniform(0.02, 1.0, (T, 3, 2)) * scale
+           * rng.choice([-1, 1], (T, 3, 2)))
+    xy = np.clip(base + ext, -1, 1).astype(np.float32)
+    z = rng.uniform(0.05, 0.95, (T, 1)).astype(np.float32)
+    ndup = int(T * dup_frac)
+    xy[T - ndup:] = xy[:ndup]
+    z[T - ndup:] = z[:ndup]          # exact same plane -> guaranteed z tie
+    clip = np.concatenate(
+        [xy, np.broadcast_to(z[:, :, None], (T, 3, 1)),
+         np.ones((T, 3, 1), np.float32)], axis=2)
+    uv = rng.uniform(0, 1, (T, 3, 2)).astype(np.float32)
+    tex = rng.integers(0, 4, T).astype(np.int32)
+    valid = rng.random(T) > 0.15
+    return clip, uv, tex, valid
+
+
+def run_both(rng, compare_op, T=600, scissor=None, depth0=None):
+    clip, uv, tex, valid = make_clip(rng, T)
+    viewport = jnp.asarray([0.0, 0.0, FB_W, FB_H, 0.0, 1.0], jnp.float32)
+    scissor = jnp.asarray(
+        scissor if scissor is not None else [0, 0, FB_W, FB_H], jnp.int32)
+    depth0 = (jnp.ones((FB_H, FB_W), jnp.float32)
+              if depth0 is None else depth0)
+    ds = DepthState(test_enable=True, write_enable=True, compare_op=compare_op)
+
+    # one setup at CELL dims serves both paths (the XLA path is
+    # grid-agnostic; tile coords derive by exact floor-division)
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.asarray(uv), jnp.asarray(tex),
+        jnp.asarray(valid), viewport, scissor,
+        tile_w=CELL_W, tile_h=CELL_H, grid_w=CGW, grid_h=CGH,
+    )
+
+    K = 32
+    cw = np.asarray(su.tile_hi[:, 0] - su.tile_lo[:, 0] + 1)
+    chh = np.asarray(su.tile_hi[:, 1] - su.tile_lo[:, 1] + 1)
+    is_med_np = np.asarray(su.valid) & (cw * chh > K)
+
+    spill = 1 << 12
+    cells = bin_triangles_cells(
+        su, cell_grid_w=CGW, cell_grid_h=CGH,
+        cells_tx=TILE_W // CELL_W, cells_ty=TILE_H // CELL_H,
+        entry_cap=(T + spill_rows_cells(spill) + 127) // 128 * 128,
+        spill_cap=spill,
+    )
+    assert int(cells.overflow) == 0
+
+    is_med = su.valid & ((su.tile_hi[:, 0] - su.tile_lo[:, 0] + 1)
+                         * (su.tile_hi[:, 1] - su.tile_lo[:, 1] + 1) > K)
+    assert np.array_equal(np.asarray(is_med), is_med_np)
+    med_su, _, moverflow = compact_medium(
+        su, None, is_med, med_cap=256,
+        cells_tx=TILE_W // CELL_W, cells_ty=TILE_H // CELL_H)
+    assert int(moverflow) == 0
+    medium = bin_triangles(
+        med_su, grid_w=FB_W // TILE_W, grid_h=FB_H // TILE_H,
+        entry_cap=1 << 10, max_tiles_per_tri=8, broad_cap=64,
+        spill_cap=1 << 10)
+    assert int(medium.overflow) == 0
+
+    vis_c, _ = rasterize_visibility_cells(
+        cells, medium, depth0, scissor,
+        fb_w=FB_W, fb_h=FB_H, tile_w=TILE_W, tile_h=TILE_H,
+        cell_w=CELL_W, cell_h=CELL_H,
+        grid_w=FB_W // TILE_W, grid_h=FB_H // TILE_H,
+        depth_state=ds, interpret=True,
+    )
+
+    ref_binned = bin_triangles(
+        su, grid_w=CGW, grid_h=CGH, entry_cap=1 << 14,
+        max_tiles_per_tri=K, broad_cap=64, spill_cap=1 << 13)
+    assert int(ref_binned.overflow) == 0
+    vis_x, ovf = rasterize_visibility(
+        ref_binned, depth0, scissor,
+        fb_w=FB_W, fb_h=FB_H, tile_w=CELL_W, tile_h=CELL_H,
+        grid_w=CGW, grid_h=CGH, cap_per_tile=512, chunk=64,
+        depth_state=ds,
+    )
+    assert int(ovf) == 0
+    return vis_c, vis_x
+
+
+def assert_vis_equal(vis_c, vis_x):
+    hit_c = np.asarray(vis_c.owner) >= 0
+    hit_x = np.asarray(vis_x.owner) >= 0
+    np.testing.assert_array_equal(hit_c, hit_x)
+    for f in ("depth", "order", "uw", "vw", "iw"):
+        a = np.asarray(getattr(vis_c, f))
+        b = np.asarray(getattr(vis_x, f))
+        np.testing.assert_array_equal(np.where(hit_c, a, 0),
+                                      np.where(hit_x, b, 0), err_msg=f)
+    np.testing.assert_array_equal(
+        np.where(hit_c, np.asarray(vis_c.tex), 0),
+        np.where(hit_x, np.asarray(vis_x.tex), 0))
+
+
+@pytest.mark.parametrize("op", [CompareOp.LESS, CompareOp.LESS_OR_EQUAL])
+def test_cells_match_xla_path(op):
+    vis_c, vis_x = run_both(np.random.default_rng(7), op)
+    assert int(np.sum(np.asarray(vis_c.owner) >= 0)) > 500
+    assert_vis_equal(vis_c, vis_x)
+
+
+def test_cells_scissor_and_depth_init():
+    rng = np.random.default_rng(11)
+    depth0 = jnp.asarray(
+        rng.uniform(0.2, 0.9, (FB_H, FB_W)).astype(np.float32))
+    vis_c, vis_x = run_both(
+        np.random.default_rng(5), CompareOp.LESS_OR_EQUAL,
+        scissor=[20, 9, 170, 40], depth0=depth0)
+    assert_vis_equal(vis_c, vis_x)
+
+
+def test_cells_empty_scene():
+    T = 16
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 3] = 1.0
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.zeros((T, 3, 2), jnp.float32),
+        jnp.zeros((T,), jnp.int32), jnp.zeros((T,), bool),
+        jnp.asarray([0.0, 0.0, FB_W, FB_H, 0.0, 1.0], jnp.float32),
+        jnp.asarray([0, 0, FB_W, FB_H], jnp.int32),
+        tile_w=CELL_W, tile_h=CELL_H, grid_w=CGW, grid_h=CGH,
+    )
+    cells = bin_triangles_cells(
+        su, cell_grid_w=CGW, cell_grid_h=CGH, cells_tx=8, cells_ty=2,
+        entry_cap=512, spill_cap=1 << 9)
+    med_su, _, _ = compact_medium(su, None, su.valid & False, 64, 8, 2)
+    medium = bin_triangles(
+        med_su, grid_w=2, grid_h=4, entry_cap=256, max_tiles_per_tri=8,
+        broad_cap=16, spill_cap=512)
+    ds = DepthState(test_enable=True, write_enable=True,
+                    compare_op=CompareOp.LESS)
+    vis, _ = rasterize_visibility_cells(
+        cells, medium, jnp.ones((FB_H, FB_W), jnp.float32),
+        jnp.asarray([0, 0, FB_W, FB_H], jnp.int32),
+        fb_w=FB_W, fb_h=FB_H, tile_w=TILE_W, tile_h=TILE_H,
+        grid_w=FB_W // TILE_W, grid_h=FB_H // TILE_H,
+        depth_state=ds, interpret=True,
+    )
+    assert int(jnp.sum(vis.owner >= 0)) == 0
+    np.testing.assert_array_equal(np.asarray(vis.depth), 1.0)
