@@ -143,6 +143,58 @@ def test_cells_scissor_and_depth_init():
     assert_vis_equal(vis_c, vis_x)
 
 
+def test_cells_mesh_pass_integration():
+    """Full mesh_pass with a cells plan (forced Pallas -> interpret on CPU)
+    must match the XLA tile path pixel-for-pixel, textures included."""
+    from tyleri_tpu.pipeline.state import (
+        BlendState, DepthFormat, PipelineState)
+    from tyleri_tpu.rendering import passes
+    from tyleri_tpu.utils.math3d import Rect2D, Viewport
+
+    state = PipelineState(
+        blend=BlendState(enable=False),
+        depth=DepthState(test_enable=True, write_enable=True,
+                         compare_op=CompareOp.LESS_OR_EQUAL,
+                         format=DepthFormat.D16_UNORM),
+    )
+    rng = np.random.default_rng(3)
+    clip, uv, tex, valid = make_clip(rng, 400)
+    T = clip.shape[0]
+    from tyleri_tpu.ops.sampling import make_texel_quads
+
+    offsets, widths, heights = [0, 16, 32, 48], [4] * 4, [4] * 4
+    texels = jnp.asarray(make_texel_quads(
+        rng.random((64, 4)).astype(np.float32), offsets, widths, heights))
+    meta = (jnp.asarray(offsets, jnp.int32),
+            jnp.asarray(widths, jnp.int32), jnp.asarray(heights, jnp.int32))
+
+    def run(**plan_kw):
+        plan = passes.RasterPlan(
+            fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=16,
+            entry_cap=1 << 13, cap_per_tile=1024, chunk=128,
+            spill_cap=1 << 12, med_cap=256, med_entry_cap=1024,
+            med_spill_cap=512, **plan_kw)
+        color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+        depth = jnp.ones((FB_H, FB_W), jnp.float32)
+        color, depth, stats, order = passes.mesh_pass(
+            plan, state, color, depth,
+            jnp.asarray(clip), jnp.asarray(uv), jnp.asarray(tex),
+            jnp.asarray(valid),
+            Viewport(0, 0, FB_W, FB_H).as_array(),
+            Rect2D(0, 0, FB_W, FB_H).as_array(),
+            texels, *meta,
+        )
+        assert int(stats.bin_overflow) == 0
+        return np.asarray(color), np.asarray(depth), np.asarray(order)
+
+    c_ref, d_ref, o_ref = run(pallas=False)
+    c_cel, d_cel, o_cel = run(pallas=True, cells=True)
+    np.testing.assert_array_equal(d_cel, d_ref)
+    np.testing.assert_array_equal(o_cel, o_ref)
+    np.testing.assert_allclose(c_cel, c_ref, atol=1e-6)
+    assert (c_ref[..., :3].sum() > 0)
+
+
 def test_cells_empty_scene():
     T = 16
     clip = np.zeros((T, 3, 4), np.float32)

@@ -18,7 +18,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE")
+KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_CELLS")
 COMBOS = {
     "base": {},
     "packed": {"TYLERI_PACKED": "1"},
@@ -26,6 +26,7 @@ COMBOS = {
     "packed+while": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1"},
     "lag2": {"TYLERI_LAG2": "1"},
     "packed+lag2": {"TYLERI_PACKED": "1", "TYLERI_LAG2": "1"},
+    "cells": {"TYLERI_CELLS": "1"},
 }
 
 

@@ -130,10 +130,12 @@ class CellBinned(NamedTuple):
     entry_extra: jax.Array = None  # f32 [E_cap, K] (lit path)
 
 
-# spill-level capacity fractions for CELL covers: straddle probability at
-# (8, 16)-px cells is much higher than at (16, 128) tiles, so the early
-# levels are fatter (initial guess pending a measured histogram)
-_CELL_LEVEL_FRACS = (0.7, 0.3, 0.1, 0.035, 0.014)
+# spill-level capacity fractions for CELL covers, tuned to the measured
+# sponza histogram at (8, 16) cells (typical triangle ~7 px; spill demand
+# 1.63/live tri; scount >= 1, 2, 4, 8, 16 are 82%, 35%, 6.9%, 0.46%, 0.01%
+# of LIVE tris = 0.505, 0.21, 0.042, 0.003, 0.0001 of the spill total).
+# ~10% headroom per level; emitted rows ~1.11x the true spill demand.
+_CELL_LEVEL_FRACS = (0.55, 0.23, 0.05, 0.005, 0.0005)
 
 
 def spill_rows_cells(spill_cap: int, K: int = 32) -> int:

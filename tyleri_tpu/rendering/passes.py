@@ -82,6 +82,28 @@ class RasterPlan:
     # front-to-back cutoff (dead chunks never iterate) instead of running
     # inert fori iterations to the segment end
     exit_while: bool = False
+    # fragment-centric cell formulation (ops/raster_cells.py): narrow
+    # triangles bin per covered (cell_h, cell_w)-px cell and resolve via
+    # sublane-batched chunks with zero per-entry scalar loads; medium
+    # triangles (> max_tiles_per_tri covered cells) compact into a small
+    # tile-granularity table for the serial sweep.  Needs the Pallas
+    # backend, D16 depth, and pow2 cell dims dividing the tile dims.
+    # In cells mode entry_cap/spill_cap size the CELL-granularity table;
+    # setup runs on the CELL grid.
+    cells: bool = False
+    cell_w: int = 16
+    cell_h: int = 8
+    med_cap: int = 1 << 13        # compacted medium-triangle rows
+    med_entry_cap: int = 1 << 15  # medium (tile, triangle) entries
+    med_spill_cap: int = 1 << 14  # spill bound for the medium expansion
+
+    @property
+    def cell_grid_w(self) -> int:
+        return self.grid_w * (self.tile_w // self.cell_w)
+
+    @property
+    def cell_grid_h(self) -> int:
+        return self.grid_h * (self.tile_h // self.cell_h)
 
     @property
     def grid_w(self) -> int:
@@ -114,6 +136,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_WHILE"):
             kw.setdefault("exit_while",
                           os.environ["TYLERI_WHILE"] not in ("0", ""))
+        if os.environ.get("TYLERI_CELLS"):
+            kw.setdefault("cells",
+                          os.environ["TYLERI_CELLS"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -162,6 +187,28 @@ def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
     return False
 
 
+def _use_cells(plan: RasterPlan, state: PipelineState) -> bool:
+    """Host-side gate for the fragment-centric cell kernel: it shares the
+    Pallas backend's envelope plus D16 (the scan key packs quantized z),
+    pow2 cells dividing the tile, one 128-lane vector per cell, and the
+    cell-binning key budget (8-bit cell grid coords)."""
+    from tyleri_tpu.pipeline.state import DepthFormat
+
+    return (
+        plan.cells
+        and not plan.exact
+        and _use_pallas(plan, state)
+        and state.depth.format == DepthFormat.D16_UNORM
+        and plan.cell_w * plan.cell_h == 128
+        and plan.tile_w % plan.cell_w == 0
+        and plan.tile_h % plan.cell_h == 0
+        and plan.cell_grid_w <= 256
+        and plan.cell_grid_h <= 256
+        and plan.entry_cap % 128 == 0
+        and plan.med_entry_cap % plan.chunk == 0
+    )
+
+
 class PassStats(NamedTuple):
     """Per-pass validation counters (consumed by the validation layer)."""
 
@@ -185,6 +232,11 @@ def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
     # kernel only implements cull semantics, so it simply does not engage
     # (the adaptive feedback turns near_clip off on crossing-free frames)
     if plan.exact or plan.near_clip:
+        return False
+    # cells mode runs setup on the CELL grid, whose bbox coordinates exceed
+    # the fused kernel's 31-bit packing budget (2 flag bits + 2*(7+8) grid
+    # bits = 32 at 1080p) — XLA setup until the kernel packs (x0, y0, w, h)
+    if plan.cells:
         return False
     supported = draw_cap <= 64 and setup_pallas.supports(plan)
     if plan.fused_setup is True:
@@ -279,13 +331,26 @@ def mesh_pass(
         return (color, depth,
                 PassStats(zero, zero, ct.overflow, ct.crossings, zero), None)
 
-    su = setup_triangles(
-        ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
-        tile_w=plan.tile_w, tile_h=plan.tile_h,
-        grid_w=plan.grid_w, grid_h=plan.grid_h,
-        order=ct.order,
-        cull_mode=state.raster.cull_mode, front_face=state.raster.front_face,
-    )
+    if _use_cells(plan, state):
+        # cells mode: setup on the CELL grid (tile coords derive exactly by
+        # floor-division in the binning wrapper)
+        su = setup_triangles(
+            ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
+            tile_w=plan.cell_w, tile_h=plan.cell_h,
+            grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
+            order=ct.order,
+            cull_mode=state.raster.cull_mode,
+            front_face=state.raster.front_face,
+        )
+    else:
+        su = setup_triangles(
+            ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
+            tile_w=plan.tile_w, tile_h=plan.tile_h,
+            grid_w=plan.grid_w, grid_h=plan.grid_h,
+            order=ct.order,
+            cull_mode=state.raster.cull_mode,
+            front_face=state.raster.front_face,
+        )
     extra = None
     if lit:
         # world-normal/w interpolation planes per (post-clip) triangle:
@@ -317,6 +382,13 @@ def _raster_binned(
     clip_overflow, clip_crossings,
     extra=None, lit_params=None,
 ):
+    if _use_cells(plan, state):
+        return _raster_cells(
+            plan, state, color, depth, su, viewport, scissor,
+            texels, tex_offset, tex_width, tex_height,
+            clip_overflow=clip_overflow, clip_crossings=clip_crossings,
+            extra=extra, lit_params=lit_params,
+        )
     use_pallas = _use_pallas(plan, state)
     packed = bool(plan.packed_entries) and use_pallas
     binned = bin_triangles(
@@ -370,6 +442,83 @@ def _raster_binned(
     return (color, depth,
             PassStats(binned.overflow, tile_overflow, clip_overflow,
                       clip_crossings, binned.dense_demand),
+            pass_order)
+
+
+def _raster_cells(
+    plan: RasterPlan,
+    state: PipelineState,
+    color, depth,
+    su,          # TriangleSetup on the CELL grid
+    viewport, scissor,
+    texels, tex_offset, tex_width, tex_height,
+    *,
+    clip_overflow, clip_crossings,
+    extra=None, lit_params=None,
+):
+    """Fragment-centric raster: cell-binned narrows + compacted mediums
+    through ops/raster_cells.py (see _use_cells for the envelope)."""
+    import jax
+
+    from tyleri_tpu.ops.binning import (
+        bin_triangles_cells, compact_medium,
+    )
+    from tyleri_tpu.ops.raster_cells import rasterize_visibility_cells
+
+    ctx = plan.tile_w // plan.cell_w
+    cty = plan.tile_h // plan.cell_h
+    K = plan.max_tiles_per_tri   # max CELL covers for the narrow path
+    is_med = su.valid & (
+        (su.tile_hi[:, 0] - su.tile_lo[:, 0] + 1)
+        * (su.tile_hi[:, 1] - su.tile_lo[:, 1] + 1) > K
+    )
+    cells = bin_triangles_cells(
+        su, extra,
+        cell_grid_w=plan.cell_grid_w, cell_grid_h=plan.cell_grid_h,
+        cells_tx=ctx, cells_ty=cty,
+        entry_cap=plan.entry_cap,
+        max_cells_per_tri=K,
+        spill_cap=plan.spill_cap,
+        valid_cap=plan.valid_cap,
+    )
+    med_su, med_extra, med_overflow = compact_medium(
+        su, extra, is_med, plan.med_cap, ctx, cty)
+    medium = bin_triangles(
+        med_su, med_extra,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+        entry_cap=plan.med_entry_cap,
+        max_tiles_per_tri=plan.max_tiles_per_tri,
+        broad_cap=plan.broad_cap,
+        spill_cap=plan.med_spill_cap,
+    )
+    vis, tile_overflow = rasterize_visibility_cells(
+        cells, medium, depth, scissor,
+        fb_w=plan.fb_w, fb_h=plan.fb_h,
+        tile_w=plan.tile_w, tile_h=plan.tile_h,
+        cell_w=plan.cell_w, cell_h=plan.cell_h,
+        grid_w=plan.grid_w, grid_h=plan.grid_h,
+        m_chunk=plan.chunk,
+        depth_state=state.depth,
+        interpret=jax.default_backend() != "tpu",
+    )
+    lit = None
+    if extra is not None and lit_params is not None:
+        light, inv_vp, eye = lit_params
+        # owner id spaces: narrow rows, en_cap + medium rows,
+        # en_cap + em_cap + broad slots (rasterize_visibility_cells)
+        combined = jnp.concatenate(
+            [cells.entry_extra, medium.entry_extra, medium.broad_extra])
+        lit = (combined, light, inv_vp, eye, viewport)
+    color = shade_visibility(
+        vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
+        lit=lit,
+    )
+    depth = vis.depth if state.depth.write_enable else depth
+    pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
+    bin_overflow = cells.overflow + medium.overflow + med_overflow
+    return (color, depth,
+            PassStats(bin_overflow, tile_overflow, clip_overflow,
+                      clip_crossings, cells.dense_demand),
             pass_order)
 
 
