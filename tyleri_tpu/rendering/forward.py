@@ -408,7 +408,11 @@ class ForwardRenderingFunction:
         )
         new = FramePlan(
             raster=raster,
-            cam_cap=_next_pow2(n_cams, p.cam_cap),
+            # exact growth, not pow2: every camera slot runs a FULL mesh
+            # pass (binning + visibility) masked to nothing when dead, so a
+            # 3-camera scene on a pow2 cap would pay a whole 4th raster
+            # pass; cameras are few, so per-count recompiles are cheap
+            cam_cap=max(n_cams, p.cam_cap),
             draw_cap=_next_pow2(n_draws, p.draw_cap),
             # granule (not pow2) growth: the whole per-triangle pipeline
             # (transform, clip scan, plane setup) is O(tri_cap), and pow2
