@@ -195,6 +195,45 @@ def test_cells_mesh_pass_integration():
     assert (c_ref[..., :3].sum() > 0)
 
 
+def test_cells_window_loop_with_fused_setup():
+    """Window loop with a forced cells plan: after crossing-free frames the
+    adaptive feedback flips to the FUSED setup kernel (cells dual packing)
+    and frames must stay pixel-identical to the default-plan window."""
+    import dataclasses
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.rendering.passes import use_fused_setup
+    from tyleri_tpu.window.render_window import RenderWindow, WindowHandle
+
+    dev = ty.RenderDeviceBuilder().build()
+    rig = scenelib.config2_cube(dev, (256, 64))
+
+    def run(cells):
+        win = RenderWindow(dev, WindowHandle(), resolution=(256, 64),
+                           present_mode="immediate")
+        rf = win.rendering_function
+        if cells:
+            rf.plan = dataclasses.replace(
+                rf.plan, raster=dataclasses.replace(
+                    rf.plan.raster, tile_w=128, tile_h=16, chunk=128,
+                    cells=True, pallas=True, fused_setup=True))
+        for k in range(4):
+            sc = win.get_render_scene()
+            rig.fill(sc, 0.3)
+            win.render(dev)
+        img = win.flush()
+        return np.asarray(img), rf
+
+    img_ref, _ = run(cells=False)
+    img_cel, rf = run(cells=True)
+    assert rf.plan.raster.near_clip is False      # adaptive skip engaged
+    assert rf.plan.raster.cells
+    assert use_fused_setup(rf.plan.raster, rf.plan.draw_cap)
+    assert (img_ref[..., :3].sum(-1) > 0).sum() > 500
+    np.testing.assert_array_equal(img_cel, img_ref)
+
+
 def test_cells_empty_scene():
     T = 16
     clip = np.zeros((T, 3, 4), np.float32)

@@ -223,8 +223,10 @@ def _cells_kernel(
             )
             key = jnp.minimum(key, shifted)
 
-        zq_w = ((key >> 7) & 0xFFFF).astype(jnp.float32)   # [128, 128]
-        idx_w = (key & 0x7F).astype(jnp.float32)
+        # packed chunk-winner id: zq*128 + idx < 2^23, exact in f32 (and in
+        # a one-nonzero-term HIGHEST dot), so ONE placed channel carries the
+        # whole (quantized z, stream idx) winner identity
+        key_w = (key & ((1 << 23) - 1)).astype(jnp.float32)  # [128, 128]
 
         # one-hot placement operands (f32 0/1; HIGHEST-precision dots with
         # a single nonzero term per output are exact)
@@ -239,32 +241,39 @@ def _cells_kernel(
         lane_cell = jax.lax.broadcasted_iota(jnp.int32, (chunk, cpt), 1)
         sel_back = (lane_cell == cell_s).astype(jnp.float32)  # [128, cpt]
 
-        def place(sel, val):   # [cpt, chunk] @ [chunk, cpx] -> [cpt, cpx]
+        def place(sel, val):   # [cpt, chunk] @ [chunk, N] -> [cpt, N]
             return jax.lax.dot(
                 sel, val, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
-        wz_c = place(sel_last, zq_w)          # cell winners, per pixel
-        wi_c = place(sel_last, idx_w)
-        bz = place(sel_back, wz_c)            # broadcast back per entry
-        bi = place(sel_back, wi_c)
+        wk_c = place(sel_last, key_w)         # cell-winner ids, per pixel
+        bk = place(sel_back, wk_c)            # broadcast back per entry
 
-        idxf = idx_dir.astype(jnp.float32)
-        winner = frag & (zqf == bz) & (idxf == bi)   # one entry per (c, px)
+        own_key = (zqf * 128.0) + idx_dir.astype(jnp.float32)
+        winner = frag & (own_key == bk)       # one entry per (cell, px)
         wf = winner.astype(jnp.float32)
 
         ordv = coef(S.CH_ORDER)
         texf = (meta & S.META_TEX_MASK).astype(jnp.float32)
         ownf = rows.astype(jnp.float32)      # global narrow row id
 
-        p_val = place(sel_all, wf)
-        p_zq = place(sel_all, jnp.where(winner, zqf, 0.0))
-        p_ord = place(sel_all, ordv * wf)
-        p_uw = place(sel_all, jnp.where(winner, plane(S.CH_UW), 0.0))
-        p_vw = place(sel_all, jnp.where(winner, plane(S.CH_VW), 0.0))
-        p_iw = place(sel_all, jnp.where(winner, plane(S.CH_INVW), 0.0))
-        p_tex = place(sel_all, texf * wf)
-        p_own = place(sel_all, ownf * wf)
+        # ONE wide dot places all 8 channels (validity, z, order, uw, vw,
+        # 1/w, tex, owner): N-stacked rhs keeps the MXU busy instead of 8
+        # matmul setups.  where() (not *wf) for the plane values: a dead
+        # lane's plane can be NaN and NaN * 0 != 0.
+        bundle = jnp.concatenate([
+            wf,
+            jnp.where(winner, zqf, 0.0),
+            ordv * wf,
+            jnp.where(winner, plane(S.CH_UW), 0.0),
+            jnp.where(winner, plane(S.CH_VW), 0.0),
+            jnp.where(winner, plane(S.CH_INVW), 0.0),
+            texf * wf,
+            ownf * wf,
+        ], axis=1)                            # [chunk, 8 * cpx]
+        p = place(sel_all, bundle)            # [cpt, 8 * cpx]
+        (p_val, p_zq, p_ord, p_uw, p_vw, p_iw, p_tex, p_own) = (
+            p[:, k * cpx:(k + 1) * cpx] for k in range(8))
 
         zbuf, owner, obuf, uwb, vwb, iwb, texb = state
         zp = p_zq * inv_q

@@ -233,11 +233,6 @@ def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
     # (the adaptive feedback turns near_clip off on crossing-free frames)
     if plan.exact or plan.near_clip:
         return False
-    # cells mode runs setup on the CELL grid, whose bbox coordinates exceed
-    # the fused kernel's 31-bit packing budget (2 flag bits + 2*(7+8) grid
-    # bits = 32 at 1080p) — XLA setup until the kernel packs (x0, y0, w, h)
-    if plan.cells:
-        return False
     supported = draw_cap <= 64 and setup_pallas.supports(plan)
     if plan.fused_setup is True:
         if not supported:
@@ -270,14 +265,29 @@ def mesh_pass_fused(
 
     from tyleri_tpu.ops.setup_pallas import fused_setup
 
-    su, crossings = fused_setup(
-        corner18, mvps, cam_valid, viewport, scissor, draw_mod,
-        tile_w=plan.tile_w, tile_h=plan.tile_h,
-        grid_w=plan.grid_w, grid_h=plan.grid_h,
-        draw_cap=mvps.shape[0],
-        cull_mode=state.raster.cull_mode, front_face=state.raster.front_face,
-        interpret=jax.default_backend() != "tpu",
-    )
+    if _use_cells(plan, state):
+        # cells raster path: setup on the CELL grid with the dual packing
+        su, crossings = fused_setup(
+            corner18, mvps, cam_valid, viewport, scissor, draw_mod,
+            tile_w=plan.cell_w, tile_h=plan.cell_h,
+            grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
+            draw_cap=mvps.shape[0],
+            cull_mode=state.raster.cull_mode,
+            front_face=state.raster.front_face,
+            interpret=jax.default_backend() != "tpu",
+            cells_tx=plan.tile_w // plan.cell_w,
+            cells_ty=plan.tile_h // plan.cell_h,
+        )
+    else:
+        su, crossings = fused_setup(
+            corner18, mvps, cam_valid, viewport, scissor, draw_mod,
+            tile_w=plan.tile_w, tile_h=plan.tile_h,
+            grid_w=plan.grid_w, grid_h=plan.grid_h,
+            draw_cap=mvps.shape[0],
+            cull_mode=state.raster.cull_mode,
+            front_face=state.raster.front_face,
+            interpret=jax.default_backend() != "tpu",
+        )
     zero = jnp.zeros((), jnp.int32)
     return _raster_binned(plan, state, color, depth, su, viewport, scissor,
                           texels, tex_offset, tex_width, tex_height,
