@@ -368,13 +368,23 @@ def _cells_kernel(
 
             n_here = jnp.where(proceed, jnp.clip(me - s, 0, m_chunk), 0)
 
-            def entry_body(j, inner):
-                c_j = lambda row: mbuf[slot, j, row]  # noqa: E731
-                idx = s + j
-                live = (idx >= ms) & (idx < me)
-                return resolve_entry(c_j, en_cap + idx, live, inner)
+            # 4-entry unroll: later entries' SMEM scalar loads overlap
+            # earlier entries' vector work (the serial kernel's measured
+            # optimum, ops/raster_pallas.py)
+            UNROLL = 4
+            assert m_chunk % UNROLL == 0
 
-            st = jax.lax.fori_loop(0, n_here, entry_body, st)
+            def entry_body(jj, inner):
+                j = jj * UNROLL
+                for u in range(UNROLL):
+                    idx = s + j + u
+                    live = (idx >= ms) & (idx < me)
+                    c_u = lambda row, ju=j + u: mbuf[slot, ju, row]  # noqa: E731
+                    inner = resolve_entry(c_u, en_cap + idx, live, inner)
+                return inner
+
+            st = jax.lax.fori_loop(
+                0, (n_here + UNROLL - 1) // UNROLL, entry_body, st)
             thresh = jnp.where(proceed, jnp.max(st[0]), thresh)
             return st, thresh, proceed & (k + 1 < mchunks)
 
