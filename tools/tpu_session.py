@@ -1,0 +1,135 @@
+"""Round-3 TPU measurement session: everything the flag decisions need,
+in ONE patient client, ordered by decision value, continue-on-error.
+
+    python tools/tpu_session.py > /tmp/tpu_session.log 2>&1
+
+Steps:
+  0. device probe + tiny jit
+  1. cells-kernel COMPILE probe at tiny shapes (surfaces Mosaic lowering
+     errors in seconds instead of mid-benchmark)
+  2. ab_flags fused-frame FPS: base / packed / while / packed+while /
+     lag2 / cells  (the production-default decision)
+  3. exp_cells breakdown (cell vs tile binning, kernels, permute)
+  4. exp_fixed_grid (per-program fixed cost)
+  5. exp_cellprereq onehot (placement-dot pricing)
+"""
+
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time() - T0:8.1f}s] {msg}", flush=True)
+
+
+def step(name, fn):
+    log(f"==== {name} ====")
+    try:
+        fn()
+        log(f"==== {name} DONE ====")
+    except Exception:
+        traceback.print_exc()
+        log(f"==== {name} FAILED (continuing) ====")
+
+
+def probe():
+    import jax
+    import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+    x = jax.jit(lambda x: x + 1)(jnp.ones((8, 8)))
+    x.block_until_ready()
+    log("tiny jit ok")
+
+
+def cells_compile_probe():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tyleri_tpu.ops.binning import (
+        bin_triangles, bin_triangles_cells, compact_medium)
+    from tyleri_tpu.ops.raster_cells import rasterize_visibility_cells
+    from tyleri_tpu.ops.setup import setup_triangles
+    from tyleri_tpu.pipeline.state import CompareOp, DepthState
+
+    FBW, FBH = 256, 64
+    rng = np.random.default_rng(0)
+    T = 256
+    base = rng.uniform(-0.9, 0.9, (T, 1, 2))
+    ext = rng.uniform(0.02, 0.1, (T, 3, 2)) * rng.choice([-1, 1], (T, 3, 2))
+    xy = np.clip(base + ext, -1, 1).astype(np.float32)
+    z = rng.uniform(0.1, 0.9, (T, 1)).astype(np.float32)
+    clip = np.concatenate(
+        [xy, np.broadcast_to(z[:, :, None], (T, 3, 1)),
+         np.ones((T, 3, 1), np.float32)], axis=2)
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.zeros((T, 3, 2), jnp.float32),
+        jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+        jnp.asarray([0., 0., FBW, FBH, 0., 1.], jnp.float32),
+        jnp.asarray([0, 0, FBW, FBH], jnp.int32),
+        tile_w=16, tile_h=8, grid_w=16, grid_h=8)
+    cells = bin_triangles_cells(
+        su, cell_grid_w=16, cell_grid_h=8, cells_tx=8, cells_ty=2,
+        entry_cap=1024, spill_cap=1 << 10)
+    med_su, _, _ = compact_medium(su, None, su.valid & False, 128, 8, 2)
+    medium = bin_triangles(med_su, grid_w=2, grid_h=4, entry_cap=256,
+                           max_tiles_per_tri=8, broad_cap=16, spill_cap=512)
+    ds = DepthState(test_enable=True, write_enable=True,
+                    compare_op=CompareOp.LESS_OR_EQUAL)
+    t0 = time.time()
+    vis, _ = rasterize_visibility_cells(
+        cells, medium, jnp.ones((FBH, FBW), jnp.float32),
+        jnp.asarray([0, 0, FBW, FBH], jnp.int32),
+        fb_w=FBW, fb_h=FBH, tile_w=128, tile_h=16, grid_w=2, grid_h=4,
+        depth_state=ds)
+    jax.block_until_ready(vis.owner)
+    hits = int(jnp.sum(vis.owner >= 0))
+    log(f"cells kernel compiled in {time.time() - t0:.1f}s, hits={hits}")
+    assert hits > 200, hits
+
+
+def run_ab():
+    import ab_flags
+
+    sys.argv = ["ab_flags", "16", "base", "cells", "packed", "while",
+                "packed+while", "lag2"]
+    ab_flags.main()
+
+
+def run_exp_cells():
+    import exp_cells
+
+    sys.argv = ["exp_cells", "16"]
+    exp_cells.main()
+
+
+def run_fixed_grid():
+    import exp_fixed_grid
+
+    exp_fixed_grid.main()
+
+
+def run_onehot():
+    import exp_cellprereq
+
+    exp_cellprereq.bench_onehot()
+
+
+if __name__ == "__main__":
+    step("0 probe", probe)
+    step("1 cells compile probe", cells_compile_probe)
+    step("2 ab_flags", run_ab)
+    step("3 exp_cells", run_exp_cells)
+    step("4 exp_fixed_grid", run_fixed_grid)
+    step("5 onehot pricing", run_onehot)
+    log("SESSION COMPLETE")
