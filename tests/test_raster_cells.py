@@ -234,6 +234,57 @@ def test_cells_window_loop_with_fused_setup():
     np.testing.assert_array_equal(img_cel, img_ref)
 
 
+def test_cells_overflow_growth_feedback():
+    """Cells-mode capacity feedback: with starved spill/med caps the first
+    frames REPORT bin overflow (never silently drop), the growth loop
+    raises the cell spill headroom, and frames converge to overflow-free
+    with the same pixels as an amply-provisioned window."""
+    import dataclasses
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.window.render_window import RenderWindow, WindowHandle
+
+    from tyleri_tpu.device.builders import ValidationLevel
+
+    dev = (ty.RenderDeviceBuilder()
+           .validation_level(ValidationLevel.ERROR).build())
+    # Suzanne (~1K tris, lit path): starved dense slots must drop entries
+    # and REPORT, and the lit extra table runs through the cells path
+    rig = scenelib.config3_suzanne(dev, (256, 64))
+
+    def run(starve):
+        win = RenderWindow(dev, WindowHandle(), resolution=(256, 64),
+                           present_mode="immediate")
+        rf = win.rendering_function
+        rf.plan = dataclasses.replace(
+            rf.plan, raster=dataclasses.replace(
+                rf.plan.raster, tile_w=128, tile_h=16, chunk=128,
+                cells=True, pallas=True,
+                # starved: 128 dense slots for ~720 live narrow triangles
+                # (dense drops are REPORTED; note_overflow resets to full)
+                valid_cap=128 if starve else 0))
+        msgs = []
+        old_cb = dev.debug_messenger.callback
+        dev.debug_messenger.callback = lambda m: msgs.append(m.message)
+        try:
+            for k in range(6):
+                sc = win.get_render_scene()
+                rig.fill(sc, 0.3)
+                win.render(dev)
+                win.flush()
+        finally:
+            dev.debug_messenger.callback = old_cb
+        overflowed = any("bin-entries" in m for m in msgs)
+        return np.asarray(win.latest_image), overflowed, rf
+
+    img_ok, _, _ = run(starve=False)
+    img_star, overflowed, rf = run(starve=True)
+    assert overflowed                        # starved caps were REPORTED
+    assert rf.plan.raster.valid_cap == 0     # feedback reset to full slots
+    np.testing.assert_array_equal(img_star, img_ok)
+
+
 def test_cells_empty_scene():
     T = 16
     clip = np.zeros((T, 3, 4), np.float32)
