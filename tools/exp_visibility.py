@@ -43,6 +43,10 @@ def _variant_kernel(
     lag2=False,        # gate chunk k with the zmax from chunk k-2: hides
                        # the vector->scalar reduce crossing behind a full
                        # chunk of work (still exact: older zmax >= current)
+    dynroll=False,     # coefficients via a dynamic SUBLANE slice of a VMEM
+                       # chunk ([unroll, 128] per group) + static [1,1]
+                       # element broadcasts, replacing the ~23 SMEM scalar
+                       # loads per entry (measured ~70% of kernel time)
 ):
     if exit_while:
         exit_test = True
@@ -181,9 +185,13 @@ def _variant_kernel(
         def entry_body(jj, inner):
             j = jj * unroll
             idx = s + j
+            if dynroll:
+                g = ebuf[slot, pl.ds(j, unroll), :]   # [unroll, 128] vregs
             for u in range(unroll):
                 live_u = (idx + u >= start) & (idx + u < end)
-                if hoist_loads:
+                if dynroll:
+                    c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
+                elif hoist_loads:
                     c_u = lambda row: ebuf[slot, 0, row]  # noqa: E731
                 else:
                     c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
@@ -281,13 +289,14 @@ def _variant_kernel(
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
                      "chunk", "unroll", "strip_attrs", "hoist_loads",
                      "lex", "zmax_carry", "cond_dma", "exit_test",
-                     "exit_while", "lag2"),
+                     "exit_while", "lag2", "dynroll"),
 )
 def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
                 unroll, strip_attrs, hoist_loads,
                 lex=False, zmax_carry=False, cond_dma=False,
-                exit_test=False, exit_while=False, lag2=False):
+                exit_test=False, exit_while=False, lag2=False,
+                dynroll=False):
     e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -301,7 +310,7 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w, chunk=chunk, e_cap=e_cap,
         unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
         lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma, exit_test=exit_test,
-        exit_while=exit_while, lag2=lag2,
+        exit_while=exit_while, lag2=lag2, dynroll=dynroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -317,7 +326,8 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
             for _ in range(7)
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, chunk, 128), jnp.float32),
+            (pltpu.VMEM if dynroll else pltpu.SMEM)(
+                (2, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -425,7 +435,8 @@ def main():
     def variant(name, tile_h=16, chunk=128, unroll=4,
                 strip_attrs=False, hoist_loads=False, empty=False,
                 seg=0, lex=False, zmax_carry=False, cond_dma=False,
-                exit_test=False, exit_while=False, lag2=False):
+                exit_test=False, exit_while=False, lag2=False,
+                dynroll=False):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
@@ -450,7 +461,8 @@ def main():
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
                strip_attrs=strip_attrs, hoist_loads=hoist_loads,
                lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma,
-               exit_test=exit_test, exit_while=exit_while, lag2=lag2)
+               exit_test=exit_test, exit_while=exit_while, lag2=lag2,
+               dynroll=dynroll)
 
     sel = sys.argv[1:] or [
         "base", "th8", "th32", "chunk256", "unroll8",
@@ -474,6 +486,9 @@ def main():
         "strip_attrs": dict(strip_attrs=True),
         "hoist": dict(hoist_loads=True),
         "hoist_strip": dict(hoist_loads=True, strip_attrs=True),
+        "dynroll": dict(dynroll=True),
+        "dynroll8": dict(dynroll=True, unroll=8),
+        "dynroll_exit": dict(dynroll=True, exit_test=True, cond_dma=True),
         "th32c256": dict(tile_h=32, chunk=256),
         "th32c512": dict(tile_h=32, chunk=512),
         "th32c256u2": dict(tile_h=32, chunk=256, unroll=2),

@@ -106,6 +106,14 @@ def run_ab():
     ab_flags.main()
 
 
+def run_dynroll():
+    import exp_visibility
+
+    sys.argv = ["exp_visibility", "exit", "dynroll", "dynroll8",
+                "dynroll_exit"]
+    exp_visibility.main()
+
+
 def run_exp_cells():
     import exp_cells
 
@@ -129,7 +137,8 @@ if __name__ == "__main__":
     step("0 probe", probe)
     step("1 cells compile probe", cells_compile_probe)
     step("2 ab_flags", run_ab)
-    step("3 exp_cells", run_exp_cells)
-    step("4 exp_fixed_grid", run_fixed_grid)
-    step("5 onehot pricing", run_onehot)
+    step("3 dynroll variants", run_dynroll)
+    step("4 exp_cells", run_exp_cells)
+    step("5 exp_fixed_grid", run_fixed_grid)
+    step("6 onehot pricing", run_onehot)
     log("SESSION COMPLETE")
