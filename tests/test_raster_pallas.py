@@ -317,6 +317,17 @@ def test_pallas_packed_entries_match_xla():
     np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
 
 
+def test_pallas_dynroll_matches_xla():
+    """plan.dynroll (VMEM dynamic-sublane coefficient slices) must render
+    identically to the XLA path."""
+    rng = np.random.default_rng(92)
+    clip, uv = random_scene(rng, T=64)
+    c_ref, d_ref = run(clip, uv, pallas=False)
+    c_dr, d_dr = run(clip, uv, pallas=True, plan_kw=dict(dynroll=True))
+    np.testing.assert_array_equal(d_dr, d_ref)
+    np.testing.assert_allclose(c_dr, c_ref, atol=1e-6)
+
+
 def test_pallas_packed_broad_and_cap_pressure():
     """packed mode with a broad triangle + a segment pressing entry_cap
     (clamped windows re-cover; entry_cap not a PACK multiple)."""

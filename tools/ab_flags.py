@@ -27,6 +27,8 @@ COMBOS = {
     "lag2": {"TYLERI_LAG2": "1"},
     "packed+lag2": {"TYLERI_PACKED": "1", "TYLERI_LAG2": "1"},
     "cells": {"TYLERI_CELLS": "1"},
+    "dynroll": {"TYLERI_DYNROLL": "1"},
+    "dynroll+while": {"TYLERI_DYNROLL": "1", "TYLERI_WHILE": "1"},
 }
 
 

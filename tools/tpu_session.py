@@ -102,7 +102,7 @@ def run_ab():
     import ab_flags
 
     sys.argv = ["ab_flags", "16", "base", "cells", "packed", "while",
-                "packed+while", "lag2"]
+                "packed+while", "lag2", "dynroll", "dynroll+while"]
     ab_flags.main()
 
 

@@ -82,6 +82,10 @@ class RasterPlan:
     # front-to-back cutoff (dead chunks never iterate) instead of running
     # inert fori iterations to the segment end
     exit_while: bool = False
+    # coefficient access: VMEM chunk staging + one dynamic sublane slice
+    # per unroll group + [1,1] element broadcasts, instead of ~23 SMEM
+    # scalar loads per entry (mutually exclusive with packed_entries)
+    dynroll: bool = False
     # fragment-centric cell formulation (ops/raster_cells.py): narrow
     # triangles bin per covered (cell_h, cell_w)-px cell and resolve via
     # sublane-batched chunks with zero per-entry scalar loads; medium
@@ -139,6 +143,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_CELLS"):
             kw.setdefault("cells",
                           os.environ["TYLERI_CELLS"] not in ("0", ""))
+        if os.environ.get("TYLERI_DYNROLL"):
+            kw.setdefault("dynroll",
+                          os.environ["TYLERI_DYNROLL"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -428,6 +435,7 @@ def _raster_binned(
             packed=packed,
             lag2=bool(plan.exit_lag2),
             exit_while=bool(plan.exit_while),
+            dynroll=bool(plan.dynroll) and not packed,
         )
     else:
         vis, tile_overflow = rasterize_visibility(
