@@ -317,6 +317,19 @@ def test_pallas_packed_entries_match_xla():
     np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("tpp", [2, 4])
+def test_pallas_tiles_per_prog_matches_xla(tpp):
+    """plan.tiles_per_prog: a grid program resolving several vertically
+    adjacent tiles must render identically to the XLA path."""
+    rng = np.random.default_rng(93)
+    clip, uv = random_scene(rng, T=64)
+    c_ref, d_ref = run(clip, uv, pallas=False)
+    c_mt, d_mt = run(clip, uv, pallas=True,
+                     plan_kw=dict(tiles_per_prog=tpp))
+    np.testing.assert_array_equal(d_mt, d_ref)
+    np.testing.assert_allclose(c_mt, c_ref, atol=1e-6)
+
+
 def test_pallas_dynroll_matches_xla():
     """plan.dynroll (VMEM dynamic-sublane coefficient slices) must render
     identically to the XLA path."""

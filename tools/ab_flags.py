@@ -18,7 +18,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_CELLS")
+KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_CELLS",
+         "TYLERI_DYNROLL", "TYLERI_TPP")
 COMBOS = {
     "base": {},
     "packed": {"TYLERI_PACKED": "1"},
@@ -29,6 +30,10 @@ COMBOS = {
     "cells": {"TYLERI_CELLS": "1"},
     "dynroll": {"TYLERI_DYNROLL": "1"},
     "dynroll+while": {"TYLERI_DYNROLL": "1", "TYLERI_WHILE": "1"},
+    "tpp2": {"TYLERI_TPP": "2"},
+    "tpp4": {"TYLERI_TPP": "4"},
+    "packed+while+tpp4": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1",
+                          "TYLERI_TPP": "4"},
 }
 
 

@@ -102,7 +102,8 @@ def run_ab():
     import ab_flags
 
     sys.argv = ["ab_flags", "16", "base", "cells", "packed", "while",
-                "packed+while", "lag2", "dynroll", "dynroll+while"]
+                "packed+while", "lag2", "dynroll", "dynroll+while",
+                "tpp4", "packed+while+tpp4"]
     ab_flags.main()
 
 

@@ -95,6 +95,10 @@ def _visibility_kernel(
                              # per unroll group + static [1, 1] element
                              # broadcasts, instead of ~23 SMEM scalar
                              # loads per entry (measured ~70% of runtime)
+    tiles_per_prog: int = 1,  # independent (tile_h, tile_w) tiles resolved
+                              # sequentially per grid program: divides the
+                              # per-program fixed cost (prologue, output
+                              # pipeline) without changing per-entry work
 ):
     if debug_counts:
         nvis_ref, ebuf, sem = rest
@@ -104,299 +108,303 @@ def _visibility_kernel(
         from tyleri_tpu.ops.binning import PACK
         rows_win = chunk // PACK
         e_rows = e_cap  # packed mode: e_cap is the packed table's row count
-    gy = pl.program_id(0)
+    gy0 = pl.program_id(0)
     gx = pl.program_id(1)
-    t = gy * grid_w + gx
-    start = tile_start_ref[t]
-    end = tile_start_ref[t + 1]
+    # sub-tile loop: each grid program resolves tiles_per_prog
+    # vertically-adjacent tiles end-to-end (static python loop)
+    for _ts in range(tiles_per_prog):
+        gy = gy0 * tiles_per_prog + _ts
+        t = gy * grid_w + gx
+        start = tile_start_ref[t]
+        end = tile_start_ref[t + 1]
 
-    # Single-block resolve over the whole [tile_h, tile_w] tile per entry.
-    # (Measured alternative: splitting into 8-row halves with a per-entry
-    # scalar branch on a pixel-row bbox to skip untouched halves —
-    # 133 ms vs 98 ms on the 1M-tri config: Mosaic's per-entry lax.cond
-    # costs more than the skipped vector work saves at 2 vregs/op.)
-    halves = 1
-    HB = tile_h
+        # Single-block resolve over the whole [tile_h, tile_w] tile per entry.
+        # (Measured alternative: splitting into 8-row halves with a per-entry
+        # scalar branch on a pixel-row bbox to skip untouched halves —
+        # 133 ms vs 98 ms on the 1M-tri config: Mosaic's per-entry lax.cond
+        # costs more than the skipped vector work saves at 2 vregs/op.)
+        halves = 1
+        HB = tile_h
 
-    xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (HB, tile_w), 1)
-    xfb = xcb.astype(jnp.float32) + 0.5
-    sc_x = (xcb >= scissor_ref[0]) & (xcb < scissor_ref[0] + scissor_ref[2])
+        xcb = gx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (HB, tile_w), 1)
+        xfb = xcb.astype(jnp.float32) + 0.5
+        sc_x = (xcb >= scissor_ref[0]) & (xcb < scissor_ref[0] + scissor_ref[2])
 
-    def half_rows(h):
-        return gy * tile_h + h * HB + jax.lax.broadcasted_iota(
-            jnp.int32, (HB, tile_w), 0
-        )
+        def half_rows(h):
+            return gy * tile_h + h * HB + jax.lax.broadcasted_iota(
+                jnp.int32, (HB, tile_w), 0
+            )
 
-    in_scissor_h = []
-    yf_h = []
-    for h in range(halves):
-        yc = half_rows(h)
-        in_scissor_h.append(
-            sc_x & (yc >= scissor_ref[1]) & (yc < scissor_ref[1] + scissor_ref[3])
-        )
-        yf_h.append(yc.astype(jnp.float32) + 0.5)
+        in_scissor_h = []
+        yf_h = []
+        for h in range(halves):
+            yc = half_rows(h)
+            in_scissor_h.append(
+                sc_x & (yc >= scissor_ref[1]) & (yc < scissor_ref[1] + scissor_ref[3])
+            )
+            yf_h.append(yc.astype(jnp.float32) + 0.5)
 
-    d16 = depth_state.format == DepthFormat.D16_UNORM
+        d16 = depth_state.format == DepthFormat.D16_UNORM
 
-    def resolve_half(coeff, eid, live, h, st_h):
-        """One entry vs one block (carry = that block's state).
+        def resolve_half(coeff, eid, live, h, st_h):
+            """One entry vs one block (carry = that block's state).
 
-        Equal-depth ties resolve lexicographically by the CH_ORDER channel
-        against the incumbent's order — LE keeps the latest draw, LESS the
-        earliest (obuf = -1 for pre-pass depth, so equal-z vs prior content
-        correctly fails under LESS and passes under LE).  This is the
-        associative (z, order) min: entry streams may arrive in any order
-        (binning sorts them front-to-back for the early exit)."""
-        zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
-        xf = xfb
-        yf = yf_h[h]
+            Equal-depth ties resolve lexicographically by the CH_ORDER channel
+            against the incumbent's order — LE keeps the latest draw, LESS the
+            earliest (obuf = -1 for pre-pass depth, so equal-z vs prior content
+            correctly fails under LESS and passes under LE).  This is the
+            associative (z, order) min: entry streams may arrive in any order
+            (binning sorts them front-to-back for the early exit)."""
+            zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
+            xf = xfb
+            yf = yf_h[h]
 
-        def plane(row):
-            return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
+            def plane(row):
+                return coeff(row) * xf + coeff(row + 1) * yf + coeff(row + 2)
 
-        meta = coeff(S.CH_META).astype(jnp.int32)
-        tl = meta >> S.META_TEX_BITS
-        e0 = plane(S.CH_E0)
-        e1 = plane(S.CH_E1)
-        e2 = plane(S.CH_E2)
-        # (A signed-int-compare formulation of the top-left rule — one cmp
-        # per edge via bitcast — measures faster but DIVERGES from the XLA
-        # path near zero: float compares and int-viewed bits disagree on
-        # denormal plane values, so coverage stays in float.)
-        cov = (
-            ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
-            & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
-            & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
-        )
-        z = plane(S.CH_Z)
-        zc = jnp.clip(z, 0.0, 1.0)
-        zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
-        order = coeff(S.CH_ORDER)
-        # z in [0, 1] iff clipping was a no-op (one compare; NaN fails)
-        frag = cov & (z == zc) & in_scissor_h[h] & live
-        if le:
-            passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
-        else:
-            passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
-        zbuf = jnp.where(passing, zq, zbuf)
-        owner = jnp.where(passing, eid, owner)
-        obuf = jnp.where(passing, order, obuf)
-        uwb = jnp.where(passing, plane(S.CH_UW), uwb)
-        vwb = jnp.where(passing, plane(S.CH_VW), vwb)
-        iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
-        texb = jnp.where(passing, meta & S.META_TEX_MASK, texb)
-        return zbuf, owner, obuf, uwb, vwb, iwb, texb
+            meta = coeff(S.CH_META).astype(jnp.int32)
+            tl = meta >> S.META_TEX_BITS
+            e0 = plane(S.CH_E0)
+            e1 = plane(S.CH_E1)
+            e2 = plane(S.CH_E2)
+            # (A signed-int-compare formulation of the top-left rule — one cmp
+            # per edge via bitcast — measures faster but DIVERGES from the XLA
+            # path near zero: float compares and int-viewed bits disagree on
+            # denormal plane values, so coverage stays in float.)
+            cov = (
+                ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
+                & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
+                & ((e2 > 0) | ((e2 == 0) & ((tl & 4) > 0)))
+            )
+            z = plane(S.CH_Z)
+            zc = jnp.clip(z, 0.0, 1.0)
+            zq = jnp.round(zc * 65535.0) * (1.0 / 65535.0) if d16 else zc
+            order = coeff(S.CH_ORDER)
+            # z in [0, 1] iff clipping was a no-op (one compare; NaN fails)
+            frag = cov & (z == zc) & in_scissor_h[h] & live
+            if le:
+                passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
+            else:
+                passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
+            zbuf = jnp.where(passing, zq, zbuf)
+            owner = jnp.where(passing, eid, owner)
+            obuf = jnp.where(passing, order, obuf)
+            uwb = jnp.where(passing, plane(S.CH_UW), uwb)
+            vwb = jnp.where(passing, plane(S.CH_VW), vwb)
+            iwb = jnp.where(passing, plane(S.CH_INVW), iwb)
+            texb = jnp.where(passing, meta & S.META_TEX_MASK, texb)
+            return zbuf, owner, obuf, uwb, vwb, iwb, texb
 
-    def resolve_entry(coeff, eid, live, st):
-        """One entry vs the tile (liveness folds into the coverage mask —
-        cheaper than a scalar branch per entry).  ``coeff(row)`` is a
-        scalar load from the entry's column (must read through a Ref —
-        Mosaic has no dynamic slicing of loaded vectors).  The carry also
-        tracks the winner's shading attributes (u/w, v/w, 1/w, tex) so the
-        deferred shade pass needs no per-pixel table gather."""
-        return tuple(
-            resolve_half(coeff, eid, live, h, st[h])
+        def resolve_entry(coeff, eid, live, st):
+            """One entry vs the tile (liveness folds into the coverage mask —
+            cheaper than a scalar branch per entry).  ``coeff(row)`` is a
+            scalar load from the entry's column (must read through a Ref —
+            Mosaic has no dynamic slicing of loaded vectors).  The carry also
+            tracks the winner's shading attributes (u/w, v/w, 1/w, tex) so the
+            deferred shade pass needs no per-pixel table gather."""
+            return tuple(
+                resolve_half(coeff, eid, live, h, st[h])
+                for h in range(halves)
+            )
+
+        zb0 = depth_init_ref[_ts * tile_h:(_ts + 1) * tile_h, :]
+        state0 = tuple(
+            (
+                zb0[h * HB:(h + 1) * HB, :],
+                jnp.full((HB, tile_w), -1, jnp.int32),
+                jnp.full((HB, tile_w), -1.0, jnp.float32),
+                jnp.zeros((HB, tile_w), jnp.float32),
+                jnp.zeros((HB, tile_w), jnp.float32),
+                jnp.ones((HB, tile_w), jnp.float32),
+                jnp.zeros((HB, tile_w), jnp.int32),
+            )
             for h in range(halves)
         )
 
-    zb0 = depth_init_ref[:]
-    state0 = tuple(
-        (
-            zb0[h * HB:(h + 1) * HB, :],
-            jnp.full((HB, tile_w), -1, jnp.int32),
-            jnp.full((HB, tile_w), -1.0, jnp.float32),
-            jnp.zeros((HB, tile_w), jnp.float32),
-            jnp.zeros((HB, tile_w), jnp.float32),
-            jnp.ones((HB, tile_w), jnp.float32),
-            jnp.zeros((HB, tile_w), jnp.int32),
-        )
-        for h in range(halves)
-    )
-
-    # ---- narrow entries: double-buffered DMA over the tile's segment ----
-    # Windows start exactly at ``start`` (leading-dim DMA offsets need no
-    # alignment on TPU — only lane extents must be whole 128-lane tiles),
-    # so no dead lead slots ride the entry loop and the exit gate tests the
-    # true next unprocessed entry.  Only the segment's LAST window can
-    # clamp against e_cap and re-cover processed entries; re-processing is
-    # idempotent under the associative (z, order) resolve.
-    #
-    # packed mode: windows cover whole PACKED ROWS (PACK entries each) so
-    # every entry's 24 coefficient lane offsets are STATIC under the
-    # PACK-wide unroll; up to PACK-1 dead lead entries mask out.
-    if packed:
-        r0 = start // PACK
-        e_base0 = r0 * PACK
-        nchunks = jnp.where(end > start, pl.cdiv(end - e_base0, chunk), 0)
-
-        def win_rows(k):
-            return jnp.minimum(r0 + k * rows_win, e_rows - rows_win)
-
-        def chunk_slice(k):
-            # first ENTRY covered by window k's buffer
-            return win_rows(k) * PACK
-
-        def start_dma(slot, k):
-            return pltpu.make_async_copy(
-                entries_ref.at[pl.ds(win_rows(k), rows_win), :],
-                ebuf.at[slot],
-                sem.at[slot],
-            )
-    else:
-        nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
-
-        def chunk_slice(k):
-            return jnp.minimum(start + k * chunk, e_cap - chunk)
-
-        def start_dma(slot, k):
-            return pltpu.make_async_copy(
-                entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
-                ebuf.at[slot],
-                sem.at[slot],
-            )
-
-    @pl.when(nchunks > 0)
-    def _():
-        start_dma(0, 0).start()
-
-    # Early-exit threshold: the max depth over the tile.  The stream is
-    # sorted ascending by the conservative CH_ZMIN bound, so once a chunk's
-    # first live entry has zmin > thresh, no remaining entry can pass the
-    # depth test anywhere in the tile — the rest of the segment (and its
-    # DMAs) is skipped.  Deadness is monotone, so the carried ``alive`` flag
-    # also gates the waits (a DMA is only waited on if it was started).
-    def tile_zmax(st):
-        m = None
-        for h in range(halves):
-            mh = jnp.max(st[h][0])
-            m = mh if m is None else jnp.maximum(m, mh)
-        return m
-
-    inv_q = jnp.float32(1.0 / 65535.0)
-
-    def chunk_body(k, carry):
-        # uniform carry: (state, thresh, thresh1, alive, nvis) — thresh1 is
-        # the pending lag2 publication (mirrors thresh otherwise), nvis the
-        # debug visit counter (constant 0 otherwise; both cost one scalar)
-        state, thresh, thresh1, alive, nvis = carry
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(alive)
-        def _():
-            start_dma(slot, k).wait()
-
-        s = chunk_slice(k)
-        # first UNPROCESSED entry of this window (clamped windows re-cover
-        # processed entries whose smaller zmin only makes the gate more
-        # conservative); ascending zmin makes it the window's live min
-        idx0 = jnp.maximum(start - s, 0)
+        # ---- narrow entries: double-buffered DMA over the tile's segment ----
+        # Windows start exactly at ``start`` (leading-dim DMA offsets need no
+        # alignment on TPU — only lane extents must be whole 128-lane tiles),
+        # so no dead lead slots ride the entry loop and the exit gate tests the
+        # true next unprocessed entry.  Only the segment's LAST window can
+        # clamp against e_cap and re-cover processed entries; re-processing is
+        # idempotent under the associative (z, order) resolve.
+        #
+        # packed mode: windows cover whole PACKED ROWS (PACK entries each) so
+        # every entry's 24 coefficient lane offsets are STATIC under the
+        # PACK-wide unroll; up to PACK-1 dead lead entries mask out.
         if packed:
-            zmin0 = ebuf[slot, idx0 // PACK,
-                         24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
+            r0 = start // PACK
+            e_base0 = r0 * PACK
+            nchunks = jnp.where(end > start, pl.cdiv(end - e_base0, chunk), 0)
+
+            def win_rows(k):
+                return jnp.minimum(r0 + k * rows_win, e_rows - rows_win)
+
+            def chunk_slice(k):
+                # first ENTRY covered by window k's buffer
+                return win_rows(k) * PACK
+
+            def start_dma(slot, k):
+                return pltpu.make_async_copy(
+                    entries_ref.at[pl.ds(win_rows(k), rows_win), :],
+                    ebuf.at[slot],
+                    sem.at[slot],
+                )
         else:
-            zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
-        proceed = alive & (zmin0 <= thresh)
+            nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
 
-        @pl.when(proceed & (k + 1 < nchunks))
+            def chunk_slice(k):
+                return jnp.minimum(start + k * chunk, e_cap - chunk)
+
+            def start_dma(slot, k):
+                return pltpu.make_async_copy(
+                    entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
+                    ebuf.at[slot],
+                    sem.at[slot],
+                )
+
+        @pl.when(nchunks > 0)
         def _():
-            start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+            start_dma(0, 0).start()
 
-        # dynamic trip count: only live entries are processed, and a dead
-        # chunk (early exit) runs zero iterations — genuinely free
-        n_here = jnp.where(proceed, jnp.clip(end - s, 0, chunk), 0)
+        # Early-exit threshold: the max depth over the tile.  The stream is
+        # sorted ascending by the conservative CH_ZMIN bound, so once a chunk's
+        # first live entry has zmin > thresh, no remaining entry can pass the
+        # depth test anywhere in the tile — the rest of the segment (and its
+        # DMAs) is skipped.  Deadness is monotone, so the carried ``alive`` flag
+        # also gates the waits (a DMA is only waited on if it was started).
+        def tile_zmax(st):
+            m = None
+            for h in range(halves):
+                mh = jnp.max(st[h][0])
+                m = mh if m is None else jnp.maximum(m, mh)
+            return m
 
-        # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
-        # scalar loads overlap earlier entries' vector work (measured best
-        # of 2/4/8 at 16-row tiles with the row-major table).  packed mode
-        # unrolls by PACK so each entry's lane offset is static.
-        UNROLL = PACK if packed else 4
+        inv_q = jnp.float32(1.0 / 65535.0)
 
-        def entry_body(jj, inner):
-            j = jj * UNROLL
-            idx = s + j
-            if dynroll:
-                g = ebuf[slot, pl.ds(j, UNROLL), :]  # [UNROLL, 128] vregs
-            for u in range(UNROLL):
-                live_u = (idx + u >= start) & (idx + u < end)
-                if packed:
-                    c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
-                elif dynroll:
-                    c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
-                else:
-                    c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
-                inner = resolve_entry(c_u, idx + u, live_u, inner)
-            return inner
+        def chunk_body(k, carry):
+            # uniform carry: (state, thresh, thresh1, alive, nvis) — thresh1 is
+            # the pending lag2 publication (mirrors thresh otherwise), nvis the
+            # debug visit counter (constant 0 otherwise; both cost one scalar)
+            state, thresh, thresh1, alive, nvis = carry
+            slot = jax.lax.rem(k, 2)
 
-        state = jax.lax.fori_loop(
-            0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
-        )
-        nvis = nvis + n_here if debug_counts else nvis
-        # the carried liveness also folds in the chunk-count bound so the
-        # while structure's cond terminates; for the fori structure the
-        # extra term is inert (iteration k+1 only runs when it holds)
-        alive2 = proceed & (k + 1 < nchunks)
-        if lag2:
-            # publish this chunk's zmax one boundary LATE: the gate for
-            # chunk k+1 uses the (still-valid, looser) bound from k-1, so
-            # the vector->scalar reduce crossing hides behind a full chunk
-            # of entry work instead of serializing every boundary
-            new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
-            return state, thresh1, new_zm, alive2, nvis
-        thresh = jnp.where(proceed, tile_zmax(state), thresh)
-        return state, thresh, thresh, alive2, nvis
+            @pl.when(alive)
+            def _():
+                start_dma(slot, k).wait()
 
-    zm0 = tile_zmax(state0)
-    carry0 = (state0, zm0, zm0, nchunks > 0, jnp.int32(0))
-    if exit_while:
-        # dead chunks never iterate at all: no loop scaffolding, no zmax
-        # reduce, no gated-DMA bookkeeping past the exit
-        def w_cond(c):
-            _, carry = c
-            return carry[3]
+            s = chunk_slice(k)
+            # first UNPROCESSED entry of this window (clamped windows re-cover
+            # processed entries whose smaller zmin only makes the gate more
+            # conservative); ascending zmin makes it the window's live min
+            idx0 = jnp.maximum(start - s, 0)
+            if packed:
+                zmin0 = ebuf[slot, idx0 // PACK,
+                             24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
+            else:
+                zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+            proceed = alive & (zmin0 <= thresh)
 
-        def w_body(c):
-            k, carry = c
-            return k + 1, chunk_body(k, carry)
+            @pl.when(proceed & (k + 1 < nchunks))
+            def _():
+                start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        _, (state, _, _, _, nvis) = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), carry0))
-    else:
-        state, _, _, _, nvis = jax.lax.fori_loop(
-            0, nchunks, chunk_body, carry0)
-    if debug_counts:
-        nvis_ref[0, 0] = nvis
+            # dynamic trip count: only live entries are processed, and a dead
+            # chunk (early exit) runs zero iterations — genuinely free
+            n_here = jnp.where(proceed, jnp.clip(end - s, 0, chunk), 0)
 
-    # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
-    # live count (zero-cost when no huge triangles exist) ----
-    B = broad_ch_ref.shape[1]
-    if B > 0:
-        gxf = gx.astype(jnp.float32)
-        gyf = gy.astype(jnp.float32)
+            # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
+            # scalar loads overlap earlier entries' vector work (measured best
+            # of 2/4/8 at 16-row tiles with the row-major table).  packed mode
+            # unrolls by PACK so each entry's lane offset is static.
+            UNROLL = PACK if packed else 4
 
-        def broad_body(j, carry):
-            live = (
-                (gxf >= broad_bbox_ref[j, 0])
-                & (gxf <= broad_bbox_ref[j, 2])
-                & (gyf >= broad_bbox_ref[j, 1])
-                & (gyf <= broad_bbox_ref[j, 3])
+            def entry_body(jj, inner):
+                j = jj * UNROLL
+                idx = s + j
+                if dynroll:
+                    g = ebuf[slot, pl.ds(j, UNROLL), :]  # [UNROLL, 128] vregs
+                for u in range(UNROLL):
+                    live_u = (idx + u >= start) & (idx + u < end)
+                    if packed:
+                        c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
+                    elif dynroll:
+                        c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
+                    else:
+                        c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
+                    inner = resolve_entry(c_u, idx + u, live_u, inner)
+                return inner
+
+            state = jax.lax.fori_loop(
+                0, (n_here + UNROLL - 1) // UNROLL, entry_body, state
             )
-            coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
-            return resolve_entry(coeff, e_cap + j, live, carry)
+            nvis = nvis + n_here if debug_counts else nvis
+            # the carried liveness also folds in the chunk-count bound so the
+            # while structure's cond terminates; for the fori structure the
+            # extra term is inert (iteration k+1 only runs when it holds)
+            alive2 = proceed & (k + 1 < nchunks)
+            if lag2:
+                # publish this chunk's zmax one boundary LATE: the gate for
+                # chunk k+1 uses the (still-valid, looser) bound from k-1, so
+                # the vector->scalar reduce crossing hides behind a full chunk
+                # of entry work instead of serializing every boundary
+                new_zm = jnp.where(proceed, tile_zmax(state), thresh1)
+                return state, thresh1, new_zm, alive2, nvis
+            thresh = jnp.where(proceed, tile_zmax(state), thresh)
+            return state, thresh, thresh, alive2, nvis
 
-        state = jax.lax.fori_loop(
-            0, jnp.minimum(nbroad_ref[0], B), broad_body, state
-        )
+        zm0 = tile_zmax(state0)
+        carry0 = (state0, zm0, zm0, nchunks > 0, jnp.int32(0))
+        if exit_while:
+            # dead chunks never iterate at all: no loop scaffolding, no zmax
+            # reduce, no gated-DMA bookkeeping past the exit
+            def w_cond(c):
+                _, carry = c
+                return carry[3]
 
-    for h in range(halves):
-        zbuf, owner, obuf, uwb, vwb, iwb, texb = state[h]
-        sl = slice(h * HB, (h + 1) * HB)
-        owner_ref[sl, :] = owner
-        z_ref[sl, :] = zbuf
-        order_ref[sl, :] = obuf
-        uw_ref[sl, :] = uwb
-        vw_ref[sl, :] = vwb
-        iw_ref[sl, :] = iwb
-        tex_ref[sl, :] = texb
+            def w_body(c):
+                k, carry = c
+                return k + 1, chunk_body(k, carry)
+
+            _, (state, _, _, _, nvis) = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), carry0))
+        else:
+            state, _, _, _, nvis = jax.lax.fori_loop(
+                0, nchunks, chunk_body, carry0)
+        if debug_counts:
+            nvis_ref[0, 0] = nvis
+
+        # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
+        # live count (zero-cost when no huge triangles exist) ----
+        B = broad_ch_ref.shape[1]
+        if B > 0:
+            gxf = gx.astype(jnp.float32)
+            gyf = gy.astype(jnp.float32)
+
+            def broad_body(j, carry):
+                live = (
+                    (gxf >= broad_bbox_ref[j, 0])
+                    & (gxf <= broad_bbox_ref[j, 2])
+                    & (gyf >= broad_bbox_ref[j, 1])
+                    & (gyf <= broad_bbox_ref[j, 3])
+                )
+                coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
+                return resolve_entry(coeff, e_cap + j, live, carry)
+
+            state = jax.lax.fori_loop(
+                0, jnp.minimum(nbroad_ref[0], B), broad_body, state
+            )
+
+        for h in range(halves):
+            zbuf, owner, obuf, uwb, vwb, iwb, texb = state[h]
+            sl = slice(_ts * tile_h + h * HB, _ts * tile_h + (h + 1) * HB)
+            owner_ref[sl, :] = owner
+            z_ref[sl, :] = zbuf
+            order_ref[sl, :] = obuf
+            uw_ref[sl, :] = uwb
+            vw_ref[sl, :] = vwb
+            iw_ref[sl, :] = iwb
+            tex_ref[sl, :] = texb
 
 
 @functools.partial(
@@ -404,7 +412,7 @@ def _visibility_kernel(
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
         "chunk", "depth_state", "interpret", "debug_counts", "packed",
-        "lag2", "exit_while", "dynroll",
+        "lag2", "exit_while", "dynroll", "tiles_per_prog",
     ),
 )
 def rasterize_visibility_pallas(
@@ -426,6 +434,7 @@ def rasterize_visibility_pallas(
     lag2: bool = False,
     exit_while: bool = False,
     dynroll: bool = False,
+    tiles_per_prog: int = 1,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
@@ -446,6 +455,9 @@ def rasterize_visibility_pallas(
 
     if packed and dynroll:
         raise ValueError("packed and dynroll are mutually exclusive")
+    if tiles_per_prog > 1 and (grid_h % tiles_per_prog != 0 or debug_counts):
+        raise ValueError(
+            "tiles_per_prog must divide grid_h (and debug_counts needs 1)")
     if packed:
         from tyleri_tpu.ops.binning import PACK
         if binned.entry_packed is None:
@@ -476,22 +488,24 @@ def rasterize_visibility_pallas(
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
         exit_while=exit_while, dynroll=dynroll,
+        tiles_per_prog=tiles_per_prog,
     )
 
+    tpp = tiles_per_prog
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(grid_h, grid_w),
+        grid=(grid_h // tpp, grid_w),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # entries stay in HBM
             pl.BlockSpec(memory_space=pltpu.SMEM),   # broad channels (scalar reads)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # broad bboxes (f32)
             pl.BlockSpec(
-                (tile_h, tile_w), lambda i, j, *_: (i, j),
+                (tile_h * tpp, tile_w), lambda i, j, *_: (i, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+            pl.BlockSpec((tile_h * tpp, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
             for _ in range(7)
         ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),

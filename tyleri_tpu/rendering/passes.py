@@ -86,6 +86,10 @@ class RasterPlan:
     # per unroll group + [1,1] element broadcasts, instead of ~23 SMEM
     # scalar loads per entry (mutually exclusive with packed_entries)
     dynroll: bool = False
+    # vertically-adjacent tiles resolved per grid program (divides the
+    # per-program fixed cost — measured ~10 us/program on empty segments);
+    # must divide grid_h or it silently falls back to 1
+    tiles_per_prog: int = 1
     # fragment-centric cell formulation (ops/raster_cells.py): narrow
     # triangles bin per covered (cell_h, cell_w)-px cell and resolve via
     # sublane-batched chunks with zero per-entry scalar loads; medium
@@ -146,6 +150,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_DYNROLL"):
             kw.setdefault("dynroll",
                           os.environ["TYLERI_DYNROLL"] not in ("0", ""))
+        if os.environ.get("TYLERI_TPP"):
+            kw.setdefault("tiles_per_prog",
+                          max(int(os.environ["TYLERI_TPP"]), 1))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -436,6 +443,9 @@ def _raster_binned(
             lag2=bool(plan.exit_lag2),
             exit_while=bool(plan.exit_while),
             dynroll=bool(plan.dynroll) and not packed,
+            tiles_per_prog=(plan.tiles_per_prog
+                            if plan.grid_h % plan.tiles_per_prog == 0
+                            else 1),
         )
     else:
         vis, tile_overflow = rasterize_visibility(
