@@ -335,6 +335,8 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),

@@ -525,6 +525,8 @@ def rasterize_visibility_cells(
     owner, z, order, uw, vw, iw, tex = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),

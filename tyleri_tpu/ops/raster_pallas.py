@@ -530,6 +530,11 @@ def rasterize_visibility_pallas(
     owner, z, order, uw, vw, iw, tex, *nvis = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # tiles are independent: let Mosaic split the grid across the
+        # TensorCores of a Megacore chip (default 'arbitrary' serializes
+        # the whole grid onto one core)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         out_shape=[
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),

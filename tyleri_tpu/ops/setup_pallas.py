@@ -451,6 +451,8 @@ def fused_setup(
     win12, flagsA = pl.pallas_call(
         functools.partial(_transform_kernel, draw_cap=draw_cap),
         grid_spec=t_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         out_shape=[
             jax.ShapeDtypeStruct((12, nrows, 128), jnp.float32),
             jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
@@ -485,6 +487,8 @@ def fused_setup(
     channels, packed = pl.pallas_call(
         p_kernel,
         grid_spec=p_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         out_shape=[
             jax.ShapeDtypeStruct((N, 24), jnp.float32),
             jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
