@@ -134,6 +134,8 @@ def run_onehot():
     exp_cellprereq.bench_onehot()
 
 
+
+
 if __name__ == "__main__":
     step("0 probe", probe)
     step("1 cells compile probe", cells_compile_probe)
