@@ -181,6 +181,48 @@ def test_fused_setup_cells_dual_packing():
     np.testing.assert_array_equal(hi_f[med] // steps, hi_r[med] // steps)
 
 
+def test_fused_setup_cells_offscreen_spans():
+    """Regression: when the padded cell grid extends past the scissor
+    (every 1080p-style frame), off-screen triangles get x0 > x1 after the
+    clamp; a negative span must NOT smear sign bits over the packed
+    valid/crossed flags."""
+    rng = np.random.default_rng(21)
+    T, D = 300, 2
+    corner, draw, tex, valid, mvps = rand_scene(rng, T, D)
+    # push a slice fully below the bottom scissor edge (NDC y > 1)
+    corner[:80, :, 1] = rng.uniform(1.6, 2.5, (80, 3))
+    FBW, FBH = 250, 60                      # grid covers 256 x 64
+    CGW, CGH = 16, 8
+    viewport = jnp.asarray([0, 0, FBW, FBH, 0, 1], jnp.float32)
+    scissor = jnp.asarray([0, 0, FBW, FBH], jnp.int32)
+    corner18 = build_corner18(
+        jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
+        jnp.asarray(valid))
+    su_f, crossings = fused_setup(
+        corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
+        viewport, scissor,
+        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, draw_cap=D,
+        interpret=True, cells_tx=8, cells_ty=2)
+
+    h = np.concatenate([corner[..., :3], np.ones((T, 3, 1), np.float32)],
+                       axis=-1)
+    clip = np.einsum("tij,tcj->tci", mvps[draw], h)
+    ct = near_cull_triangles(
+        jnp.asarray(clip), jnp.asarray(corner[..., 3:5]),
+        jnp.asarray(tex), jnp.asarray(valid), extra_cap=0)
+    su_r = setup_triangles(
+        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
+        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, order=ct.order)
+
+    vf = np.asarray(su_f.valid)[:T]
+    vr = np.asarray(su_r.valid)
+    # pre-fix, sign bits from negative spans turned off-screen rows into
+    # valid=True with garbage medium bboxes and spurious crossed bits
+    np.testing.assert_array_equal(vf, vr)
+    assert (~vf[:80]).sum() > 40             # the slice is mostly culled
+    assert int(crossings) == int(ct.crossings)
+
+
 def test_use_fused_setup_gating():
     good = RasterPlan(fb_w=256, fb_h=128, tile_w=64, tile_h=16,
                       near_clip=False, fused_setup=True)

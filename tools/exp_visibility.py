@@ -488,9 +488,10 @@ def main():
         "strip_attrs": dict(strip_attrs=True),
         "hoist": dict(hoist_loads=True),
         "hoist_strip": dict(hoist_loads=True, strip_attrs=True),
+        # (dynroll + exit runs through PRODUCTION via ab_flags: the exit
+        # gate needs the SMEM-staged zmin row the production kernel has)
         "dynroll": dict(dynroll=True),
         "dynroll8": dict(dynroll=True, unroll=8),
-        "dynroll_exit": dict(dynroll=True, exit_test=True, cond_dma=True),
         "th32c256": dict(tile_h=32, chunk=256),
         "th32c512": dict(tile_h=32, chunk=512),
         "th32c256u2": dict(tile_h=32, chunk=256, unroll=2),

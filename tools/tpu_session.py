@@ -110,8 +110,7 @@ def run_ab():
 def run_dynroll():
     import exp_visibility
 
-    sys.argv = ["exp_visibility", "exit", "dynroll", "dynroll8",
-                "dynroll_exit"]
+    sys.argv = ["exp_visibility", "exit", "dynroll", "dynroll8"]
     exp_visibility.main()
 
 

@@ -466,6 +466,9 @@ def rasterize_visibility_cells(
         raise NotImplementedError("cells kernel packs D16 z in its scan key")
     if cell_w * cell_h != 128:
         raise ValueError("cell must be one 128-lane vector")
+    if tile_w != 128:
+        raise ValueError("cells kernel assumes one 128-lane tile column "
+                         "per grid step (tile_w == 128)")
 
     en_cap = cells.entry_channels.shape[0]
     em_cap = medium.entry_channels.shape[0]

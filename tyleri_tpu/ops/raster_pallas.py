@@ -101,9 +101,13 @@ def _visibility_kernel(
                               # pipeline) without changing per-entry work
 ):
     if debug_counts:
-        nvis_ref, ebuf, sem = rest
+        nvis_ref, *scr = rest
     else:
-        ebuf, sem = rest
+        scr = list(rest)
+    if dynroll:
+        ebuf, zsm, sem, zsem = scr
+    else:
+        ebuf, sem = scr
     if packed:
         from tyleri_tpu.ops.binning import PACK
         rows_win = chunk // PACK
@@ -256,16 +260,43 @@ def _visibility_kernel(
             def chunk_slice(k):
                 return jnp.minimum(start + k * chunk, e_cap - chunk)
 
-            def start_dma(slot, k):
-                return pltpu.make_async_copy(
-                    entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
-                    ebuf.at[slot],
-                    sem.at[slot],
-                )
+            if dynroll:
+                # ebuf lives in VMEM for the vector coefficient slices, but
+                # the exit gate needs ONE SCALAR (the first unprocessed
+                # entry's CH_ZMIN) — stage that row into SMEM alongside
+                # (dynamic scalar indexing of VMEM sublanes is not a
+                # supported Mosaic access)
+                def start_dma(slot, k):
+                    row = jnp.maximum(start, chunk_slice(k))
+                    return [
+                        pltpu.make_async_copy(
+                            entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
+                            ebuf.at[slot], sem.at[slot]),
+                        pltpu.make_async_copy(
+                            entries_ref.at[pl.ds(row, 1), :],
+                            zsm.at[slot], zsem.at[slot]),
+                    ]
+            else:
+                def start_dma(slot, k):
+                    return pltpu.make_async_copy(
+                        entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
+                        ebuf.at[slot],
+                        sem.at[slot],
+                    )
+
+        def dma_start(slot, k):
+            c = start_dma(slot, k)
+            for x in (c if isinstance(c, list) else [c]):
+                x.start()
+
+        def dma_wait(slot, k):
+            c = start_dma(slot, k)
+            for x in (c if isinstance(c, list) else [c]):
+                x.wait()
 
         @pl.when(nchunks > 0)
         def _():
-            start_dma(0, 0).start()
+            dma_start(0, 0)
 
         # Early-exit threshold: the max depth over the tile.  The stream is
         # sorted ascending by the conservative CH_ZMIN bound, so once a chunk's
@@ -291,7 +322,7 @@ def _visibility_kernel(
 
             @pl.when(alive)
             def _():
-                start_dma(slot, k).wait()
+                dma_wait(slot, k)
 
             s = chunk_slice(k)
             # first UNPROCESSED entry of this window (clamped windows re-cover
@@ -301,13 +332,15 @@ def _visibility_kernel(
             if packed:
                 zmin0 = ebuf[slot, idx0 // PACK,
                              24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
+            elif dynroll:
+                zmin0 = zsm[slot, 0, S.CH_ZMIN] * inv_q
             else:
                 zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
             proceed = alive & (zmin0 <= thresh)
 
             @pl.when(proceed & (k + 1 < nchunks))
             def _():
-                start_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+                dma_start(jax.lax.rem(k + 1, 2), k + 1)
 
             # dynamic trip count: only live entries are processed, and a dead
             # chunk (early exit) runs zero iterations — genuinely free
@@ -511,11 +544,16 @@ def rasterize_visibility_pallas(
         ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
-        scratch_shapes=[
-            (pltpu.VMEM if dynroll else pltpu.SMEM)(
+        scratch_shapes=(
+            [pltpu.VMEM((2, chunk, 128), jnp.float32),
+             pltpu.SMEM((2, 1, 128), jnp.float32),   # exit-gate zmin row
+             pltpu.SemaphoreType.DMA((2,)),
+             pltpu.SemaphoreType.DMA((2,))]
+            if dynroll else
+            [pltpu.SMEM(
                 (2, chunk // PACK if packed else chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+             pltpu.SemaphoreType.DMA((2,))]
+        ),
     )
 
     if packed:

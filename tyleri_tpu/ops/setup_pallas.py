@@ -346,10 +346,15 @@ def _plane_kernel(
         )
     else:
         # dual packing (see pack_shifts_cells): fixed-position flags + a
-        # mode bit selecting (cell x0, y0, spans) or the exact tile bbox
+        # mode bit selecting (cell x0, y0, spans) or the exact tile bbox.
+        # Spans clamp at >= 1: an off-screen triangle (valid already 0 via
+        # on_screen) has x0 > x1 after the scissor clamp, and a NEGATIVE
+        # span shifted into the field would smear sign bits over the
+        # flag positions — every 1080p-style frame has such triangles
+        # below the padded grid's scissor edge.
         cshift_x, cshift_y, bwc, bhc = cells
-        w = tx1 - tx0 + 1          # cell-grid spans (narrow: w*h <= 32)
-        h = ty1 - ty0 + 1
+        w = jnp.maximum(tx1 - tx0 + 1, 1)  # cell spans (narrow: w*h <= 32)
+        h = jnp.maximum(ty1 - ty0 + 1, 1)
         is_med = (w * h) > 32
         narrow_pack = (
             ((h - 1) << (10 + bwc + bhc - 5))

@@ -381,12 +381,19 @@ class ForwardRenderingFunction:
                  if cells else
                  spill_rows(spill_cap, p.raster.max_tiles_per_tri))
         # medium tier (cells mode): compacted medium-triangle rows + their
-        # tile-granularity entry table, occupancy-grown like the rest
-        med_cap = _cap_growth(
-            int(n_tris * self._med_headroom) + 1024, 1 << 13, p.raster.med_cap)
-        med_spill_cap = _cap_growth(
-            int(self._spill_headroom * n_tris // 4) + 1024, 1 << 13,
-            p.raster.med_spill_cap)
+        # tile-granularity entry table, occupancy-grown like the rest —
+        # but ONLY in cells mode: the plan is a jit static, so growing
+        # fields no code path reads would recompile the whole frame
+        if cells:
+            med_cap = _cap_growth(
+                int(n_tris * self._med_headroom) + 1024, 1 << 13,
+                p.raster.med_cap)
+            med_spill_cap = _cap_growth(
+                int(self._spill_headroom * n_tris // 4) + 1024, 1 << 13,
+                p.raster.med_spill_cap)
+        else:
+            med_cap = p.raster.med_cap
+            med_spill_cap = p.raster.med_spill_cap
         raster = dataclasses.replace(
             p.raster,
             # every row of the expansion has a reserved slot, so the big
@@ -400,8 +407,9 @@ class ForwardRenderingFunction:
             valid_cap=valid_cap,
             med_cap=med_cap,
             med_spill_cap=med_spill_cap,
-            med_entry_cap=med_cap + spill_rows(
-                med_spill_cap, p.raster.max_tiles_per_tri),
+            med_entry_cap=(med_cap + spill_rows(
+                med_spill_cap, p.raster.max_tiles_per_tri))
+            if cells else p.raster.med_entry_cap,
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays
             # for tri_cap + clip_cap rows

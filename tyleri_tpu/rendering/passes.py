@@ -201,6 +201,22 @@ def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
     return False
 
 
+def _setup_dims(plan: RasterPlan, state: PipelineState) -> dict:
+    """Setup grid for the raster backend the state will take: the CELL
+    grid (tile coords derive exactly by floor-division in the binning
+    wrapper) when the cells kernel engages, the tile grid otherwise.
+    Shared by mesh_pass and mesh_pass_fused so the two paths cannot
+    diverge; the fused kernel additionally needs the cells-per-tile
+    factors for its dual bbox packing."""
+    if _use_cells(plan, state):
+        return dict(tile_w=plan.cell_w, tile_h=plan.cell_h,
+                    grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
+                    cells_tx=plan.tile_w // plan.cell_w,
+                    cells_ty=plan.tile_h // plan.cell_h)
+    return dict(tile_w=plan.tile_w, tile_h=plan.tile_h,
+                grid_w=plan.grid_w, grid_h=plan.grid_h)
+
+
 def _use_cells(plan: RasterPlan, state: PipelineState) -> bool:
     """Host-side gate for the fragment-centric cell kernel: it shares the
     Pallas backend's envelope plus D16 (the scan key packs quantized z),
@@ -214,6 +230,9 @@ def _use_cells(plan: RasterPlan, state: PipelineState) -> bool:
         and _use_pallas(plan, state)
         and state.depth.format == DepthFormat.D16_UNORM
         and plan.cell_w * plan.cell_h == 128
+        # the cells kernel's block specs and permute flatten one 128-lane
+        # tile column per grid step
+        and plan.tile_w == 128
         and plan.tile_w % plan.cell_w == 0
         and plan.tile_h % plan.cell_h == 0
         and plan.cell_grid_w <= 256
@@ -279,29 +298,15 @@ def mesh_pass_fused(
 
     from tyleri_tpu.ops.setup_pallas import fused_setup
 
-    if _use_cells(plan, state):
-        # cells raster path: setup on the CELL grid with the dual packing
-        su, crossings = fused_setup(
-            corner18, mvps, cam_valid, viewport, scissor, draw_mod,
-            tile_w=plan.cell_w, tile_h=plan.cell_h,
-            grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
-            draw_cap=mvps.shape[0],
-            cull_mode=state.raster.cull_mode,
-            front_face=state.raster.front_face,
-            interpret=jax.default_backend() != "tpu",
-            cells_tx=plan.tile_w // plan.cell_w,
-            cells_ty=plan.tile_h // plan.cell_h,
-        )
-    else:
-        su, crossings = fused_setup(
-            corner18, mvps, cam_valid, viewport, scissor, draw_mod,
-            tile_w=plan.tile_w, tile_h=plan.tile_h,
-            grid_w=plan.grid_w, grid_h=plan.grid_h,
-            draw_cap=mvps.shape[0],
-            cull_mode=state.raster.cull_mode,
-            front_face=state.raster.front_face,
-            interpret=jax.default_backend() != "tpu",
-        )
+    dims = _setup_dims(plan, state)
+    su, crossings = fused_setup(
+        corner18, mvps, cam_valid, viewport, scissor, draw_mod,
+        draw_cap=mvps.shape[0],
+        cull_mode=state.raster.cull_mode,
+        front_face=state.raster.front_face,
+        interpret=jax.default_backend() != "tpu",
+        **dims,
+    )
     zero = jnp.zeros((), jnp.int32)
     return _raster_binned(plan, state, color, depth, su, viewport, scissor,
                           texels, tex_offset, tex_width, tex_height,
@@ -355,26 +360,15 @@ def mesh_pass(
         return (color, depth,
                 PassStats(zero, zero, ct.overflow, ct.crossings, zero), None)
 
-    if _use_cells(plan, state):
-        # cells mode: setup on the CELL grid (tile coords derive exactly by
-        # floor-division in the binning wrapper)
-        su = setup_triangles(
-            ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
-            tile_w=plan.cell_w, tile_h=plan.cell_h,
-            grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
-            order=ct.order,
-            cull_mode=state.raster.cull_mode,
-            front_face=state.raster.front_face,
-        )
-    else:
-        su = setup_triangles(
-            ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
-            tile_w=plan.tile_w, tile_h=plan.tile_h,
-            grid_w=plan.grid_w, grid_h=plan.grid_h,
-            order=ct.order,
-            cull_mode=state.raster.cull_mode,
-            front_face=state.raster.front_face,
-        )
+    dims = _setup_dims(plan, state)
+    su = setup_triangles(
+        ct.clip, ct_uv, ct.tex_id, ct.valid, viewport, scissor,
+        tile_w=dims["tile_w"], tile_h=dims["tile_h"],
+        grid_w=dims["grid_w"], grid_h=dims["grid_h"],
+        order=ct.order,
+        cull_mode=state.raster.cull_mode,
+        front_face=state.raster.front_face,
+    )
     extra = None
     if lit:
         # world-normal/w interpolation planes per (post-clip) triangle:
