@@ -133,6 +133,45 @@ def test_cells_match_xla_path(op):
     assert_vis_equal(vis_c, vis_x)
 
 
+def test_cells_tiles_per_prog():
+    """Multiple tiles per grid program in the cells kernel: identical
+    pixels to the per-tile grid."""
+    from tyleri_tpu.rendering import passes as P
+
+    vis_1, vis_x = run_both(np.random.default_rng(7), CompareOp.LESS)
+    clip, uv, tex, valid = make_clip(np.random.default_rng(7), 600)
+    # rebuild through run_both's pieces but with tpp=2 via a direct call
+    # (run_both hardwires the wrapper defaults)
+    viewport = jnp.asarray([0.0, 0.0, FB_W, FB_H, 0.0, 1.0], jnp.float32)
+    scissor = jnp.asarray([0, 0, FB_W, FB_H], jnp.int32)
+    su = setup_triangles(
+        jnp.asarray(clip), jnp.asarray(uv), jnp.asarray(tex),
+        jnp.asarray(valid), viewport, scissor,
+        tile_w=CELL_W, tile_h=CELL_H, grid_w=CGW, grid_h=CGH)
+    spill = 1 << 12
+    cells = bin_triangles_cells(
+        su, cell_grid_w=CGW, cell_grid_h=CGH,
+        cells_tx=TILE_W // CELL_W, cells_ty=TILE_H // CELL_H,
+        entry_cap=(600 + spill_rows_cells(spill) + 127) // 128 * 128,
+        spill_cap=spill)
+    is_med = su.valid & ((su.tile_hi[:, 0] - su.tile_lo[:, 0] + 1)
+                         * (su.tile_hi[:, 1] - su.tile_lo[:, 1] + 1) > 32)
+    med_su, _, _ = compact_medium(su, None, is_med, 256, 8, 2)
+    medium = bin_triangles(
+        med_su, grid_w=FB_W // TILE_W, grid_h=FB_H // TILE_H,
+        entry_cap=1 << 10, max_tiles_per_tri=8, broad_cap=64,
+        spill_cap=1 << 10)
+    ds = DepthState(test_enable=True, write_enable=True,
+                    compare_op=CompareOp.LESS)
+    vis_2, _ = rasterize_visibility_cells(
+        cells, medium, jnp.ones((FB_H, FB_W), jnp.float32), scissor,
+        fb_w=FB_W, fb_h=FB_H, tile_w=TILE_W, tile_h=TILE_H,
+        grid_w=FB_W // TILE_W, grid_h=FB_H // TILE_H,
+        depth_state=ds, interpret=True, tiles_per_prog=2,
+    )
+    assert_vis_equal(vis_2, vis_1)
+
+
 def test_cells_scissor_and_depth_init():
     rng = np.random.default_rng(11)
     depth0 = jnp.asarray(

@@ -522,6 +522,9 @@ def _raster_cells(
         m_chunk=plan.chunk,
         depth_state=state.depth,
         interpret=jax.default_backend() != "tpu",
+        tiles_per_prog=(plan.tiles_per_prog
+                        if plan.grid_h % plan.tiles_per_prog == 0
+                        else 1),
     )
     lit = None
     if extra is not None and lit_params is not None:
