@@ -330,13 +330,16 @@ def test_pallas_tiles_per_prog_matches_xla(tpp):
     np.testing.assert_allclose(c_mt, c_ref, atol=1e-6)
 
 
-def test_pallas_dynroll_matches_xla():
-    """plan.dynroll (VMEM dynamic-sublane coefficient slices) must render
-    identically to the XLA path."""
+@pytest.mark.parametrize("kw", [dict(dynroll=True),
+                                dict(dynroll=True, packed_entries=True)])
+def test_pallas_dynroll_matches_xla(kw):
+    """plan.dynroll (VMEM dynamic-sublane coefficient slices), alone and
+    composed with the packed table, must render identically to the XLA
+    path."""
     rng = np.random.default_rng(92)
     clip, uv = random_scene(rng, T=64)
     c_ref, d_ref = run(clip, uv, pallas=False)
-    c_dr, d_dr = run(clip, uv, pallas=True, plan_kw=dict(dynroll=True))
+    c_dr, d_dr = run(clip, uv, pallas=True, plan_kw=kw)
     np.testing.assert_array_equal(d_dr, d_ref)
     np.testing.assert_allclose(c_dr, c_ref, atol=1e-6)
 

@@ -34,6 +34,9 @@ COMBOS = {
     "tpp4": {"TYLERI_TPP": "4"},
     "packed+while+tpp4": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1",
                           "TYLERI_TPP": "4"},
+    "packed+dynroll": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1"},
+    "all4": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1",
+             "TYLERI_WHILE": "1", "TYLERI_TPP": "4"},
 }
 
 

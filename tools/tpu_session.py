@@ -103,7 +103,7 @@ def run_ab():
 
     sys.argv = ["ab_flags", "16", "base", "cells", "packed", "while",
                 "packed+while", "lag2", "dynroll", "dynroll+while",
-                "tpp4", "packed+while+tpp4"]
+                "tpp4", "packed+while+tpp4", "packed+dynroll", "all4"]
     ab_flags.main()
 
 

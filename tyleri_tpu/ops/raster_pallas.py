@@ -248,12 +248,27 @@ def _visibility_kernel(
                 # first ENTRY covered by window k's buffer
                 return win_rows(k) * PACK
 
-            def start_dma(slot, k):
-                return pltpu.make_async_copy(
-                    entries_ref.at[pl.ds(win_rows(k), rows_win), :],
-                    ebuf.at[slot],
-                    sem.at[slot],
-                )
+            if dynroll:
+                # VMEM packed rows (vector [1,128] coefficient slices) +
+                # the gate entry's packed row staged into SMEM (dynamic
+                # LANE indexing is an SMEM-only access)
+                def start_dma(slot, k):
+                    grow = jnp.maximum(start, chunk_slice(k)) // PACK
+                    return [
+                        pltpu.make_async_copy(
+                            entries_ref.at[pl.ds(win_rows(k), rows_win), :],
+                            ebuf.at[slot], sem.at[slot]),
+                        pltpu.make_async_copy(
+                            entries_ref.at[pl.ds(grow, 1), :],
+                            zsm.at[slot], zsem.at[slot]),
+                    ]
+            else:
+                def start_dma(slot, k):
+                    return pltpu.make_async_copy(
+                        entries_ref.at[pl.ds(win_rows(k), rows_win), :],
+                        ebuf.at[slot],
+                        sem.at[slot],
+                    )
         else:
             nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
 
@@ -329,7 +344,10 @@ def _visibility_kernel(
             # processed entries whose smaller zmin only makes the gate more
             # conservative); ascending zmin makes it the window's live min
             idx0 = jnp.maximum(start - s, 0)
-            if packed:
+            if packed and dynroll:
+                zmin0 = zsm[slot, 0,
+                            24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
+            elif packed:
                 zmin0 = ebuf[slot, idx0 // PACK,
                              24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
             elif dynroll:
@@ -355,11 +373,15 @@ def _visibility_kernel(
             def entry_body(jj, inner):
                 j = jj * UNROLL
                 idx = s + j
-                if dynroll:
+                if dynroll and packed:
+                    g = ebuf[slot, pl.ds(jj, 1), :]      # [1, 128]: PACK entries
+                elif dynroll:
                     g = ebuf[slot, pl.ds(j, UNROLL), :]  # [UNROLL, 128] vregs
                 for u in range(UNROLL):
                     live_u = (idx + u >= start) & (idx + u < end)
-                    if packed:
+                    if packed and dynroll:
+                        c_u = lambda row, u=u: g[0:1, 24 * u + row:24 * u + row + 1]  # noqa: E731
+                    elif packed:
                         c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
                     elif dynroll:
                         c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
@@ -486,8 +508,6 @@ def rasterize_visibility_pallas(
     if not (depth_state.test_enable and depth_state.write_enable):
         raise NotImplementedError("pallas visibility needs depth test+write")
 
-    if packed and dynroll:
-        raise ValueError("packed and dynroll are mutually exclusive")
     if tiles_per_prog > 1 and (grid_h % tiles_per_prog != 0 or debug_counts):
         raise ValueError(
             "tiles_per_prog must divide grid_h (and debug_counts needs 1)")
@@ -545,7 +565,8 @@ def rasterize_visibility_pallas(
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
         scratch_shapes=(
-            [pltpu.VMEM((2, chunk, 128), jnp.float32),
+            [pltpu.VMEM(
+                (2, chunk // PACK if packed else chunk, 128), jnp.float32),
              pltpu.SMEM((2, 1, 128), jnp.float32),   # exit-gate zmin row
              pltpu.SemaphoreType.DMA((2,)),
              pltpu.SemaphoreType.DMA((2,))]

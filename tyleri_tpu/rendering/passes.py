@@ -84,7 +84,8 @@ class RasterPlan:
     exit_while: bool = False
     # coefficient access: VMEM chunk staging + one dynamic sublane slice
     # per unroll group + [1,1] element broadcasts, instead of ~23 SMEM
-    # scalar loads per entry (mutually exclusive with packed_entries)
+    # scalar loads per entry; composes with packed_entries (one [1,128]
+    # slice then serves PACK entries at static lane offsets)
     dynroll: bool = False
     # vertically-adjacent tiles resolved per grid program (divides the
     # per-program fixed cost — measured ~10 us/program on empty segments);
@@ -436,7 +437,7 @@ def _raster_binned(
             packed=packed,
             lag2=bool(plan.exit_lag2),
             exit_while=bool(plan.exit_while),
-            dynroll=bool(plan.dynroll) and not packed,
+            dynroll=bool(plan.dynroll),
             tiles_per_prog=(plan.tiles_per_prog
                             if plan.grid_h % plan.tiles_per_prog == 0
                             else 1),
