@@ -114,7 +114,10 @@ def main():
     from tyleri_tpu.models import scenes as scenelib
 
     device = ty.RenderDeviceBuilder().build()
-    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 480))
+    # generous default: a cold compilation cache pays ~40-150 s per frame
+    # executable and the adaptive plan flips (near-clip off, valid_cap
+    # shrink) add variants; the persistent cache makes warm runs fast
+    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     # config 1: single-triangle pixel-match (correctness row, not FPS)
     try:
