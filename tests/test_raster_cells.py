@@ -127,8 +127,9 @@ def assert_vis_equal(vis_c, vis_x):
 
 
 @pytest.mark.parametrize("op", [CompareOp.LESS, CompareOp.LESS_OR_EQUAL])
-def test_cells_match_xla_path(op):
-    vis_c, vis_x = run_both(np.random.default_rng(7), op)
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_cells_match_xla_path(op, seed):
+    vis_c, vis_x = run_both(np.random.default_rng(seed), op)
     assert int(np.sum(np.asarray(vis_c.owner) >= 0)) > 500
     assert_vis_equal(vis_c, vis_x)
 
