@@ -101,9 +101,10 @@ def cells_compile_probe():
 def run_ab():
     import ab_flags
 
-    sys.argv = ["ab_flags", "16", "base", "cells", "packed", "while",
-                "packed+while", "lag2", "dynroll", "dynroll+while",
-                "tpp4", "packed+while+tpp4", "packed+dynroll", "all4"]
+    # most decision-critical first (the session may be interrupted)
+    sys.argv = ["ab_flags", "16", "base", "packed+while", "all4", "dynroll",
+                "packed", "while", "cells", "packed+dynroll", "tpp4",
+                "packed+while+tpp4", "lag2", "dynroll+while"]
     ab_flags.main()
 
 
