@@ -37,6 +37,7 @@ COMBOS = {
     "packed+dynroll": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1"},
     "all4": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1",
              "TYLERI_WHILE": "1", "TYLERI_TPP": "4"},
+    "cells+tpp4": {"TYLERI_CELLS": "1", "TYLERI_TPP": "4"},
 }
 
 
@@ -73,6 +74,7 @@ def main():
     for name, res in results.items():
         d = f"  {res['fps'] - base['fps']:+6.2f} fps vs base" if base else ""
         print(f"  {name:>14}: {res['fps']:7.2f} fps{d}", flush=True)
+    return results
 
 
 if __name__ == "__main__":

@@ -98,14 +98,48 @@ def cells_compile_probe():
     assert hits > 200, hits
 
 
+AB_RESULTS = {}
+
+
 def run_ab():
+    import json
+
     import ab_flags
 
     # most decision-critical first (the session may be interrupted)
     sys.argv = ["ab_flags", "16", "base", "packed+while", "all4", "dynroll",
                 "packed", "while", "cells", "packed+dynroll", "tpp4",
-                "packed+while+tpp4", "lag2", "dynroll+while"]
-    ab_flags.main()
+                "packed+while+tpp4", "lag2", "dynroll+while", "cells+tpp4"]
+    results = ab_flags.main()
+    AB_RESULTS.update(results or {})
+    out = {name: {"fps": res["fps"]} for name, res in AB_RESULTS.items()}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "AB_RESULTS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"ab results -> {path}")
+
+
+def run_winner_profile():
+    """Fused-frame attribution under the winning combo (its full-frame and
+    fused-setup lines honor the env flags; the per-stage prefixes use the
+    base kernel and are only a layout-matched reference)."""
+    import ab_flags
+
+    if not AB_RESULTS:
+        log("no ab results; skipping winner profile")
+        return
+    winner = max(AB_RESULTS, key=lambda n: AB_RESULTS[n]["fps"])
+    log(f"winner: {winner} @ {AB_RESULTS[winner]['fps']:.2f} fps")
+    for k in ab_flags.KNOBS:
+        os.environ.pop(k, None)
+    os.environ.update(ab_flags.COMBOS[winner])
+    import profile_fused
+
+    sys.argv = ["profile_fused", "8"]
+    profile_fused.main()
+    for k in ab_flags.KNOBS:
+        os.environ.pop(k, None)
 
 
 def run_dynroll():
@@ -140,8 +174,9 @@ if __name__ == "__main__":
     step("0 probe", probe)
     step("1 cells compile probe", cells_compile_probe)
     step("2 ab_flags", run_ab)
-    step("3 dynroll variants", run_dynroll)
-    step("4 exp_cells", run_exp_cells)
-    step("5 exp_fixed_grid", run_fixed_grid)
-    step("6 onehot pricing", run_onehot)
+    step("3 winner profile", run_winner_profile)
+    step("4 dynroll variants", run_dynroll)
+    step("5 exp_cells", run_exp_cells)
+    step("6 exp_fixed_grid", run_fixed_grid)
+    step("7 onehot pricing", run_onehot)
     log("SESSION COMPLETE")
