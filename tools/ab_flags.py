@@ -61,8 +61,18 @@ def main():
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.perf_counter()
-        res = bench.bench_rig(device, rig, warmup=8, frames=frames,
-                              budget_s=1e9)
+        try:
+            # a combo whose kernel variant fails to lower on real TPU
+            # (Mosaic errors don't reproduce in interpret mode) must not
+            # take the remaining combos down with it
+            res = bench.bench_rig(device, rig, warmup=8, frames=frames,
+                                  budget_s=1e9)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            print(f"[{name:>14}] FAILED (continuing)", flush=True)
+            continue
         wall = time.perf_counter() - t0
         results[name] = res
         print(f"[{name:>14}] fps={res['fps']:7.2f}  "
