@@ -20,6 +20,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR_FPS = 60.0
 
 
+def _winner_flags():
+    """Best plan-flag combo from the last on-chip A/B session
+    (AB_RESULTS.json, written by tools/tpu_session.py).  Applied to the
+    north-star sponza config only — the combos were measured on that scene
+    and plans read the TYLERI_* knobs at build time (RasterPlan.for_scene).
+    Explicit user env (any TYLERI_* already set) wins over the file."""
+    if any(k.startswith("TYLERI_") for k in os.environ):
+        return {}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "AB_RESULTS.json")
+    try:
+        with open(path) as f:
+            results = json.load(f)
+        best = max(results, key=lambda n: results[n]["fps"])
+        env = dict(results[best].get("env", {}))
+        if env:
+            print(f"bench: applying A/B winner '{best}' "
+                  f"({results[best]['fps']:.2f} fps): {env}", file=sys.stderr)
+        return env
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
 def bench_rig(device, rig, warmup=8, frames=16, budget_s=180.0):
     """Measure steady-state pipelined FPS of one scene rig through the
     PRODUCTION frame loop (RenderWindow: steal scene -> record -> recycle,
@@ -139,11 +162,14 @@ def main():
         # amortize the end-of-run sync fence once the frame gets fast)
         ("sponza_1M_1080p", lambda: scenelib.config5_sponza(device), 16),
     ]
+    winner_env = _winner_flags()
     for name, make, frames in plans:
         remaining = deadline - time.monotonic()
         if remaining < 30:
             break
+        applied = winner_env if name == "sponza_1M_1080p" else {}
         try:
+            os.environ.update(applied)
             rig = make()
             r = bench_rig(device, rig, warmup=8, frames=frames,
                           budget_s=max(remaining - 10, 30))
@@ -151,6 +177,9 @@ def main():
                 results[name] = r
         except Exception as e:  # report what we have rather than die
             print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            for k in applied:
+                os.environ.pop(k, None)
 
     # one JSON line per config; the NORTH-STAR row is printed LAST so a
     # single-line consumer parses the headline metric

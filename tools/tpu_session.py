@@ -112,7 +112,10 @@ def run_ab():
                 "packed+while+tpp4", "lag2", "dynroll+while", "cells+tpp4"]
     results = ab_flags.main()
     AB_RESULTS.update(results or {})
-    out = {name: {"fps": res["fps"]} for name, res in AB_RESULTS.items()}
+    # include each combo's env so bench.py can re-apply the winner without
+    # importing tools/ (the driver runs bench.py standalone)
+    out = {name: {"fps": res["fps"], "env": ab_flags.COMBOS[name]}
+           for name, res in AB_RESULTS.items()}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "AB_RESULTS.json")
     with open(path, "w") as f:
