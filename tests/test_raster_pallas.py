@@ -367,3 +367,50 @@ def test_pallas_packed_broad_and_cap_pressure():
                      plan_kw=dict(packed_entries=True, **kw))
     np.testing.assert_array_equal(d_pk, d_ref)
     np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
+
+def occlusion_scene(rng, n_far=96):
+    """A near full-cover quad (first in z-order) over many far triangles:
+    the front-to-back exit threshold engages, so the exit-variant flags
+    (lag2 / while) take their non-trivial paths."""
+    near = [[[-2, -2], [4, -2], [-2, 4]], [[4, 4], [-2, 4], [4, -2]]]
+    far_xy = rng.uniform(-1, 1, (n_far, 3, 2)) * 0.9
+    xy = np.concatenate([np.array(near, np.float64), far_xy], 0)
+    T = xy.shape[0]
+    z = np.full((T, 3), 0.9)
+    z[0] = z[1] = 0.1
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., 0] = xy[..., 0]
+    clip[..., 1] = xy[..., 1]
+    clip[..., 2] = z
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2)).astype(np.float32)
+    return clip, uv
+
+
+@pytest.mark.parametrize("kw", [dict(exit_lag2=True),
+                                dict(exit_while=True)])
+def test_pallas_exit_variants_match_xla(kw):
+    """plan.exit_lag2 (threshold published one chunk late) and
+    plan.exit_while (while-loop chunk structure) are pure scheduling
+    changes: pixel-equal to the XLA path on scenes where the early exit
+    both does and does not engage."""
+    rng = np.random.default_rng(94)
+    for clip, uv in (random_scene(rng, T=64), occlusion_scene(rng)):
+        c_ref, d_ref = run(clip, uv, pallas=False)
+        c_v, d_v = run(clip, uv, pallas=True, plan_kw=kw)
+        np.testing.assert_array_equal(d_v, d_ref)
+        np.testing.assert_allclose(c_v, c_ref, atol=1e-6)
+
+
+def test_pallas_all4_combo_matches_xla():
+    """The 'all4' A/B candidate (packed + dynroll + while + tpp4) — any
+    combo bench.py may auto-apply as the measured winner must hold the
+    pixel contract."""
+    rng = np.random.default_rng(95)
+    kw = dict(packed_entries=True, dynroll=True, exit_while=True,
+              tiles_per_prog=4)
+    for clip, uv in (random_scene(rng, T=64), occlusion_scene(rng)):
+        c_ref, d_ref = run(clip, uv, pallas=False)
+        c_v, d_v = run(clip, uv, pallas=True, plan_kw=kw)
+        np.testing.assert_array_equal(d_v, d_ref)
+        np.testing.assert_allclose(c_v, c_ref, atol=1e-6)
