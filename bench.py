@@ -168,18 +168,24 @@ def main():
         if remaining < 30:
             break
         applied = winner_env if name == "sponza_1M_1080p" else {}
-        try:
-            os.environ.update(applied)
-            rig = make()
-            r = bench_rig(device, rig, warmup=8, frames=frames,
-                          budget_s=max(remaining - 10, 30))
-            if r:
-                results[name] = r
-        except Exception as e:  # report what we have rather than die
-            print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-        finally:
-            for k in applied:
-                os.environ.pop(k, None)
+        # if the winner combo fails here (e.g. a Mosaic lowering error that
+        # only reproduces on real TPU), fall back to base flags rather than
+        # lose the headline row
+        for attempt_env in ([applied, {}] if applied else [{}]):
+            try:
+                os.environ.update(attempt_env)
+                rig = make()
+                r = bench_rig(device, rig, warmup=8, frames=frames,
+                              budget_s=max(remaining - 10, 30))
+                if r:
+                    results[name] = r
+                break
+            except Exception as e:  # report what we have rather than die
+                print(f"bench {name} failed (env={attempt_env}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+            finally:
+                for k in attempt_env:
+                    os.environ.pop(k, None)
 
     # one JSON line per config; the NORTH-STAR row is printed LAST so a
     # single-line consumer parses the headline metric
