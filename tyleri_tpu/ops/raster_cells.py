@@ -477,6 +477,12 @@ def rasterize_visibility_cells(
     if tile_w != 128:
         raise ValueError("cells kernel assumes one 128-lane tile column "
                          "per grid step (tile_w == 128)")
+    if (tile_w * tile_h) // (cell_w * cell_h) > 64:
+        # the packed scan key is (cellinv << 23) | (zq << 7) | idx with a
+        # 6-bit cell budget under MAXKEY (1 << 29): cpt > 64 would push live
+        # keys past the dead-lane sentinel and corrupt the prefix-min
+        raise ValueError("cells kernel supports at most 64 cells per tile "
+                         f"(got {(tile_w * tile_h) // (cell_w * cell_h)})")
     if grid_h % tiles_per_prog != 0:
         raise ValueError("tiles_per_prog must divide grid_h")
 

@@ -84,6 +84,10 @@ def _visibility_kernel(
     grid_w: int,
     chunk: int,
     e_cap: int,
+    owner_base: int,   # LOGICAL entry-table length: broad owner j maps to
+                       # owner_base + j (in packed mode e_cap counts packed
+                       # ROWS, which must not leak into owner ids — shade
+                       # and the lit path index concat(entry, broad) tables)
     depth_state: DepthState,
     le: bool,
     debug_counts: bool = False,
@@ -444,7 +448,7 @@ def _visibility_kernel(
                     & (gyf <= broad_bbox_ref[j, 3])
                 )
                 coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
-                return resolve_entry(coeff, e_cap + j, live, carry)
+                return resolve_entry(coeff, owner_base + j, live, carry)
 
             state = jax.lax.fori_loop(
                 0, jnp.minimum(nbroad_ref[0], B), broad_body, state
@@ -537,7 +541,8 @@ def rasterize_visibility_pallas(
     kernel = functools.partial(
         _visibility_kernel,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
-        chunk=chunk, e_cap=e_cap, depth_state=depth_state,
+        chunk=chunk, e_cap=e_cap,
+        owner_base=binned.entry_channels.shape[0], depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
         exit_while=exit_while, dynroll=dynroll,

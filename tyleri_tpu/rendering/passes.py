@@ -236,6 +236,8 @@ def _use_cells(plan: RasterPlan, state: PipelineState) -> bool:
         and plan.tile_w == 128
         and plan.tile_w % plan.cell_w == 0
         and plan.tile_h % plan.cell_h == 0
+        # the scan key budgets 6 bits for the in-tile cell index
+        and (plan.tile_w * plan.tile_h) // (plan.cell_w * plan.cell_h) <= 64
         and plan.cell_grid_w <= 256
         and plan.cell_grid_h <= 256
         and plan.entry_cap % 128 == 0
