@@ -542,7 +542,10 @@ def rasterize_visibility_pallas(
         _visibility_kernel,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
         chunk=chunk, e_cap=e_cap,
-        owner_base=binned.entry_channels.shape[0], depth_state=depth_state,
+        # entry_tile is always sliced to the LOGICAL entry_cap; in packed
+        # mode entry_channels is a 1-row dummy and entry_packed counts rows,
+        # so neither is the right broad-owner base
+        owner_base=binned.entry_tile.shape[0], depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
         exit_while=exit_while, dynroll=dynroll,
