@@ -99,6 +99,81 @@ def cells_compile_probe():
 
 
 AB_RESULTS = {}
+VARIANT_OK = {}   # combo name -> bool from the tiny-shape compile probe
+
+
+def variant_compile_probe():
+    """Compile every serial-kernel flag variant ONCE at tiny shapes before
+    the A/B: a Mosaic lowering error that only reproduces on real TPU costs
+    seconds here vs a full config5 frame compile (40-150 s) in ab_flags.
+    Failing combos are skipped by run_ab (logged)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ab_flags
+    from tyleri_tpu.pipeline.state import (
+        BlendState, CompareOp, DepthFormat, DepthState, PipelineState)
+    from tyleri_tpu.rendering import passes
+    from tyleri_tpu.utils.math3d import Rect2D, Viewport
+
+    FBW, FBH = 256, 64
+    state = PipelineState(
+        blend=BlendState(enable=False),
+        depth=DepthState(test_enable=True, write_enable=True,
+                         compare_op=CompareOp.LESS_OR_EQUAL,
+                         format=DepthFormat.D16_UNORM))
+    rng = np.random.default_rng(3)
+    T = 96
+    xy = rng.uniform(-1, 1, (T, 3, 2))
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[..., :2] = xy
+    clip[..., 2] = rng.uniform(0.1, 0.9, (T,))[:, None]
+    clip[..., 3] = 1.0
+    uv = rng.random((T, 3, 2)).astype(np.float32)
+    texels = jnp.ones((4, 16), jnp.float32)
+    meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+            jnp.full((1,), 2, jnp.int32))
+
+    def flags_to_plan_kw(env):
+        kw = dict(tile_w=128, tile_h=16, chunk=128, entry_cap=1024,
+                  cap_per_tile=512, spill_cap=1024, pallas=True)
+        if env.get("TYLERI_PACKED"):
+            kw["packed_entries"] = True
+        if env.get("TYLERI_LAG2"):
+            kw["exit_lag2"] = True
+        if env.get("TYLERI_WHILE"):
+            kw["exit_while"] = True
+        if env.get("TYLERI_DYNROLL"):
+            kw["dynroll"] = True
+        if env.get("TYLERI_CELLS"):
+            kw["cells"] = True
+        if env.get("TYLERI_TPP"):
+            kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
+        return kw
+
+    for name, env in ab_flags.COMBOS.items():
+        t0 = time.time()
+        try:
+            plan = passes.RasterPlan(fb_w=FBW, fb_h=FBH,
+                                     **flags_to_plan_kw(env))
+            color = jnp.zeros((FBH, FBW, 4), jnp.float32)
+            depth = jnp.ones((FBH, FBW), jnp.float32)
+            c, d, _, _ = passes.mesh_pass(
+                plan, state, color, depth,
+                jnp.asarray(clip), jnp.asarray(uv),
+                jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+                Viewport(0, 0, FBW, FBH).as_array(),
+                Rect2D(0, 0, FBW, FBH).as_array(), texels, *meta)
+            jax.block_until_ready(d)
+            covered = int(jnp.sum(jnp.asarray(d) < 1.0))
+            VARIANT_OK[name] = covered > 50
+            log(f"variant {name:>18}: compiled in {time.time() - t0:5.1f}s, "
+                f"covered={covered}{'' if VARIANT_OK[name] else ' (BAD)'}")
+        except Exception as e:
+            VARIANT_OK[name] = False
+            log(f"variant {name:>18}: FAILED in {time.time() - t0:5.1f}s: "
+                f"{type(e).__name__}: {str(e)[:200]}")
 
 
 def run_ab():
@@ -107,9 +182,14 @@ def run_ab():
     import ab_flags
 
     # most decision-critical first (the session may be interrupted)
-    sys.argv = ["ab_flags", "16", "base", "packed+while", "all4", "dynroll",
-                "packed", "while", "cells", "packed+dynroll", "tpp4",
-                "packed+while+tpp4", "lag2", "dynroll+while", "cells+tpp4"]
+    names = ["base", "packed+while", "all4", "dynroll",
+             "packed", "while", "cells", "packed+dynroll", "tpp4",
+             "packed+while+tpp4", "lag2", "dynroll+while", "cells+tpp4"]
+    skipped = [n for n in names if VARIANT_OK.get(n) is False]
+    if skipped:
+        log(f"skipping combos that failed the compile probe: {skipped}")
+    names = [n for n in names if VARIANT_OK.get(n) is not False]
+    sys.argv = ["ab_flags", "16"] + names
     results = ab_flags.main()
     AB_RESULTS.update(results or {})
     # include each combo's env so bench.py can re-apply the winner without
@@ -176,6 +256,7 @@ def run_onehot():
 if __name__ == "__main__":
     step("0 probe", probe)
     step("1 cells compile probe", cells_compile_probe)
+    step("1b variant compile probe", variant_compile_probe)
     step("2 ab_flags", run_ab)
     step("3 winner profile", run_winner_profile)
     step("4 dynroll variants", run_dynroll)
