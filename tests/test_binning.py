@@ -154,3 +154,40 @@ def test_adaptive_valid_cap_feedback():
     assert rf.plan.raster.valid_cap
     rf._grow_plan(1, 1, (1 << 18) + 5, 0)
     assert rf.plan.raster.valid_cap == 0
+
+
+def test_broad_cap_growth_clamps_at_smem_ceiling():
+    """Repeated bin overflows quadruple broad_cap only up to the SMEM
+    ceiling the Pallas kernels can actually hold ([NUM_CHANNELS, B] broad
+    channels live in SMEM); past it the overflow keeps being reported.
+    Regression: growth to 1<<16 made every config5 frame fail Mosaic
+    compilation with an opaque SMEM allocation error."""
+    import tyleri_tpu as ty
+    from tyleri_tpu.ops.raster_pallas import BROAD_CAP_SMEM_MAX
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = ty.RenderDeviceBuilder().build()
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+    for _ in range(10):
+        rf.note_overflow(123, 0, 0, 0, bin_demand=0)
+    assert rf.plan.raster.broad_cap == BROAD_CAP_SMEM_MAX
+
+    # and the kernel itself refuses a table past the ceiling, loudly
+    import pytest
+
+    from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
+    from tyleri_tpu.pipeline.state import CompareOp, DepthState
+
+    su, grid_w, grid_h = make_setup(np.random.default_rng(0), T=16,
+                                    grid_w=1, grid_h=4, tile=16)
+    binned = bin_triangles(su, grid_w=grid_w, grid_h=grid_h, entry_cap=128,
+                           max_tiles_per_tri=4,
+                           broad_cap=BROAD_CAP_SMEM_MAX + 1, spill_cap=128)
+    ds = DepthState(test_enable=True, write_enable=True,
+                    compare_op=CompareOp.LESS_OR_EQUAL)
+    with pytest.raises(ValueError, match="SMEM"):
+        rasterize_visibility_pallas(
+            binned, jnp.ones((64, 16), jnp.float32),
+            jnp.asarray([0, 0, 16, 64], jnp.int32),
+            fb_w=16, fb_h=64, tile_w=16, tile_h=16, grid_w=1, grid_h=4,
+            chunk=128, depth_state=ds, interpret=True)

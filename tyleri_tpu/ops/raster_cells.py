@@ -238,8 +238,9 @@ def _cells_kernel(
             # a single nonzero term per output are exact)
             cell_next = jnp.concatenate(
                 [cell_l[:, 1:], jnp.full((1, 1), -1, jnp.int32)], axis=1)
-            live_next = jnp.concatenate(
-                [live_l[:, 1:], jnp.zeros((1, 1), jnp.bool_)], axis=1)
+            # live at lane l+1, computed arithmetically: a lane-dim concat of
+            # i1 vectors trips an invalid i1->i32 vreg bitcast in Mosaic
+            live_next = (ra + lane_i + 1 >= ns) & (ra + lane_i + 1 < ne)
             is_last = live_l & ((cell_l != cell_next) | ~live_next)
             crow_iota = jax.lax.broadcasted_iota(jnp.int32, (cpt, chunk), 0)
             sel_last = ((crow_iota == cell_l) & is_last).astype(jnp.float32)
@@ -490,6 +491,9 @@ def rasterize_visibility_cells(
     em_cap = medium.entry_channels.shape[0]
     if en_cap % 128 != 0 or em_cap % m_chunk != 0:
         raise ValueError("caps must tile into chunks")
+    from tyleri_tpu.ops.raster_pallas import _check_broad_smem
+    _check_broad_smem(medium.broad_channels_cm.shape[1],
+                      "rasterize_visibility_cells")
 
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w

@@ -56,6 +56,24 @@ from tyleri_tpu.ops.binning import BinnedEntries
 from tyleri_tpu.ops.visibility import VisibilityBuffer
 from tyleri_tpu.pipeline.state import CompareOp, DepthFormat, DepthState
 
+# The broad side list is SMEM-resident: [NUM_CHANNELS, B] channels +
+# [B, 4] bboxes = 112 B/entry against the ~1 MB SMEM core budget, of which
+# the chunk staging buffer takes 2*chunk*128*4 (128 KB at chunk=128).
+# 4096 broads = 448 KB, comfortably under; anything past this must be a
+# binning-parameter bug (real scenes have tens of broads), so the growth
+# feedback clamps here and keeps REPORTING overflow instead of growing.
+BROAD_CAP_SMEM_MAX = 4096
+
+
+def _check_broad_smem(b_cap: int, where: str) -> None:
+    if b_cap > BROAD_CAP_SMEM_MAX:
+        raise ValueError(
+            f"broad_cap {b_cap} exceeds the SMEM-resident ceiling "
+            f"{BROAD_CAP_SMEM_MAX} for {where}: the [NUM_CHANNELS, B] broad "
+            "table lives in SMEM (~1 MB/core) and Mosaic fails allocation "
+            "with an opaque compile error past it"
+        )
+
 
 def _visibility_kernel(
     # scalar prefetch
@@ -515,6 +533,8 @@ def rasterize_visibility_pallas(
     if tiles_per_prog > 1 and (grid_h % tiles_per_prog != 0 or debug_counts):
         raise ValueError(
             "tiles_per_prog must divide grid_h (and debug_counts needs 1)")
+    _check_broad_smem(binned.broad_channels_cm.shape[1],
+                      "rasterize_visibility_pallas")
     if packed:
         from tyleri_tpu.ops.binning import PACK
         if binned.entry_packed is None:

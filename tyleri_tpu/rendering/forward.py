@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tyleri_tpu.device import debug
+from tyleri_tpu.ops import raster_pallas
 from tyleri_tpu.ops.setup import build_triangle_table, transform_corner_table
 from tyleri_tpu.pipeline.common_pipeline import CommonPipeline
 from tyleri_tpu.pipeline.state import PipelineState
@@ -467,7 +468,13 @@ class ForwardRenderingFunction:
                     self.plan,
                     raster=dataclasses.replace(
                         self.plan.raster,
-                        broad_cap=min(self.plan.raster.broad_cap * 4, 1 << 16),
+                        # ceiling: the Pallas kernels hold the broad list in
+                        # SMEM — past BROAD_CAP_SMEM_MAX the compile fails on
+                        # SMEM allocation.  The conflated overflow counter
+                        # would otherwise quadruple it there in ~6 overflow
+                        # frames of normal spill-headroom convergence.
+                        broad_cap=min(self.plan.raster.broad_cap * 4,
+                                      raster_pallas.BROAD_CAP_SMEM_MAX),
                         valid_cap=0,
                     ),
                 )
