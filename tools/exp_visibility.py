@@ -182,6 +182,11 @@ def _variant_kernel(
         if exit_test:
             n_here = jnp.where(proceed, n_here, 0)
 
+        def bc_lane(v):
+            # +0.0 forces a real [1, tile_w] vreg (Mosaic NYI: both-axis
+            # broadcast; a bare broadcast chain folds back into it)
+            return v + jnp.zeros((1, tile_w), jnp.float32)
+
         def entry_body(jj, inner):
             j = jj * unroll
             idx = s + j
@@ -190,7 +195,7 @@ def _variant_kernel(
             for u in range(unroll):
                 live_u = (idx + u >= start) & (idx + u < end)
                 if dynroll:
-                    c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
+                    c_u = lambda row, u=u: bc_lane(g[u:u + 1, row:row + 1])  # noqa: E731
                 elif hoist_loads:
                     c_u = lambda row: ebuf[slot, 0, row]  # noqa: E731
                 else:

@@ -392,6 +392,17 @@ def _visibility_kernel(
             # unrolls by PACK so each entry's lane offset is static.
             UNROLL = PACK if packed else 4
 
+            def bc_lane(v):
+                # [1, 1] -> [1, tile_w] lane broadcast.  Mosaic has no
+                # combined sublane+lane broadcast ("Not implemented:
+                # Broadcast in both sublanes and lanes") and its replicated-
+                # layout inference folds a bare broadcast_in_dim chain back
+                # into that NYI form — the +0.0 forces a real [1, tile_w]
+                # vreg (MLIR only folds addf(x, -0.0), never +0.0, because
+                # -0.0 + 0.0 == +0.0), leaving the consuming ops a
+                # supported sublane-only replication.
+                return v + jnp.zeros((1, tile_w), jnp.float32)
+
             def entry_body(jj, inner):
                 j = jj * UNROLL
                 idx = s + j
@@ -402,11 +413,11 @@ def _visibility_kernel(
                 for u in range(UNROLL):
                     live_u = (idx + u >= start) & (idx + u < end)
                     if packed and dynroll:
-                        c_u = lambda row, u=u: g[0:1, 24 * u + row:24 * u + row + 1]  # noqa: E731
+                        c_u = lambda row, u=u: bc_lane(g[0:1, 24 * u + row:24 * u + row + 1])  # noqa: E731
                     elif packed:
                         c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
                     elif dynroll:
-                        c_u = lambda row, u=u: g[u:u + 1, row:row + 1]  # noqa: E731
+                        c_u = lambda row, u=u: bc_lane(g[u:u + 1, row:row + 1])  # noqa: E731
                     else:
                         c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
                     inner = resolve_entry(c_u, idx + u, live_u, inner)
