@@ -181,10 +181,13 @@ def run_ab():
 
     import ab_flags
 
-    # most decision-critical first (the session may be interrupted)
+    # most decision-critical first (the session may be interrupted).
+    # cells / cells+tpp4 dropped: measured dead end at full scale — the
+    # window-loop debug run (/tmp/dbg_cells.log) showed 10 async frames
+    # flushing in 980 s (~98 s/frame) despite interpret-mode correctness.
     names = ["base", "packed+while", "all4", "dynroll",
-             "packed", "while", "cells", "packed+dynroll", "tpp4",
-             "packed+while+tpp4", "lag2", "dynroll+while", "cells+tpp4"]
+             "packed", "while", "packed+dynroll", "tpp4",
+             "packed+while+tpp4", "lag2", "dynroll+while"]
     skipped = [n for n in names if VARIANT_OK.get(n) is False]
     if skipped:
         log(f"skipping combos that failed the compile probe: {skipped}")
@@ -255,12 +258,8 @@ def run_onehot():
 
 if __name__ == "__main__":
     step("0 probe", probe)
-    step("1 cells compile probe", cells_compile_probe)
-    step("1b variant compile probe", variant_compile_probe)
+    step("1 variant compile probe", variant_compile_probe)
     step("2 ab_flags", run_ab)
     step("3 winner profile", run_winner_profile)
     step("4 dynroll variants", run_dynroll)
-    step("5 exp_cells", run_exp_cells)
-    step("6 exp_fixed_grid", run_fixed_grid)
-    step("7 onehot pricing", run_onehot)
     log("SESSION COMPLETE")

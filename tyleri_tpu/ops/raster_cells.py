@@ -67,7 +67,9 @@ def _cells_kernel(
     ncell_ref,        # i32 [En/128, 128] local cell ids, lane-major
     mentries_ref,     # f32 [Em, 128] medium rows, (tile, zmin)-sorted
     broad_ch_ref,     # f32 [NUM_CHANNELS, B] (SMEM)
-    broad_bbox_ref,   # f32 [B, 4] (SMEM)
+    broad_bbox_ref,   # f32 [4, B] (SMEM; entry-minor — a [B, 4]
+                      #   SMEM window pads the minor dim to 128 lanes: 2 MB
+                      #   at B=4096, over the ~1 MB SMEM budget)
     depth_init_ref,   # f32 [16, tile_w] CELL-MAJOR block
     # outputs (cell-major blocks)
     owner_ref, z_ref, order_ref, uw_ref, vw_ref, iw_ref, tex_ref,
@@ -407,10 +409,10 @@ def _cells_kernel(
 
             def broad_body(j, carry):
                 live = (
-                    (gxf >= broad_bbox_ref[j, 0])
-                    & (gxf <= broad_bbox_ref[j, 2])
-                    & (gyf >= broad_bbox_ref[j, 1])
-                    & (gyf <= broad_bbox_ref[j, 3])
+                    (gxf >= broad_bbox_ref[0, j])
+                    & (gxf <= broad_bbox_ref[2, j])
+                    & (gyf >= broad_bbox_ref[1, j])
+                    & (gyf <= broad_bbox_ref[3, j])
                 )
                 coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
                 return resolve_entry(coeff, en_cap + em_cap + j, live, carry)
@@ -573,7 +575,7 @@ def rasterize_visibility_cells(
         cells.entry_cellrow,
         m_padded,
         medium.broad_channels_cm,
-        medium.broad_tiles.astype(jnp.float32),
+        medium.broad_tiles.astype(jnp.float32).T,
         depth0,
     )
 

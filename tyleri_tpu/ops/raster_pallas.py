@@ -84,7 +84,9 @@ def _visibility_kernel(
     entries_ref,      # f32 [E, 128] (HBM/ANY) row-major, lane-padded:
                       # chunk DMAs slice the leading dim (unaligned-OK)
     broad_ch_ref,     # f32 [NUM_CHANNELS, B] (SMEM)
-    broad_bbox_ref,   # f32 [B, 4] (SMEM)
+    broad_bbox_ref,   # f32 [4, B] (SMEM; entry-minor — a [B, 4]
+                      #   SMEM window pads the minor dim to 128 lanes: 2 MB
+                      #   at B=4096, over the ~1 MB SMEM budget)
     depth_init_ref,   # f32 [th, tw] (VMEM block)
     # outputs
     owner_ref,        # i32 [th, tw]
@@ -471,10 +473,10 @@ def _visibility_kernel(
 
             def broad_body(j, carry):
                 live = (
-                    (gxf >= broad_bbox_ref[j, 0])
-                    & (gxf <= broad_bbox_ref[j, 2])
-                    & (gyf >= broad_bbox_ref[j, 1])
-                    & (gyf <= broad_bbox_ref[j, 3])
+                    (gxf >= broad_bbox_ref[0, j])
+                    & (gxf <= broad_bbox_ref[2, j])
+                    & (gyf >= broad_bbox_ref[1, j])
+                    & (gyf <= broad_bbox_ref[3, j])
                 )
                 coeff = lambda row: broad_ch_ref[row, j]  # noqa: E731
                 return resolve_entry(coeff, owner_base + j, live, carry)
@@ -650,7 +652,7 @@ def rasterize_visibility_pallas(
         binned.num_broad.reshape(1),
         entries_padded,
         binned.broad_channels_cm,
-        binned.broad_tiles.astype(jnp.float32),
+        binned.broad_tiles.astype(jnp.float32).T,
         depth0,
     )
 
