@@ -71,18 +71,48 @@ def bench_rig(device, rig, warmup=8, frames=16, budget_s=180.0):
             win.flush()
             return None
     win.flush()  # drain so the timed window starts clean
-    start = time.perf_counter()
-    for k in range(frames):
-        one_frame(0.3 + 0.05 * k)
-    img = win.flush()   # single end fence for the pipelined window
-    dt = time.perf_counter() - start
-    assert img is not None
-    fps = frames / dt
+
+    # settle: adaptive plan changes (growth, valid_cap shrink after N
+    # clean frames, near-clip flips) each recompile — render flushed
+    # 8-frame batches until the plan stops changing BETWEEN batches so
+    # every adaptive recompile stays OUT of the timed windows (batches,
+    # not single frames: the clean-frame counters need several frames to
+    # fire, and each flush costs one tunnel round trip)
+    prev_plan = None
+    for j in range(6):
+        plan = win.rendering_function.plan
+        if plan == prev_plan or time.perf_counter() - t0 > budget_s:
+            break
+        prev_plan = plan
+        for i in range(8):
+            one_frame(0.2 + 0.01 * (8 * j + i))
+        win.flush()
+
+    def timed_window(n, t_base):
+        start = time.perf_counter()
+        for k in range(n):
+            one_frame(t_base + 0.05 * k)
+        img = win.flush()   # single end fence for the pipelined window
+        assert img is not None
+        return time.perf_counter() - start
+
+    # TWO-POINT measurement: each window pays one constant end-fence cost
+    # (flush = stats drain + final-image fetch; multiple SECONDS when the
+    # remote tunnel's round-trip latency is degraded), so the slope
+    # between a short and a long window is the honest steady-state frame
+    # time with that constant cancelled.  The raw long-window rate is
+    # reported alongside as the conservative number.
+    t_short = timed_window(frames, 0.3)
+    t_long = timed_window(3 * frames, 0.3)
+    raw_fps = 3 * frames / t_long
+    dt = t_long - t_short
+    fps = (2 * frames) / dt if dt > 1e-3 else raw_fps
     return {
         "fps": fps,
+        "raw_fps": raw_fps,
         "mtris_per_s": rig.triangle_count * fps / 1e6,
-        "frames": frames,
-        "seconds": dt,
+        "frames": 4 * frames,
+        "seconds": t_short + t_long,
     }
 
 

@@ -4,6 +4,8 @@ combo: wall time per frame, plan-change detection, and XLA compile logging
 profile_fused on the same plan (e.g. cells @ 3.2 s/frame vs 92 ms fused).
 
     python tools/debug_window_frames.py cells 12
+    python tools/debug_window_frames.py base 8 sync   # flush per frame:
+        # serialized true device time per frame (no pipelining)
 """
 
 import os
@@ -21,6 +23,7 @@ def main():
 
     name = sys.argv[1] if len(sys.argv) > 1 else "cells"
     nframes = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    sync = len(sys.argv) > 3 and sys.argv[3] == "sync"
     for k in ab_flags.KNOBS:
         os.environ.pop(k, None)
     os.environ.update(ab_flags.COMBOS[name])
@@ -46,6 +49,8 @@ def main():
         rig.fill(scene, 0.1 * k)
         t1 = time.perf_counter()
         win.render(device)
+        if sync:
+            win.flush()
         t2 = time.perf_counter()
         p = rf.plan
         changed = ""

@@ -181,13 +181,11 @@ def run_ab():
 
     import ab_flags
 
-    # most decision-critical first (the session may be interrupted).
-    # cells / cells+tpp4 dropped: measured dead end at full scale — the
-    # window-loop debug run (/tmp/dbg_cells.log) showed 10 async frames
-    # flushing in 980 s (~98 s/frame) despite interpret-mode correctness.
-    names = ["base", "packed+while", "all4", "dynroll",
-             "packed", "while", "packed+dynroll", "tpp4",
-             "packed+while+tpp4", "lag2", "dynroll+while"]
+    # most decision-critical first (the session may be interrupted);
+    # dynroll family dropped: standalone kernel timings (session r3c step
+    # 4: exit 42.8 ms, dynroll 77.6, dynroll8 54.8) rule it out
+    names = ["base", "cells", "packed+while", "packed", "while", "tpp4",
+             "packed+while+tpp4", "lag2", "cells+tpp4"]
     skipped = [n for n in names if VARIANT_OK.get(n) is False]
     if skipped:
         log(f"skipping combos that failed the compile probe: {skipped}")
@@ -261,5 +259,4 @@ if __name__ == "__main__":
     step("1 variant compile probe", variant_compile_probe)
     step("2 ab_flags", run_ab)
     step("3 winner profile", run_winner_profile)
-    step("4 dynroll variants", run_dynroll)
     log("SESSION COMPLETE")

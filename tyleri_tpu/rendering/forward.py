@@ -66,6 +66,23 @@ class FramePlan:
     # Blinn-Phong lighting (any camera has a DirectionalLight).  Static for
     # the same reason as has_ui; the unlit frame pays nothing for it.
     lit: bool = False
+    # Presentation quantize fused into the frame program: None (no u8
+    # output — direct API users), "opaque" (CompositeAlpha::OPAQUE,
+    # swapchain.rs:59: alpha forced 255) or "inherit".  Fusing saves one
+    # executable launch per frame — launches cost ~2 ms (healthy) to
+    # ~17 ms (degraded tunnel) on the remote backend.
+    present_u8: "str | None" = None
+
+
+def quantize_unorm8(color, opaque: bool):
+    """On-device UNORM8 presentation store (round-to-nearest): presenting
+    fetches 1/4 of the bytes, and the display ignores alpha under OPAQUE
+    (the mesh pipeline writes alpha 0 — without forcing 255 the presented
+    PNGs read as transparent in viewers)."""
+    u8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.uint8)
+    if opaque:
+        u8 = u8.at[..., 3].set(jnp.uint8(255))
+    return u8
 
 
 def _shift_viewport(viewport, y0):
@@ -220,7 +237,19 @@ def frame_body(
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
 def _render_frame(plan, mesh_state, ui_state, *arrays):
-    return frame_body(plan, mesh_state, ui_state, *arrays)
+    frame = frame_body(plan, mesh_state, ui_state, *arrays)
+    if plan.present_u8 is not None:
+        frame = frame._replace(color_u8=quantize_unorm8(
+            frame.color, opaque=plan.present_u8 == "opaque"))
+    return frame
+
+
+@functools.partial(jax.jit, static_argnames=("opaque",))
+def _quantize_sharded(color, opaque: bool):
+    """Separate-launch quantize for the sharded record path (its frame
+    program returns a flat tuple; the extra launch is amortized by the
+    per-band work)."""
+    return quantize_unorm8(color, opaque=opaque)
 
 
 @functools.partial(jax.jit, static_argnames=("tri_capacity",))
@@ -429,6 +458,8 @@ class ForwardRenderingFunction:
             tri_cap=tri_cap,
             ui_tri_cap=_next_pow2(n_ui, p.ui_tri_cap),
             has_ui=p.has_ui,
+            lit=p.lit,
+            present_u8=p.present_u8,
         )
         if new != p:
             self.plan = new
@@ -598,9 +629,14 @@ class ForwardRenderingFunction:
              clip_x) = render_frame_sharded(
                 self.plan, self.mesh_state, self.ui_state, device_mesh, *arrays
             )
+            u8 = None
+            if self.plan.present_u8 is not None:
+                u8 = _quantize_sharded(
+                    color, self.plan.present_u8 == "opaque")
             return Frame(color=color, depth=depth, bin_overflow=bin_of,
                          tile_overflow=tile_of, order=order,
-                         clip_overflow=clip_of, clip_crossings=clip_x)
+                         clip_overflow=clip_of, clip_crossings=clip_x,
+                         color_u8=u8)
 
     def build_frame_inputs(
         self, render_device, render_resources, scale_factor, window_size

@@ -32,6 +32,11 @@ class Frame(NamedTuple):
     bin_demand: jax.Array = None      # i32 [] max live narrow triangles over
                                       # the frame's passes (dense-slot
                                       # demand; adaptive valid_cap feedback)
+    color_u8: jax.Array = None        # u8 [H, W, 4] presentation image,
+                                      # quantized INSIDE the frame program
+                                      # (plan.present_u8) — one launch per
+                                      # frame instead of two matters on
+                                      # high-latency remote backends
 
 
 class RenderingFunction(Protocol):

@@ -50,16 +50,13 @@ class WindowHandle:
 
 @functools.partial(jax.jit, static_argnames=("opaque",))
 def _quantize_unorm8(color, opaque: bool):
-    """On-device UNORM8 store (round-to-nearest), so presenting fetches 1/4
-    of the bytes — the host copy is the presentation bottleneck when the
-    accelerator is remote.  ``opaque`` emulates the reference swapchain's
-    CompositeAlpha::OPAQUE (swapchain.rs:59): the display ignores alpha, so
-    the presented image is fully opaque (the mesh pipeline writes alpha 0 —
-    without this, presented PNGs read as transparent in viewers)."""
-    u8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.uint8)
-    if opaque:
-        u8 = u8.at[..., 3].set(jnp.uint8(255))
-    return u8
+    """Fallback presentation quantize for rendering functions that do not
+    fuse it into their frame program (plan.present_u8); semantics in
+    forward.quantize_unorm8.  The fused path is preferred: one executable
+    launch per frame instead of two."""
+    from tyleri_tpu.rendering.forward import quantize_unorm8
+
+    return quantize_unorm8(color, opaque=opaque)
 
 
 class _UsingResources:
@@ -85,8 +82,10 @@ class _UsingResources:
     def _ensure_u8(self):
         with self._u8_lock:
             if self._u8 is None and self._future.exception() is None:
-                self._u8 = _quantize_unorm8(
-                    self._future.result().color, opaque=self._opaque
+                frame = self._future.result()
+                u8 = getattr(frame, "color_u8", None)
+                self._u8 = u8 if u8 is not None else _quantize_unorm8(
+                    frame.color, opaque=self._opaque
                 )
 
     def wait(self, fetch: bool = True):
@@ -133,9 +132,20 @@ class RenderWindow:
             )
         self._scale_factor = float(scale_factor)
         self.swapchain = ImageViewSwapchain(resolution, present_mode=present_mode)
+        if composite_alpha not in ("opaque", "inherit"):
+            raise ValueError(f"unsupported composite_alpha {composite_alpha!r}")
         self.rendering_function = rendering_function(
             render_device, self.swapchain, exact=exact
         )
+        # fuse the presentation quantize into the frame program when the
+        # rendering function supports it (one launch/frame instead of two)
+        rf_plan = getattr(self.rendering_function, "plan", None)
+        if rf_plan is not None and hasattr(rf_plan, "present_u8"):
+            import dataclasses as _dc
+
+            self.rendering_function.plan = _dc.replace(
+                rf_plan, present_u8=composite_alpha
+            )
         # FIFO (vsync) presentation is mandatory in the reference
         # (swapchain.rs:46-51): pace render() to the refresh clock via the
         # native pacer; "immediate" (headless/bench extension) skips pacing.
@@ -151,8 +161,6 @@ class RenderWindow:
         # CompositeAlpha::OPAQUE (swapchain.rs:59; display ignores alpha);
         # "inherit" keeps the framebuffer's alpha in the presented image
         # (useful for readback/testing the blend state's alpha channel)
-        if composite_alpha not in ("opaque", "inherit"):
-            raise ValueError(f"unsupported composite_alpha {composite_alpha!r}")
         self.composite_alpha = composite_alpha
         self.present_target = present_target
         # the last presented u8 image: kept as the DEVICE array; the
@@ -170,6 +178,13 @@ class RenderWindow:
             max_workers=1, thread_name_prefix="tyleri-stats"
         )
         self._stats_pending: list = []
+        # query-pool batching: recycled frames' stats scalars queue up
+        # (device-side refs, free) and ONE worker pass drains the whole
+        # queue per host round trip — on a high-latency link N frames
+        # coalesce into one fetch instead of serializing N fetches
+        self._stats_queue: list = []
+        self._stats_lock = __import__("threading").Lock()
+        self._stats_inflight = False
         self.frame_index = 0
         # pre-populated scenes: one available + one per in-flight image
         # (the reference pre-signals fences with fresh CBs,
@@ -270,14 +285,7 @@ class RenderWindow:
                 self.present_target(img)
             # async stats readback (see __init__): the report lands a frame
             # or two later, like a Vulkan query pool
-            self._stats_pending = [
-                f for f in self._stats_pending if not f.done()
-            ]
-            self._stats_pending.append(
-                self._stats_pool.submit(
-                    self._report_frame_stats, device, previous.frame
-                )
-            )
+            self._enqueue_frame_stats(device, previous.frame)
             previous.scene.clear()
             self._available_scene = previous.scene
         else:
@@ -292,28 +300,63 @@ class RenderWindow:
         self.profiler.frame(tri_count)
         return image_index
 
-    def _report_frame_stats(self, device, frame) -> None:
-        """Report a completed frame's capacity overflows (never dropped)
-        and feed the occupancy-growth loop.  ONE batched device_get: each
-        separate scalar fetch pays a full host<->device round trip."""
-        stats = (frame.bin_overflow, frame.tile_overflow, frame.clip_overflow,
-                 frame.clip_crossings, frame.bin_demand)
-        fetched = iter(jax.device_get(
-            tuple(s for s in stats if s is not None)
-        ))
-        bin_of, tile_of, clip_of, clip_x, bin_dem = (
-            int(next(fetched)) if s is not None else 0 for s in stats
+    def _enqueue_frame_stats(self, device, frame) -> None:
+        """Queue a recycled frame's stats scalars for background readback.
+        At most one drain task is in flight: frames recycled while the
+        worker blocks on the tunnel pile up device-side and the next pass
+        fetches them ALL in one round trip (round-3 incident: per-frame
+        serialized device_gets at ~3 s tunnel latency measured every flag
+        combo at ~0.3 FPS while the frame program itself ran at 75 ms)."""
+        with self._stats_lock:
+            self._stats_queue.append(frame)
+            if self._stats_inflight:
+                return
+            self._stats_inflight = True
+        self._stats_pending = [f for f in self._stats_pending if not f.done()]
+        self._stats_pending.append(
+            self._stats_pool.submit(self._drain_stats, device)
         )
-        device.debug_messenger.check_overflow("bin-entries", bin_of)
-        device.debug_messenger.check_overflow("tile-entries", tile_of)
-        device.debug_messenger.check_overflow("clip-splits", clip_of)
-        # occupancy feedback: a reported overflow grows the raster
-        # capacities for subsequent frames (recompile, like swapchain
-        # recreation); crossing counts drive the adaptive near-clip skip,
-        # the dense-slot demand the adaptive valid_cap shrink
-        note = getattr(self.rendering_function, "note_overflow", None)
-        if note is not None:
-            note(bin_of, tile_of, clip_of, clip_x, bin_dem)
+
+    def _drain_stats(self, device) -> None:
+        while True:
+            with self._stats_lock:
+                frames = self._stats_queue[:]
+                self._stats_queue.clear()
+                if not frames:
+                    self._stats_inflight = False
+                    return
+            self._report_frames_stats(device, frames)
+
+    def _report_frame_stats(self, device, frame) -> None:
+        self._report_frames_stats(device, [frame])
+
+    def _report_frames_stats(self, device, frames) -> None:
+        """Report completed frames' capacity overflows (never dropped)
+        and feed the occupancy-growth loop.  ONE batched device_get for
+        the whole batch: each separate fetch pays a full host<->device
+        round trip, so a drain of N frames costs one latency, not N."""
+        rows = [
+            (f.bin_overflow, f.tile_overflow, f.clip_overflow,
+             f.clip_crossings, f.bin_demand)
+            for f in frames
+        ]
+        fetched = iter(jax.device_get(
+            tuple(s for row in rows for s in row if s is not None)
+        ))
+        for row in rows:
+            bin_of, tile_of, clip_of, clip_x, bin_dem = (
+                int(next(fetched)) if s is not None else 0 for s in row
+            )
+            device.debug_messenger.check_overflow("bin-entries", bin_of)
+            device.debug_messenger.check_overflow("tile-entries", tile_of)
+            device.debug_messenger.check_overflow("clip-splits", clip_of)
+            # occupancy feedback: a reported overflow grows the raster
+            # capacities for subsequent frames (recompile, like swapchain
+            # recreation); crossing counts drive the adaptive near-clip
+            # skip, the dense-slot demand the adaptive valid_cap shrink
+            note = getattr(self.rendering_function, "note_overflow", None)
+            if note is not None:
+                note(bin_of, tile_of, clip_of, clip_x, bin_dem)
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
@@ -325,12 +368,15 @@ class RenderWindow:
         self._stats_pending.clear()
         last_idx = self.swapchain.last_acquired_image
         img = None
+        drained = []
         for idx, using in list(self._using.items()):
             img_i = using.wait(fetch=idx == last_idx)
             if idx == last_idx:
                 img = img_i
-            self._report_frame_stats(self.render_device, using.frame)
+            drained.append(using.frame)
             using.scene.clear()
+        if drained:
+            self._report_frames_stats(self.render_device, drained)
         self._using.clear()
         if img is not None:
             self._latest_u8 = img
