@@ -235,6 +235,67 @@ def frame_body(
                  clip_crossings=clip_x, bin_demand=bin_dem)
 
 
+def _pack_host_arrays(arrays):
+    """Pack every host numpy leaf of the frame-input tuple into ONE u8
+    blob so record() ships a single host->device transfer per frame.
+    ROUND TRIPS, not bytes, dominate on remote backends: ~15 separate
+    leaves measured ~130 ms/frame of serialized transfer latency on a
+    degraded tunnel (~17 ms each) while the whole blob is ~35 KB.
+    Device-resident leaves (texture/triangle tables) pass through.
+    Returns (device_leaves, spec, blob): ``spec`` is the static unpack
+    layout ((index, dtype, shape) per packed leaf, hashable)."""
+    spec = []
+    chunks = []
+    device_leaves = []
+    for i, a in enumerate(arrays):
+        if isinstance(a, np.ndarray):
+            spec.append((i, a.dtype.str, a.shape))
+            chunks.append(np.ascontiguousarray(a).view(np.uint8).ravel())
+        else:
+            device_leaves.append(a)
+    blob = (np.concatenate(chunks) if chunks
+            else np.zeros((0,), np.uint8))
+    return tuple(device_leaves), tuple(spec), blob
+
+
+def _unpack_host_arrays(spec, blob, device_leaves, total):
+    """Device-side inverse of _pack_host_arrays: static slices + bitcasts
+    (free under XLA fusion) rebuild the original frame-input tuple."""
+    vals = [None] * total
+    off = 0
+    for i, dstr, shape in spec:
+        dt = np.dtype(dstr)
+        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        piece = blob[off:off + n]
+        off += n
+        if dt == np.bool_:
+            arr = (piece != 0).reshape(shape)
+        elif dt.itemsize == 1:
+            arr = piece.astype(dt).reshape(shape)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                piece.reshape((n // dt.itemsize, dt.itemsize)), dt
+            ).reshape(shape)
+        vals[i] = arr
+    it = iter(device_leaves)
+    for i in range(total):
+        if vals[i] is None:
+            vals[i] = next(it)
+    return vals
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan", "mesh_state", "ui_state", "spec", "total"))
+def _render_frame_packed(plan, mesh_state, ui_state, spec, total, blob,
+                         *device_leaves):
+    arrays = _unpack_host_arrays(spec, blob, device_leaves, total)
+    frame = frame_body(plan, mesh_state, ui_state, *arrays)
+    if plan.present_u8 is not None:
+        frame = frame._replace(color_u8=quantize_unorm8(
+            frame.color, opaque=plan.present_u8 == "opaque"))
+    return frame
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "mesh_state", "ui_state"))
 def _render_frame(plan, mesh_state, ui_state, *arrays):
     frame = frame_body(plan, mesh_state, ui_state, *arrays)
@@ -589,11 +650,15 @@ class ForwardRenderingFunction:
             arrays = self.build_frame_inputs(
                 render_device, render_resources, scale_factor, window_size
             )
-            # single batched async upload: per-array transfers each pay the
-            # full host->device round-trip latency (brutal over a tunnel)
-            arrays = jax.device_put(arrays)
-            return _render_frame(
-                self.plan, self.mesh_state, self.ui_state, *arrays
+            # ONE host->device transfer per frame: all host leaves pack
+            # into a single u8 blob, unpacked device-side by static
+            # slices/bitcasts inside the frame program (round trips, not
+            # bytes, are what a remote tunnel charges for)
+            device_leaves, spec, blob = _pack_host_arrays(arrays)
+            blob = jax.device_put(blob)
+            return _render_frame_packed(
+                self.plan, self.mesh_state, self.ui_state, spec,
+                len(arrays), blob, *device_leaves
             )
 
     def record_sharded(self, render_device, render_resources, scale_factor,
