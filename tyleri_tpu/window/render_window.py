@@ -343,6 +343,7 @@ class RenderWindow:
         fetched = iter(jax.device_get(
             tuple(s for row in rows for s in row if s is not None)
         ))
+        agg = [0, 0, 0, 0, 0]
         for row in rows:
             bin_of, tile_of, clip_of, clip_x, bin_dem = (
                 int(next(fetched)) if s is not None else 0 for s in row
@@ -350,13 +351,22 @@ class RenderWindow:
             device.debug_messenger.check_overflow("bin-entries", bin_of)
             device.debug_messenger.check_overflow("tile-entries", tile_of)
             device.debug_messenger.check_overflow("clip-splits", clip_of)
-            # occupancy feedback: a reported overflow grows the raster
-            # capacities for subsequent frames (recompile, like swapchain
-            # recreation); crossing counts drive the adaptive near-clip
-            # skip, the dense-slot demand the adaptive valid_cap shrink
-            note = getattr(self.rendering_function, "note_overflow", None)
-            if note is not None:
-                note(bin_of, tile_of, clip_of, clip_x, bin_dem)
+            for i, v in enumerate((bin_of, tile_of, clip_of, clip_x,
+                                   bin_dem)):
+                agg[i] = max(agg[i], v)
+        # occupancy feedback: a reported overflow grows the raster
+        # capacities for subsequent frames (recompile, like swapchain
+        # recreation); crossing counts drive the adaptive near-clip skip,
+        # the dense-slot demand the adaptive valid_cap shrink.
+        # ONE feedback call per drained batch, on the batch MAXIMA: the
+        # frames of a batch were (almost always) rendered under the same
+        # pre-growth plan, so per-frame calls would compound the doubling
+        # once per STALE report — measured 2^8 on a slow tunnel: an
+        # entry_cap meant to converge at 1.57M grew to 12.1M and its
+        # cap-scaled binning sort/gather cost ~115 ms/frame.
+        note = getattr(self.rendering_function, "note_overflow", None)
+        if note is not None:
+            note(*agg)
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
