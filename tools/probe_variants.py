@@ -70,6 +70,8 @@ def main():
             kw["cells"] = True
         if env.get("TYLERI_TPP"):
             kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
+        if env.get("TYLERI_SUBLANE"):
+            kw["sublane"] = True
         return kw
 
     ok = {}

@@ -102,6 +102,14 @@ class RasterPlan:
     cells: bool = False
     cell_w: int = 16
     cell_h: int = 8
+    # sublane-batched kernel (ops/raster_sublane.py): same binned inputs
+    # as the serial Pallas kernel, but a chunk of 128 entries is resolved
+    # with entries along SUBLANES and the tile row's pixels along LANES —
+    # plane coefficients become [128, 1] lane slices (zero per-entry
+    # scalar loads) and winners are found by sublane reductions.  Needs
+    # the Pallas backend and tile_w == 128; incompatible with
+    # packed_entries/dynroll (different chunk layouts).
+    sublane: bool = False
     med_cap: int = 1 << 13        # compacted medium-triangle rows
     med_entry_cap: int = 1 << 15  # medium (tile, triangle) entries
     med_spill_cap: int = 1 << 14  # spill bound for the medium expansion
@@ -148,6 +156,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_CELLS"):
             kw.setdefault("cells",
                           os.environ["TYLERI_CELLS"] not in ("0", ""))
+        if os.environ.get("TYLERI_SUBLANE"):
+            kw.setdefault("sublane",
+                          os.environ["TYLERI_SUBLANE"] not in ("0", ""))
         if os.environ.get("TYLERI_DYNROLL"):
             kw.setdefault("dynroll",
                           os.environ["TYLERI_DYNROLL"] not in ("0", ""))
@@ -411,7 +422,11 @@ def _raster_binned(
             extra=extra, lit_params=lit_params,
         )
     use_pallas = _use_pallas(plan, state)
-    packed = bool(plan.packed_entries) and use_pallas
+    use_sublane = (
+        bool(plan.sublane) and use_pallas and plan.tile_w == 128
+        and not plan.packed_entries and not plan.dynroll
+    )
+    packed = bool(plan.packed_entries) and use_pallas and not use_sublane
     binned = bin_triangles(
         su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
@@ -422,7 +437,24 @@ def _raster_binned(
         valid_cap=plan.valid_cap,
         packed=packed,
     )
-    if use_pallas:
+    if use_sublane:
+        import jax
+
+        from tyleri_tpu.ops.raster_sublane import rasterize_visibility_sublane
+
+        vis, tile_overflow = rasterize_visibility_sublane(
+            binned, depth, scissor,
+            fb_w=plan.fb_w, fb_h=plan.fb_h,
+            tile_w=plan.tile_w, tile_h=plan.tile_h,
+            grid_w=plan.grid_w, grid_h=plan.grid_h,
+            chunk=plan.chunk,
+            depth_state=state.depth,
+            interpret=jax.default_backend() != "tpu",
+            tiles_per_prog=(plan.tiles_per_prog
+                            if plan.grid_h % plan.tiles_per_prog == 0
+                            else 1),
+        )
+    elif use_pallas:
         import jax
 
         from tyleri_tpu.ops.binning import PACK
