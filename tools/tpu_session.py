@@ -150,6 +150,8 @@ def variant_compile_probe():
             kw["cells"] = True
         if env.get("TYLERI_TPP"):
             kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
+        if env.get("TYLERI_SUBLANE"):
+            kw["sublane"] = True
         return kw
 
     for name, env in ab_flags.COMBOS.items():
@@ -184,8 +186,9 @@ def run_ab():
     # most decision-critical first (the session may be interrupted);
     # dynroll family dropped: standalone kernel timings (session r3c step
     # 4: exit 42.8 ms, dynroll 77.6, dynroll8 54.8) rule it out
-    names = ["base", "cells", "packed+while", "packed", "while", "tpp4",
-             "packed+while+tpp4", "lag2", "cells+tpp4"]
+    names = ["base", "sublane", "sublane+tpp4", "cells", "packed+while",
+             "packed", "while", "tpp4", "packed+while+tpp4", "lag2",
+             "cells+tpp4"]
     skipped = [n for n in names if VARIANT_OK.get(n) is False]
     if skipped:
         log(f"skipping combos that failed the compile probe: {skipped}")

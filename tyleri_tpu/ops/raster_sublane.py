@@ -213,7 +213,6 @@ def _sublane_kernel(
 
                 zsel = jnp.where(frag, zq, jnp.inf)
                 zmin = jnp.min(zsel, axis=0, keepdims=True)   # [1, tw]
-                hit = zmin < jnp.inf
                 cand = frag & (zq == zmin)
                 if le:
                     osel = jnp.where(cand, order_c, -jnp.inf)
@@ -237,15 +236,17 @@ def _sublane_kernel(
                 # as a value max too
                 tex = jnp.max(jnp.where(onehot, meta, INT_MIN),
                               axis=0, keepdims=True) & S.META_TEX_MASK
-                out_rows.append((hit, zmin, obest, s + ibest, uw, vw, iw, tex))
+                out_rows.append((zmin, obest, s + ibest, uw, vw, iw, tex))
 
             def stack(i):
+                # (f32/i32 only: a sublane concat of i1 rows trips an
+                # invalid i1->i32 vreg bitcast in Mosaic on real TPU)
                 return jnp.concatenate([rr[i] for rr in out_rows], axis=0)
 
-            hit16 = stack(0)
-            zmin16 = stack(1)
-            ord16 = stack(2)
-            own16 = stack(3)
+            zmin16 = stack(0)
+            ord16 = stack(1)
+            own16 = stack(2)
+            hit16 = zmin16 < jnp.inf
             zbuf, owner, obuf, uwb, vwb, iwb, texb = state
             if le:
                 beats = hit16 & (
@@ -257,10 +258,10 @@ def _sublane_kernel(
                 jnp.where(beats, zmin16, zbuf),
                 jnp.where(beats, own16, owner),
                 jnp.where(beats, ord16, obuf),
-                jnp.where(beats, stack(4), uwb),
-                jnp.where(beats, stack(5), vwb),
-                jnp.where(beats, stack(6), iwb),
-                jnp.where(beats, stack(7), texb),
+                jnp.where(beats, stack(3), uwb),
+                jnp.where(beats, stack(4), vwb),
+                jnp.where(beats, stack(5), iwb),
+                jnp.where(beats, stack(6), texb),
             )
 
         def chunk_body(k, carry):
