@@ -297,3 +297,22 @@ def test_sharded_cells_mode_matches_single_chip():
         plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
     np.testing.assert_allclose(np.asarray(color), want_c, atol=2e-4)
     np.testing.assert_allclose(np.asarray(depth), want_d, atol=1.6e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_composite_uses_reductions_not_gathers():
+    """The cross-device depth composite must lower to pmin/pmax/psum
+    reductions (per-device traffic independent of the draws-axis size),
+    never to an all_gather of band buffers (traffic and memory x nd).
+    VERDICT r3 item 6."""
+    rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=12))
+    mesh = make_render_mesh(4, devices=jax.devices()[:8])  # 4 draws x 2 tiles
+    lowered = jax.jit(
+        render_frame_sharded,
+        static_argnames=("plan", "mesh_state", "ui_state", "mesh"),
+    ).lower(rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    hlo = lowered.compiler_ir(dialect="stablehlo")
+    txt = str(hlo)
+    assert "all_gather" not in txt and "all-gather" not in txt, (
+        "composite regressed to all_gather")
+    assert "all_reduce" in txt or "all-reduce" in txt or "reduce_scatter" in txt

@@ -3,9 +3,10 @@
 Sort-first + sort-last hybrid (see parallel/mesh.py): every device renders
 the draw subset of its ``draws`` coordinate into the framebuffer band of its
 ``tiles`` coordinate, then bands are composited across the ``draws`` axis by
-depth (an all_gather of band-sized buffers over ICI — the only collective in
-the frame).  Geometry/scene inputs are replicated; the output framebuffer is
-sharded over its row axis.
+depth — pmin/pmax/psum reductions over ICI whose per-device traffic is
+independent of the ``draws`` axis size (the depth resolve is associative, so
+it needs no gather).  Geometry/scene inputs are replicated; the output
+framebuffer is sharded over its row axis.
 
 Semantics note: the cross-device composite resolves depth ties
 lexicographically on (depth, global draw order) using the Frame.order map,
@@ -104,21 +105,34 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         # independent of which device a draw round-robined to
         from tyleri_tpu.pipeline.state import CompareOp
 
-        depths = jax.lax.all_gather(frame.depth, AXIS_DRAWS)   # [nd, bh, W]
-        colors = jax.lax.all_gather(frame.color, AXIS_DRAWS)   # [nd, bh, W, 4]
-        orders = jax.lax.all_gather(frame.order, AXIS_DRAWS)   # [nd, bh, W]
-        zmin = jnp.min(depths, axis=0)
+        # The reduction is associative, so express it as XLA reductions
+        # (pmin/pmax/psum ride efficient ring/tree schedules whose per-device
+        # traffic is ~2x the band size REGARDLESS of nd) instead of
+        # all_gathering 3 band buffers to every device (traffic and memory
+        # x nd).  depth >= 0, so its f32 bit pattern is order-preserving as
+        # i32 and pmin over the bits is the exact f32 depth min.
+        zbits = jax.lax.bitcast_convert_type(frame.depth, jnp.int32)
+        zbits_min = jax.lax.pmin(zbits, AXIS_DRAWS)            # [bh, W]
+        at_min = zbits == zbits_min
         if mesh_state.depth.compare_op == CompareOp.LESS:
-            okey = jnp.where(depths == zmin[None], orders, jnp.inf)
-            winner = jnp.argmin(okey, axis=0)
+            okey = jnp.where(at_min, frame.order, jnp.inf)
+            owin = jax.lax.pmin(okey, AXIS_DRAWS)
         else:
-            okey = jnp.where(depths == zmin[None], orders, -jnp.inf)
-            winner = jnp.argmax(okey, axis=0)
-        color = jnp.take_along_axis(
-            colors, winner[None, ..., None], axis=0
-        )[0]
-        depth = jnp.take_along_axis(depths, winner[None], axis=0)[0]
-        order = jnp.take_along_axis(orders, winner[None], axis=0)[0]
+            okey = jnp.where(at_min, frame.order, -jnp.inf)
+            owin = jax.lax.pmax(okey, AXIS_DRAWS)
+        win = at_min & (okey == owin)
+        # duplicated (depth, order) keys — e.g. the clear background, which
+        # every device shares — break to the lowest device index, matching
+        # the all_gather composite's argmin/argmax
+        owner = jax.lax.pmin(
+            jnp.where(win, di.astype(jnp.int32), jnp.int32(nd)), AXIS_DRAWS
+        )
+        mine = win & (di.astype(jnp.int32) == owner)
+        color = jax.lax.psum(
+            jnp.where(mine[..., None], frame.color, 0.0), AXIS_DRAWS
+        )
+        depth = jax.lax.bitcast_convert_type(zbits_min, jnp.float32)
+        order = owin
         bin_of = jax.lax.psum(frame.bin_overflow, (AXIS_DRAWS, AXIS_TILES))
         tile_of = jax.lax.psum(frame.tile_overflow, (AXIS_DRAWS, AXIS_TILES))
         clip_of = jax.lax.psum(frame.clip_overflow, (AXIS_DRAWS, AXIS_TILES))
@@ -133,6 +147,6 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         out_specs=(P(AXIS_TILES, None, None), P(AXIS_TILES, None),
                    P(AXIS_TILES, None), P(), P(), P(), P()),
         check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
-                          # all_gather composite; skip the static proof
+                          # pmin/psum composite; skip the static proof
     )
     return shard(*arrays)

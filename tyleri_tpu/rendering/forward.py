@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,12 @@ from tyleri_tpu.pipeline.state import PipelineState
 from tyleri_tpu.pipeline.ui_pipeline import UIPipeline
 from tyleri_tpu.rendering.function import Frame
 from tyleri_tpu.rendering.passes import RasterPlan, mesh_pass, ui_pass
+
+# Shared by every ForwardRenderingFunction instance: concurrent first
+# compiles from separate instances (one per window) race jax's persistent
+# compile-cache writer and can segfault — see the _record_lock comment in
+# __init__.  RLock so resize()/note_overflow() may nest inside record paths.
+_GLOBAL_RECORD_LOCK = threading.RLock()
 
 CLEAR_COLOR = (0.0, 0.0, 0.0, 0.0)  # ref: mod.rs:218-223
 CLEAR_DEPTH = 1.0                   # ref: mod.rs:224-229
@@ -368,10 +375,16 @@ class ForwardRenderingFunction:
         self._med_headroom = 1.0 / 64.0
         # record() mutates host state (plan growth, triangle-table cache);
         # DispatchQueue workers may run successive records on different
-        # threads, so serialize them here (the per-rf ordering guarantee)
-        import threading
-
-        self._record_lock = threading.RLock()
+        # threads, so serialize them here.  The lock is PROCESS-WIDE, not
+        # per-instance: two RenderWindows sharing one device record on two
+        # DispatchQueue worker threads, and concurrent FIRST compiles
+        # (jit tracing in record) race jax's persistent compile-cache
+        # writer (zstd, jax/_src/compilation_cache.py put_executable_and_time)
+        # and segfault the process.  jax owns that thread-safety bug, but we
+        # choose to compile on worker threads, so we own the workaround.
+        # Post-compile the serialized section is host-side only (~ms);
+        # device execution remains async and overlapped across windows.
+        self._record_lock = _GLOBAL_RECORD_LOCK
         # adaptive near-clip skip: after this many consecutive
         # crossing-free frames the plan drops the full clip machinery;
         # any reported crossing re-enables it for the NEXT frame and
