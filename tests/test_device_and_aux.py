@@ -109,3 +109,103 @@ def test_cap_growth_policy():
     # monotone: never below floor
     assert _cap_growth(100, 1 << 18, 65536) == 65536
     assert _next_pow2(5, 4) == 8
+
+
+def test_pipeline_cache_bytes_round_trip(tmp_path):
+    """The reference seeds a VkPipelineCache from bytes and exports it with
+    get_pipeline_cache_data (builders.rs:321-331); the TPU analog must round
+    trip actual cache CONTENTS through bytes, not just share a directory."""
+    from tyleri_tpu.device.pipeline_cache import PipelineCache
+
+    src_dir = tmp_path / "cache_a"
+    src_dir.mkdir()
+    (src_dir / "jit__frame-abc123").write_bytes(b"\x28\xb5\x2f\xfdfake-exe")
+    (src_dir / "sub").mkdir()
+    (src_dir / "sub" / "entry").write_bytes(b"nested")
+    src = PipelineCache(str(src_dir))
+    blob = src.get_data()
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+    seeded = PipelineCache(seed=blob)  # fresh directory, contents restored
+    assert seeded.enabled
+    assert seeded.directory != str(src_dir)
+    import os
+
+    with open(os.path.join(seeded.directory, "jit__frame-abc123"), "rb") as f:
+        assert f.read() == b"\x28\xb5\x2f\xfdfake-exe"
+    with open(os.path.join(seeded.directory, "sub", "entry"), "rb") as f:
+        assert f.read() == b"nested"
+    # corrupt seed fails open (device creation must never die on the cache)
+    bad = PipelineCache(seed=b"not a zip")
+    assert not bad.enabled
+
+    # builder surface: bytes seed accepted end-to-end
+    import tyleri_tpu as ty
+
+    dev = ty.RenderDeviceBuilder().pipeline_cache_data(blob).build()
+    assert dev.pipeline_cache.enabled
+    # restore the suite's shared cache dir (PipelineCache redirects the
+    # process-global jax setting)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+
+def test_anisotropic_sampling_filters_along_major_axis():
+    """max_sampler_anisotropy engages real footprint filtering (ref
+    builders.rs:300-320): a pixel whose footprint spans several texels in u
+    must average them; a sub-texel footprint must reproduce bilinear."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tyleri_tpu.ops.sampling import (
+        make_texel_quads, sample_anisotropic, sample_bilinear)
+
+    W = H = 8
+    # vertical stripes: column parity
+    tex = np.zeros((W * H, 4), np.float32)
+    cols = (np.arange(W * H) % W) % 2
+    tex[:, :3] = cols[:, None]
+    tex[:, 3] = 1.0
+    quads = jnp.asarray(make_texel_quads(tex, [0], [W], [H]))
+    off = jnp.asarray([0], jnp.int32)
+    tw = jnp.asarray([W], jnp.int32)
+    th = jnp.asarray([H], jnp.int32)
+    tid = jnp.zeros((1,), jnp.int32)
+    # texel center of a WHITE column (odd), mid height
+    u = jnp.asarray([(1 + 0.5) / W], jnp.float32)
+    v = jnp.asarray([0.5], jnp.float32)
+    z = jnp.zeros_like(u)
+    bil = sample_bilinear(quads, off, tw, th, tid, u, v)
+    assert float(bil[0, 0]) > 0.9
+    # footprint 6 texels wide in u -> averages ~half black, half white
+    wide = sample_anisotropic(quads, off, tw, th, tid, u, v,
+                              jnp.full_like(u, 6.0 / W), z, z, z, taps=8)
+    assert 0.3 < float(wide[0, 0]) < 0.7, float(wide[0, 0])
+    # sub-texel footprint -> collapses onto bilinear
+    tiny = sample_anisotropic(quads, off, tw, th, tid, u, v,
+                              jnp.full_like(u, 1e-5), z, z, jnp.full_like(u, 1e-5),
+                              taps=8)
+    np.testing.assert_allclose(np.asarray(tiny), np.asarray(bil), atol=1e-3)
+
+
+def test_anisotropy_engages_in_frame_loop():
+    """Builder anisotropy must reach the deferred shade via the plan and
+    still render correct geometry end-to-end."""
+    import numpy as np
+
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.window.render_window import RenderWindow
+
+    dev = ty.RenderDeviceBuilder().max_sampler_anisotropy(4.0).build()
+    rig = scenelib.config2_cube(dev, (64, 64))
+    win = RenderWindow(dev, resolution=(64, 64))
+    assert win.rendering_function.plan.raster.aniso_taps == 4
+    for f in range(2):
+        rig.fill(win.get_render_scene(), 0.2 * f)
+        win.render()
+    img = win.flush()
+    assert (img[..., :3].max(axis=-1) > 0).sum() > 100

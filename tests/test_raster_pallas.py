@@ -388,7 +388,9 @@ def occlusion_scene(rng, n_far=96):
 
 
 @pytest.mark.parametrize("kw", [dict(exit_lag2=True),
-                                dict(exit_while=True)])
+                                dict(exit_while=True),
+                                dict(noexit=True),
+                                dict(noexit=True, packed_entries=True)])
 def test_pallas_exit_variants_match_xla(kw):
     """plan.exit_lag2 (threshold published one chunk late) and
     plan.exit_while (while-loop chunk structure) are pure scheduling

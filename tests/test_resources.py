@@ -151,19 +151,29 @@ def test_texture_arena_reclamation():
     assert int(ws[d.slot]) == 1
 
 
-def test_present_to_validates_surface_support():
+def test_present_to_validates_surface_support(monkeypatch):
     from tyleri_tpu.device.builders import DeviceSelectionError
     from tyleri_tpu.window.render_window import WindowHandle
 
-    # headless + well-formed OS handles pass
-    dev = (ty.RenderDeviceBuilder()
-           .present_to(WindowHandle())
-           .present_to(WindowHandle(window=42, display=1))
-           .build())
+    # headless handles always pass (host-copy present)
+    dev = ty.RenderDeviceBuilder().present_to(WindowHandle()).build()
     assert dev is not None
-    # nonsense handle rejected at build()
     import pytest
 
+    # an OS window handle in a headless process is REFUSED at build():
+    # there is no windowing system to present the host copy to (the
+    # surface-support query can actually say no, ref builders.rs:185-221)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    with pytest.raises(DeviceSelectionError):
+        (ty.RenderDeviceBuilder()
+         .present_to(WindowHandle(window=42, display=1)).build())
+    # with a windowing system present, the same handle passes
+    monkeypatch.setenv("DISPLAY", ":0")
+    dev2 = (ty.RenderDeviceBuilder()
+            .present_to(WindowHandle(window=42, display=1)).build())
+    assert dev2 is not None
+    # nonsense handle rejected at build() regardless of environment
     with pytest.raises(DeviceSelectionError):
         ty.RenderDeviceBuilder().present_to(WindowHandle(window=-5)).build()
     # and again at window creation (ref: render_window.rs:62-75)

@@ -19,7 +19,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_CELLS",
-         "TYLERI_DYNROLL", "TYLERI_TPP", "TYLERI_SUBLANE")
+         "TYLERI_DYNROLL", "TYLERI_TPP", "TYLERI_SUBLANE", "TYLERI_NOEXIT")
 COMBOS = {
     "base": {},
     "packed": {"TYLERI_PACKED": "1"},
@@ -40,6 +40,8 @@ COMBOS = {
     "cells+tpp4": {"TYLERI_CELLS": "1", "TYLERI_TPP": "4"},
     "sublane": {"TYLERI_SUBLANE": "1"},
     "sublane+tpp4": {"TYLERI_SUBLANE": "1", "TYLERI_TPP": "4"},
+    "noexit": {"TYLERI_NOEXIT": "1"},
+    "noexit+packed": {"TYLERI_NOEXIT": "1", "TYLERI_PACKED": "1"},
 }
 
 

@@ -1,0 +1,81 @@
+"""Round-4: price the production-loop overhead vs the fused frame program
+with the HONEST two-point method (diag_window_slow's single-window numbers
+carry the whole end-fence constant, misleading under a degraded tunnel).
+
+Rows (each a bench.bench_rig two-point slope on config5):
+  A. production                  (stats drain + fused present quantize)
+  B. stats reporting disabled    (isolates the stats device_get path)
+  C. stats off + present_u8 off  (isolates the fused quantize)
+  D. stats off + device-put blob pre-staged is not separable here; see
+     exp_fixedcost for transfer latency.
+
+    python tools/exp_loop_overhead.py [frames]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+    import jax
+
+    import bench
+    import tyleri_tpu as ty
+    from tyleri_tpu.models import scenes as scenelib
+    from tyleri_tpu.window import render_window as rw
+
+    device = ty.RenderDeviceBuilder().build()
+    print("devices:", jax.devices(), flush=True)
+    rig = scenelib.config5_sponza(device)
+    print("scene:", rig.name, "tris:", rig.triangle_count, flush=True)
+
+    orig_stats = rw.RenderWindow._report_frames_stats
+
+    def row(label):
+        t0 = time.perf_counter()
+        res = bench.bench_rig(device, rig, warmup=8, frames=frames,
+                              budget_s=1e9)
+        print(f"[{label:>28}] fps={res['fps']:7.2f} "
+              f"frame={1e3 / max(res['fps'], 1e-9):7.2f} ms "
+              f"(wall {time.perf_counter() - t0:.0f}s)", flush=True)
+        return res
+
+    row("production")
+
+    rw.RenderWindow._report_frames_stats = lambda self, d, fs: None
+    row("no stats")
+
+    # no stats + unfused present (present_u8 None -> quantize as a separate
+    # launch in the done-callback; isolates the fused quantize's cost)
+    patched = {}
+
+    class _NoU8Window(rw.RenderWindow):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            import dataclasses as _dc
+
+            self.rendering_function.plan = _dc.replace(
+                self.rendering_function.plan, present_u8=None)
+
+    patched["cls"] = rw.RenderWindow
+    try:
+        bench_rw = bench.bench_rig.__globals__  # patch the symbol bench uses
+        import tyleri_tpu.window.render_window as rwmod
+
+        rwmod_Render = rwmod.RenderWindow
+        rwmod.RenderWindow = _NoU8Window
+        row("no stats, unfused quantize")
+    finally:
+        rwmod.RenderWindow = patched["cls"]
+        rw.RenderWindow._report_frames_stats = orig_stats
+
+
+if __name__ == "__main__":
+    main()

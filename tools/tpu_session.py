@@ -152,6 +152,8 @@ def variant_compile_probe():
             kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
         if env.get("TYLERI_SUBLANE"):
             kw["sublane"] = True
+        if env.get("TYLERI_NOEXIT"):
+            kw["noexit"] = True
         return kw
 
     for name, env in ab_flags.COMBOS.items():

@@ -78,6 +78,7 @@ class RenderDeviceBuilder:
         self._depth_format = DEFAULT_DEPTH_FORMAT
         self._anisotropy = None
         self._pipeline_cache_dir = None
+        self._pipeline_cache_seed = None
         self._windows = []
         self._queue_pool_size = 4
         self._debug_callback = None
@@ -112,10 +113,16 @@ class RenderDeviceBuilder:
         self._anisotropy = value
         return self
 
-    def pipeline_cache_data(self, directory: str):
-        """Seed the pipeline cache (ref: builders.rs:85-88). On TPU the seed
-        is a persistent compilation-cache directory rather than bytes."""
-        self._pipeline_cache_dir = directory
+    def pipeline_cache_data(self, data):
+        """Seed the pipeline cache (ref: builders.rs:85-88,321-331).
+        Accepts either serialized cache ``bytes`` from a previous device's
+        ``pipeline_cache.get_data()`` (the VkPipelineCache Vec<u8>
+        semantics — contents are unpacked into a fresh cache directory) or
+        a persistent compilation-cache directory path."""
+        if isinstance(data, (bytes, bytearray)):
+            self._pipeline_cache_seed = bytes(data)
+        else:
+            self._pipeline_cache_dir = data
         return self
 
     def present_to(self, window_handle):
@@ -128,17 +135,28 @@ class RenderDeviceBuilder:
 
     @staticmethod
     def _supports_presentation(device, handle) -> bool:
-        """Surface-support analog: headless handles (window/display None)
-        always present (host copy); OS handles must be well-formed ints.
-        The reference asks Vulkan per queue family x window
-        (builders.rs:185-221); the TPU presents by device->host copy, so
-        support reduces to handle validity."""
+        """Surface-support analog (the reference asks Vulkan per queue
+        family x window, builders.rs:185-221).  The TPU presents by
+        device->host copy, so support decomposes into (a) handle validity
+        (OS handles must be well-formed ints) and (b) an actual capability
+        query: a handle that names an OS window/display needs a windowing
+        system on the host to hand the copied pixels to — in a headless
+        process (no DISPLAY / WAYLAND_DISPLAY) that surface cannot be
+        presented to and the check FAILS, exactly like
+        vkGetPhysicalDeviceSurfaceSupportKHR returning false.  Headless
+        handles (both fields None) always present (host copy only)."""
+        import os
+
         window = getattr(handle, "window", None)
         display = getattr(handle, "display", None)
         for field in (window, display):
             if field is not None and (not isinstance(field, int) or field < 0):
                 return False
-        return True
+        if window is None and display is None:
+            return True
+        return bool(
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+        )
 
     def queue_pool_size(self, n: int):
         self._queue_pool_size = n
@@ -187,7 +205,8 @@ class RenderDeviceBuilder:
             # validation off: swallow everything below a crash
             messenger.emit = lambda *a, **k: None  # type: ignore[assignment]
 
-        cache = PipelineCache(self._pipeline_cache_dir)
+        cache = PipelineCache(self._pipeline_cache_dir,
+                              seed=self._pipeline_cache_seed)
 
         return RenderDevice(
             device,

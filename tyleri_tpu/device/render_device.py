@@ -95,21 +95,23 @@ class RenderDevice:
         self.device = device
         self.depth_format = depth_format
         # Single shared sampler: linear, mirrored-repeat, optional anisotropy
-        # (ref: builders.rs:300-320). No mips exist, so anisotropy is stored
-        # for API parity but does not change sampling.
+        # (ref: builders.rs:300-320).  Anisotropy > 1 engages the
+        # footprint-filtered deferred shade (ops/sampling.py
+        # sample_anisotropic): N bilinear taps along the pixel footprint's
+        # major axis, derivatives from GPU-style 2x2 quad differencing of
+        # the interpolated attribute maps.  Exact mode keeps the plain
+        # bilinear fragment loop — surfaced through the validation layer.
         self.sampler_anisotropy = sampler_anisotropy
         self.pipeline_cache = pipeline_cache or PipelineCache()
         self.debug_messenger = debug_messenger or DebugMessenger()
         if sampler_anisotropy:
-            # VERDICT r2: a declared parameter must not be a SILENT no-op —
-            # surface the limitation through the validation layer
             self.debug_messenger.emit(
                 debug.Severity.INFO,
-                "sampler-anisotropy-noop",
-                f"sampler_anisotropy={sampler_anisotropy} accepted for API "
-                "parity, but the texel arena has no mip chain, so "
-                "anisotropic filtering does not change sampling "
-                "(the reference applies it only under minification)",
+                "sampler-anisotropy",
+                f"sampler_anisotropy={sampler_anisotropy}: deferred shade "
+                f"samples {max(2, min(int(round(float(sampler_anisotropy))), 16))} "
+                "footprint taps per pixel (visibility paths; exact mode "
+                "stays bilinear)",
                 debug.MessageType.PERFORMANCE,
             )
         self.memory_allocator = MemoryAllocator(device)

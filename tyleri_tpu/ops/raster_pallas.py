@@ -123,6 +123,13 @@ def _visibility_kernel(
                               # sequentially per grid program: divides the
                               # per-program fixed cost (prologue, output
                               # pipeline) without changing per-entry work
+    noexit: bool = False,     # drop the front-to-back early-exit gate
+                              # entirely (no per-chunk zmin scalar read, no
+                              # tile-zmax vector->scalar reduce): at high
+                              # winner density the gate's serialization can
+                              # cost more than the skipped entries save
+                              # (round-3 standalone: exit-free 43.8 ms vs
+                              # production 47.6 on the same table)
 ):
     if debug_counts:
         nvis_ref, *scr = rest
@@ -364,21 +371,27 @@ def _visibility_kernel(
                 dma_wait(slot, k)
 
             s = chunk_slice(k)
-            # first UNPROCESSED entry of this window (clamped windows re-cover
-            # processed entries whose smaller zmin only makes the gate more
-            # conservative); ascending zmin makes it the window's live min
-            idx0 = jnp.maximum(start - s, 0)
-            if packed and dynroll:
-                zmin0 = zsm[slot, 0,
-                            24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
-            elif packed:
-                zmin0 = ebuf[slot, idx0 // PACK,
-                             24 * jax.lax.rem(idx0, PACK) + S.CH_ZMIN] * inv_q
-            elif dynroll:
-                zmin0 = zsm[slot, 0, S.CH_ZMIN] * inv_q
+            if noexit:
+                proceed = alive
             else:
-                zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
-            proceed = alive & (zmin0 <= thresh)
+                # first UNPROCESSED entry of this window (clamped windows
+                # re-cover processed entries whose smaller zmin only makes
+                # the gate more conservative); ascending zmin makes it the
+                # window's live min
+                idx0 = jnp.maximum(start - s, 0)
+                if packed and dynroll:
+                    zmin0 = zsm[slot, 0,
+                                24 * jax.lax.rem(idx0, PACK)
+                                + S.CH_ZMIN] * inv_q
+                elif packed:
+                    zmin0 = ebuf[slot, idx0 // PACK,
+                                 24 * jax.lax.rem(idx0, PACK)
+                                 + S.CH_ZMIN] * inv_q
+                elif dynroll:
+                    zmin0 = zsm[slot, 0, S.CH_ZMIN] * inv_q
+                else:
+                    zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+                proceed = alive & (zmin0 <= thresh)
 
             @pl.when(proceed & (k + 1 < nchunks))
             def _():
@@ -433,6 +446,10 @@ def _visibility_kernel(
             # while structure's cond terminates; for the fori structure the
             # extra term is inert (iteration k+1 only runs when it holds)
             alive2 = proceed & (k + 1 < nchunks)
+            if noexit:
+                # no threshold maintenance at all: the gate never fires, so
+                # the per-chunk tile-zmax vector->scalar reduce is dead work
+                return state, thresh, thresh1, alive2, nvis
             if lag2:
                 # publish this chunk's zmax one boundary LATE: the gate for
                 # chunk k+1 uses the (still-valid, looser) bound from k-1, so
@@ -502,7 +519,7 @@ def _visibility_kernel(
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
         "chunk", "depth_state", "interpret", "debug_counts", "packed",
-        "lag2", "exit_while", "dynroll", "tiles_per_prog",
+        "lag2", "exit_while", "dynroll", "tiles_per_prog", "noexit",
     ),
 )
 def rasterize_visibility_pallas(
@@ -525,6 +542,7 @@ def rasterize_visibility_pallas(
     exit_while: bool = False,
     dynroll: bool = False,
     tiles_per_prog: int = 1,
+    noexit: bool = False,
 ):
     """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
 
@@ -582,7 +600,7 @@ def rasterize_visibility_pallas(
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
         exit_while=exit_while, dynroll=dynroll,
-        tiles_per_prog=tiles_per_prog,
+        tiles_per_prog=tiles_per_prog, noexit=noexit,
     )
 
     tpp = tiles_per_prog

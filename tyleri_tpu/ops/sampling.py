@@ -45,6 +45,58 @@ def make_texel_quads(texels, offsets, widths, heights):
     return np.concatenate([pairs, pairs[row2]], axis=1)     # [cap, 16]
 
 
+def quad_derivatives(f):
+    """GPU-style 2x2 fragment-quad derivatives (dFdx, dFdy).
+
+    Within each screen-aligned 2x2 quad all four pixels share the quad's
+    forward differences — the Vulkan fragment-quad semantics behind
+    implicit-LOD sampling.  Odd framebuffer edges replicate (clamp).
+    f: [H, W] -> (dfdx, dfdy), same shape.  Pure elementwise/reshape work:
+    the TPU pays no gathers for derivative computation.
+    """
+    H, W = f.shape[-2:]
+    fp = jnp.pad(f, ((0, H % 2), (0, W % 2)), mode="edge")
+    Hp, Wp = fp.shape
+    q = fp.reshape(Hp // 2, 2, Wp // 2, 2)
+    dx = jnp.broadcast_to(q[:, :, :, 1:2] - q[:, :, :, 0:1], q.shape)
+    dy = jnp.broadcast_to(q[:, 1:2, :, :] - q[:, 0:1, :, :], q.shape)
+    return (dx.reshape(Hp, Wp)[:H, :W], dy.reshape(Hp, Wp)[:H, :W])
+
+
+def sample_anisotropic(texel_quads, tex_offset, tex_width, tex_height,
+                       tex_id, u, v, dudx, dvdx, dudy, dvdy, *, taps: int):
+    """Anisotropic mirrored-repeat sample: ``taps`` bilinear taps spread
+    along the major footprint axis (the sampler's max_sampler_anisotropy,
+    ref: src/render_device/builders.rs:300-320).
+
+    The screen-space UV derivatives define the pixel's footprint in texel
+    space; the filter integrates along its longer axis.  There is no mip
+    chain, so the spread is clamped to ``taps`` texels (the maxLod-clamp
+    analog — bounds smearing from quad-boundary derivative noise exactly
+    where a GPU's coarsest mip would).  Magnified pixels have sub-texel
+    footprints, so the taps collapse onto the bilinear result.
+    """
+    tid = jnp.clip(tex_id, 0, tex_offset.shape[0] - 1)
+    w = jnp.maximum(tex_width[tid], 1).astype(jnp.float32)
+    h = jnp.maximum(tex_height[tid], 1).astype(jnp.float32)
+    lx = (dudx * w) ** 2 + (dvdx * h) ** 2
+    ly = (dudy * w) ** 2 + (dvdy * h) ** 2
+    use_x = lx >= ly
+    mu = jnp.where(use_x, dudx, dudy)
+    mv = jnp.where(use_x, dvdx, dvdy)
+    lmaj = jnp.sqrt(jnp.maximum(lx, ly))
+    scale = jnp.where(lmaj > taps, taps / jnp.maximum(lmaj, 1e-30), 1.0)
+    mu = mu * scale
+    mv = mv * scale
+    acc = None
+    for i in range(taps):
+        t = (i + 0.5) / taps - 0.5
+        s = sample_bilinear(texel_quads, tex_offset, tex_width, tex_height,
+                            tex_id, u + mu * t, v + mv * t)
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
 def sample_bilinear(texel_quads, tex_offset, tex_width, tex_height, tex_id, u, v):
     """Bilinear mirrored-repeat sample from the QUAD arena.
 

@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from tyleri_tpu.ops.blend import apply_blend
-from tyleri_tpu.ops.sampling import sample_bilinear
+from tyleri_tpu.ops.sampling import (
+    quad_derivatives,
+    sample_anisotropic,
+    sample_bilinear,
+)
 from tyleri_tpu.pipeline.state import BlendState
 
 
@@ -68,13 +72,33 @@ def shade_visibility(
     dst_color,      # f32 [H, W, 4] framebuffer to blend into
     lit=None,       # optional (nw_planes [E+B, 12], light [12], inv_vp
                     # [4,4], eye [3], viewport [6]) — Blinn-Phong path
+    aniso_taps=0,   # sampler anisotropy (builders.rs:300-320): >1 engages
+                    # footprint-filtered sampling with this many taps
 ):
     valid = vis.owner >= 0
     denom = jnp.where(vis.iw == 0, 1.0, vis.iw)
     u = vis.uw / denom
     v = vis.vw / denom
-    src = sample_bilinear(texels, tex_offset, tex_width, tex_height,
-                          vis.tex, u, v)
+    if aniso_taps and aniso_taps > 1:
+        # screen-space UV derivatives from the interpolated attribute maps
+        # by 2x2 quad differencing — the same implicit-derivative scheme a
+        # GPU fragment quad uses (perspective quotient rule on the
+        # plane-interpolated u*w', v*w', 1/w maps; owner-boundary quads get
+        # the same cross-edge noise GPU helper lanes do, bounded by the
+        # spread clamp in sample_anisotropic)
+        duw_dx, duw_dy = quad_derivatives(vis.uw)
+        dvw_dx, dvw_dy = quad_derivatives(vis.vw)
+        diw_dx, diw_dy = quad_derivatives(vis.iw)
+        dudx = (duw_dx - u * diw_dx) / denom
+        dudy = (duw_dy - u * diw_dy) / denom
+        dvdx = (dvw_dx - v * diw_dx) / denom
+        dvdy = (dvw_dy - v * diw_dy) / denom
+        src = sample_anisotropic(
+            texels, tex_offset, tex_width, tex_height, vis.tex, u, v,
+            dudx, dvdx, dudy, dvdy, taps=int(aniso_taps))
+    else:
+        src = sample_bilinear(texels, tex_offset, tex_width, tex_height,
+                              vis.tex, u, v)
     if lit is not None:
         nw_planes, light, inv_vp, eye, viewport = lit
         H, W = vis.owner.shape

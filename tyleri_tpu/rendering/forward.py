@@ -356,9 +356,15 @@ class ForwardRenderingFunction:
             self.ui_pipeline.state.depth, format=render_device.depth_format
         )
         self.ui_state = dataclasses.replace(self.ui_pipeline.state, depth=uds)
-        self.plan = FramePlan(
-            raster=RasterPlan.for_scene(w, h, 1 << 12, exact=exact)
-        )
+        raster = RasterPlan.for_scene(w, h, 1 << 12, exact=exact)
+        # the device's shared sampler (builders.rs:300-320): anisotropy > 1
+        # engages the footprint-filtered deferred shade (ops/sampling.py)
+        aniso = getattr(render_device, "sampler_anisotropy", None)
+        if aniso and float(aniso) > 1.0 and not exact:
+            raster = dataclasses.replace(
+                raster, aniso_taps=max(2, min(int(round(float(aniso))), 16))
+            )
+        self.plan = FramePlan(raster=raster)
         # occupancy-aware entry capacity: start tight (measured ~1.1
         # entries/tri on 16-row tiles for 1M-tri scenes) and grow on
         # REPORTED bin overflow (note_overflow) — binning's sort/gather

@@ -87,6 +87,11 @@ class RasterPlan:
     # scalar loads per entry; composes with packed_entries (one [1,128]
     # slice then serves PACK entries at static lane offsets)
     dynroll: bool = False
+    # drop the front-to-back early-exit gate: no per-chunk zmin scalar
+    # read, no tile-zmax vector->scalar reduce.  At high winner density
+    # the gate's per-chunk serialization can cost more than the skipped
+    # entries save (round-3 standalone: exit-free 43.8 ms vs 47.6)
+    noexit: bool = False
     # vertically-adjacent tiles resolved per grid program (divides the
     # per-program fixed cost — measured ~10 us/program on empty segments);
     # must divide grid_h or it silently falls back to 1
@@ -110,6 +115,13 @@ class RasterPlan:
     # the Pallas backend and tile_w == 128; incompatible with
     # packed_entries/dynroll (different chunk layouts).
     sublane: bool = False
+    # sampler anisotropy (builders.rs:300-320 max_sampler_anisotropy): >1
+    # engages footprint-filtered sampling in the deferred shade with this
+    # many bilinear taps along the footprint's major axis.  Set from
+    # RenderDevice.sampler_anisotropy; 0/1 = plain bilinear (the default
+    # sampler).  Applies to the visibility paths; exact mode keeps the
+    # per-triangle bilinear fragment loop.
+    aniso_taps: int = 0
     med_cap: int = 1 << 13        # compacted medium-triangle rows
     med_entry_cap: int = 1 << 15  # medium (tile, triangle) entries
     med_spill_cap: int = 1 << 14  # spill bound for the medium expansion
@@ -165,6 +177,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_TPP"):
             kw.setdefault("tiles_per_prog",
                           max(int(os.environ["TYLERI_TPP"]), 1))
+        if os.environ.get("TYLERI_NOEXIT"):
+            kw.setdefault("noexit",
+                          os.environ["TYLERI_NOEXIT"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -472,6 +487,7 @@ def _raster_binned(
             lag2=bool(plan.exit_lag2),
             exit_while=bool(plan.exit_while),
             dynroll=bool(plan.dynroll),
+            noexit=bool(plan.noexit),
             tiles_per_prog=(plan.tiles_per_prog
                             if plan.grid_h % plan.tiles_per_prog == 0
                             else 1),
@@ -492,7 +508,7 @@ def _raster_binned(
         lit = (combined, light, inv_vp, eye, viewport)
     color = shade_visibility(
         vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
-        lit=lit,
+        lit=lit, aniso_taps=plan.aniso_taps,
     )
     depth = vis.depth if state.depth.write_enable else depth
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
@@ -571,7 +587,7 @@ def _raster_cells(
         lit = (combined, light, inv_vp, eye, viewport)
     color = shade_visibility(
         vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
-        lit=lit,
+        lit=lit, aniso_taps=plan.aniso_taps,
     )
     depth = vis.depth if state.depth.write_enable else depth
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
