@@ -28,3 +28,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# jax's cache writer is not atomic; concurrent processes sharing .jax_cache
+# (a TPU bench next to a CPU test run) can tear entries.  Harden it.
+from tyleri_tpu.utils.cache_hardening import install as _harden_cache  # noqa: E402
+
+_harden_cache()

@@ -262,41 +262,6 @@ def test_sharded_exact_mode_matches_single_chip():
         assert badc < 0.01, f"layout {layout}: {badc:.3%} color pixels differ"
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
-def test_sharded_cells_mode_matches_single_chip():
-    """TYLERI_CELLS composes with band sharding: band plans inherit the
-    cells formulation (fragment-centric kernel, interpret mode on CPU).
-    Bands of one (16, 128)-px tile row each; pixels must match the
-    single-chip cells frame within the band-local rounding budget."""
-    import dataclasses
-
-    res = (128, 64)  # tile_w=128, 4 bands x 16 rows
-    dev = ty.RenderDeviceBuilder().build()
-    rig = scenelib.config2_cube(dev, res)
-    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(res))
-    scene = RenderScene()
-    rig.fill(scene, 0.6)
-    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, res)
-    plan = dataclasses.replace(
-        rf.plan,
-        raster=dataclasses.replace(
-            rf.plan.raster, tile_w=128, tile_h=16, chunk=128,
-            entry_cap=2048, spill_cap=1024, med_entry_cap=512,
-            med_spill_cap=512, med_cap=128,
-            pallas=True, cells=True),
-    )
-    from tyleri_tpu.rendering.passes import _use_cells
-
-    assert _use_cells(plan.raster, rf.mesh_state), "cells envelope must hold"
-    frame = _render_frame(plan, rf.mesh_state, rf.ui_state, *arrays)
-    want_c, want_d = np.asarray(frame.color), np.asarray(frame.depth)
-    assert (want_d < 1.0).sum() > 100, "scene must cover pixels"
-
-    mesh = make_render_mesh(1, devices=jax.devices()[:4])  # 4 tile bands
-    color, depth, *_ = render_frame_sharded(
-        plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
-    np.testing.assert_allclose(np.asarray(color), want_c, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(depth), want_d, atol=1.6e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

@@ -121,108 +121,6 @@ def test_fused_setup_draw_mod_mask():
     assert not (part0 & part1).any()
     np.testing.assert_array_equal(part0, full & (draw % 2 == 0))
 
-
-def test_fused_setup_cells_dual_packing():
-    """Cells mode: narrow triangles carry their exact CELL bbox; triangles
-    spanning > 32 cells carry a synthetic whole-tile bbox that (a) stays
-    medium-classified and (b) floor-divides to the exact tile bbox."""
-    rng = np.random.default_rng(12)
-    T, D = 600, 3
-    corner, draw, tex, valid, mvps = rand_scene(rng, T, D, behind_frac=0.05)
-    # shrink most triangles to cell scale, blow up a slice past 32 cells
-    center = corner[:, :1, :2].copy()
-    corner[..., :2] = center + (corner[..., :2] - center) * 0.12
-    corner[50:90, :, :2] = center[50:90] + (
-        corner[50:90, :, :2] - center[50:90]) * 40.0
-    FBW, FBH = 256, 64
-    ctx, cty = 8, 2                      # (16,8) cells in (128,16) tiles
-    CGW, CGH = FBW // 16, FBH // 8
-    viewport = jnp.asarray([0, 0, FBW, FBH, 0, 1], jnp.float32)
-    scissor = jnp.asarray([0, 0, FBW, FBH], jnp.int32)
-    corner18 = build_corner18(
-        jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
-        jnp.asarray(valid))
-    su_f, crossings = fused_setup(
-        corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
-        viewport, scissor,
-        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, draw_cap=D,
-        interpret=True, cells_tx=ctx, cells_ty=cty)
-
-    h = np.concatenate([corner[..., :3], np.ones((T, 3, 1), np.float32)],
-                       axis=-1)
-    clip = np.einsum("tij,tcj->tci", mvps[draw], h)
-    ct = near_cull_triangles(
-        jnp.asarray(clip), jnp.asarray(corner[..., 3:5]),
-        jnp.asarray(tex), jnp.asarray(valid), extra_cap=0)
-    su_r = setup_triangles(
-        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
-        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, order=ct.order)
-
-    vf = np.asarray(su_f.valid)[:T]
-    vr = np.asarray(su_r.valid)[:T]
-    np.testing.assert_array_equal(vf, vr)
-    lo_f = np.asarray(su_f.tile_lo)[:T]
-    hi_f = np.asarray(su_f.tile_hi)[:T]
-    lo_r = np.asarray(su_r.tile_lo)
-    hi_r = np.asarray(su_r.tile_hi)
-    cover_r = ((hi_r[:, 0] - lo_r[:, 0] + 1)
-               * (hi_r[:, 1] - lo_r[:, 1] + 1))
-    narrow = vr & (cover_r <= 32)
-    med = vr & (cover_r > 32)
-    assert med.sum() > 10 and narrow.sum() > 100
-    np.testing.assert_array_equal(lo_f[narrow], lo_r[narrow])
-    np.testing.assert_array_equal(hi_f[narrow], hi_r[narrow])
-    # mediums: synthetic bbox stays medium and gives the exact tile bbox
-    cover_f = ((hi_f[:, 0] - lo_f[:, 0] + 1)
-               * (hi_f[:, 1] - lo_f[:, 1] + 1))
-    assert (cover_f[med] > 32).all()
-    steps = np.array([ctx, cty])
-    np.testing.assert_array_equal(lo_f[med] // steps, lo_r[med] // steps)
-    np.testing.assert_array_equal(hi_f[med] // steps, hi_r[med] // steps)
-
-
-def test_fused_setup_cells_offscreen_spans():
-    """Regression: when the padded cell grid extends past the scissor
-    (every 1080p-style frame), off-screen triangles get x0 > x1 after the
-    clamp; a negative span must NOT smear sign bits over the packed
-    valid/crossed flags."""
-    rng = np.random.default_rng(21)
-    T, D = 300, 2
-    corner, draw, tex, valid, mvps = rand_scene(rng, T, D)
-    # push a slice fully below the bottom scissor edge (NDC y > 1)
-    corner[:80, :, 1] = rng.uniform(1.6, 2.5, (80, 3))
-    FBW, FBH = 250, 60                      # grid covers 256 x 64
-    CGW, CGH = 16, 8
-    viewport = jnp.asarray([0, 0, FBW, FBH, 0, 1], jnp.float32)
-    scissor = jnp.asarray([0, 0, FBW, FBH], jnp.int32)
-    corner18 = build_corner18(
-        jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
-        jnp.asarray(valid))
-    su_f, crossings = fused_setup(
-        corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
-        viewport, scissor,
-        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, draw_cap=D,
-        interpret=True, cells_tx=8, cells_ty=2)
-
-    h = np.concatenate([corner[..., :3], np.ones((T, 3, 1), np.float32)],
-                       axis=-1)
-    clip = np.einsum("tij,tcj->tci", mvps[draw], h)
-    ct = near_cull_triangles(
-        jnp.asarray(clip), jnp.asarray(corner[..., 3:5]),
-        jnp.asarray(tex), jnp.asarray(valid), extra_cap=0)
-    su_r = setup_triangles(
-        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
-        tile_w=16, tile_h=8, grid_w=CGW, grid_h=CGH, order=ct.order)
-
-    vf = np.asarray(su_f.valid)[:T]
-    vr = np.asarray(su_r.valid)
-    # pre-fix, sign bits from negative spans turned off-screen rows into
-    # valid=True with garbage medium bboxes and spurious crossed bits
-    np.testing.assert_array_equal(vf, vr)
-    assert (~vf[:80]).sum() > 40             # the slice is mostly culled
-    assert int(crossings) == int(ct.crossings)
-
-
 def test_use_fused_setup_gating():
     good = RasterPlan(fb_w=256, fb_h=128, tile_w=64, tile_h=16,
                       near_clip=False, fused_setup=True)

@@ -18,8 +18,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_CELLS",
-         "TYLERI_DYNROLL", "TYLERI_TPP", "TYLERI_SUBLANE", "TYLERI_NOEXIT")
+KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE",
+         "TYLERI_DYNROLL", "TYLERI_TPP", "TYLERI_NOEXIT")
 COMBOS = {
     "base": {},
     "packed": {"TYLERI_PACKED": "1"},
@@ -27,19 +27,10 @@ COMBOS = {
     "packed+while": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1"},
     "lag2": {"TYLERI_LAG2": "1"},
     "packed+lag2": {"TYLERI_PACKED": "1", "TYLERI_LAG2": "1"},
-    "cells": {"TYLERI_CELLS": "1"},
-    "dynroll": {"TYLERI_DYNROLL": "1"},
-    "dynroll+while": {"TYLERI_DYNROLL": "1", "TYLERI_WHILE": "1"},
     "tpp2": {"TYLERI_TPP": "2"},
     "tpp4": {"TYLERI_TPP": "4"},
     "packed+while+tpp4": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1",
                           "TYLERI_TPP": "4"},
-    "packed+dynroll": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1"},
-    "all4": {"TYLERI_PACKED": "1", "TYLERI_DYNROLL": "1",
-             "TYLERI_WHILE": "1", "TYLERI_TPP": "4"},
-    "cells+tpp4": {"TYLERI_CELLS": "1", "TYLERI_TPP": "4"},
-    "sublane": {"TYLERI_SUBLANE": "1"},
-    "sublane+tpp4": {"TYLERI_SUBLANE": "1", "TYLERI_TPP": "4"},
     "noexit": {"TYLERI_NOEXIT": "1"},
     "noexit+packed": {"TYLERI_NOEXIT": "1", "TYLERI_PACKED": "1"},
 }

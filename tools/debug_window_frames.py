@@ -1,9 +1,9 @@
 """Per-frame diagnosis of the production RenderWindow loop for one flag
 combo: wall time per frame, plan-change detection, and XLA compile logging
 — to explain A/B rows whose steady-state frame time disagrees with
-profile_fused on the same plan (e.g. cells @ 3.2 s/frame vs 92 ms fused).
+profile_fused on the same plan (round-3 incident: 3.2 s/frame vs 92 ms fused).
 
-    python tools/debug_window_frames.py cells 12
+    python tools/debug_window_frames.py base 12
     python tools/debug_window_frames.py base 8 sync   # flush per frame:
         # serialized true device time per frame (no pipelining)
 """
@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import ab_flags
 
-    name = sys.argv[1] if len(sys.argv) > 1 else "cells"
+    name = sys.argv[1] if len(sys.argv) > 1 else "base"
     nframes = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     sync = len(sys.argv) > 3 and sys.argv[3] == "sync"
     for k in ab_flags.KNOBS:

@@ -2,7 +2,7 @@
 text (tpu_session's probe truncates to 200 chars, which hides the Mosaic
 diagnostic).  One patient TPU client; run ONLY when no other client is up.
 
-    python tools/probe_variants.py cells dynroll packed+dynroll
+    python tools/probe_variants.py packed noexit packed+while
 """
 
 import os
@@ -34,7 +34,7 @@ def main():
     from tyleri_tpu.rendering import passes
     from tyleri_tpu.utils.math3d import Rect2D, Viewport
 
-    names = sys.argv[1:] or ["cells", "dynroll"]
+    names = sys.argv[1:] or ["packed", "noexit"]
     log(f"devices: {jax.devices()}")
 
     FBW, FBH = 256, 64
@@ -66,12 +66,8 @@ def main():
             kw["exit_while"] = True
         if env.get("TYLERI_DYNROLL"):
             kw["dynroll"] = True
-        if env.get("TYLERI_CELLS"):
-            kw["cells"] = True
         if env.get("TYLERI_TPP"):
             kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
-        if env.get("TYLERI_SUBLANE"):
-            kw["sublane"] = True
         return kw
 
     ok = {}

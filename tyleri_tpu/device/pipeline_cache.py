@@ -28,6 +28,14 @@ class PipelineCache:
             directory = tempfile.mkdtemp(prefix="tyleri-pcache-")
         self.directory = directory
         self.enabled = False
+        try:
+            from tyleri_tpu.utils.cache_hardening import install
+
+            install()  # atomic cache-entry writes (see module docstring) —
+            # installed even without an explicit directory: the process may
+            # cache via JAX_COMPILATION_CACHE_DIR (bench/tools set it)
+        except Exception:
+            pass
         if directory:
             try:
                 import jax

@@ -40,8 +40,20 @@ class DispatchQueue:
     def __init__(self, device):
         self.device = device
         self._work: "queue.SimpleQueue" = queue.SimpleQueue()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        # Workers run jit FIRST COMPILES (record() traces + XLA compiles on
+        # this thread).  pthread stacks are FIXED at RLIMIT_STACK (8 MB) —
+        # unlike the main thread's growable stack — and LLVM's recursive
+        # passes on the full frame program can overflow that, which
+        # manifested as full-suite segfaults inside
+        # backend_compile_and_load / executable.serialize on worker
+        # threads.  Give workers an explicit 64 MB stack.
+        old = threading.stack_size()
+        try:
+            threading.stack_size(64 << 20)
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        finally:
+            threading.stack_size(old)
 
     def _run(self):
         while True:

@@ -106,261 +106,6 @@ def spill_rows(spill_cap: int, K: int = 32) -> int:
     return total
 
 
-class CellBinned(NamedTuple):
-    """Cell-granularity narrow-triangle entry table (ops/raster_cells.py).
-
-    Entries are (triangle, covered CELL) pairs sorted by (tile-major cell
-    id, draw order); within a cell, ascending position == ascending draw
-    order, which the kernel's segmented-scan tie-break relies on.  The
-    gathered channel rows carry the entry's LOCAL cell id (0..cells/tile-1)
-    in the CH_ZMIN column (dead in this path: there is no front-to-back
-    early exit without a z sort), and a lane-major twin of the local cell
-    ids rides alongside so the kernel can build one-hot placement operands
-    without transposing."""
-
-    entry_channels: jax.Array  # f32 [E_cap, NUM_CHANNELS]; col CH_ZMIN =
-                               # local cell id
-    entry_cellrow: jax.Array   # i32 [E_cap/128, 128] local cell ids,
-                               # lane-major (chunk windows are 128-aligned)
-    entry_tile: jax.Array      # i32 [E_cap] tile id per entry
-    tile_start: jax.Array      # i32 [ntiles + 1]
-    num_entries: jax.Array     # i32 []
-    overflow: jax.Array        # i32 []
-    dense_demand: jax.Array    # i32 [] live cell-narrow triangles
-    entry_extra: jax.Array = None  # f32 [E_cap, K] (lit path)
-
-
-# spill-level capacity fractions for CELL covers, tuned to the measured
-# sponza histogram at (8, 16) cells (typical triangle ~7 px; spill demand
-# 1.63/live tri; scount >= 1, 2, 4, 8, 16 are 82%, 35%, 6.9%, 0.46%, 0.01%
-# of LIVE tris = 0.505, 0.21, 0.042, 0.003, 0.0001 of the spill total).
-# ~10% headroom per level; emitted rows ~1.11x the true spill demand.
-_CELL_LEVEL_FRACS = (0.55, 0.23, 0.05, 0.005, 0.0005)
-
-
-def spill_rows_cells(spill_cap: int, K: int = 32) -> int:
-    total, lo = 0, 1
-    for cap in _level_caps(spill_cap, K, _CELL_LEVEL_FRACS):
-        hi = min(2 * lo, K) - 1
-        total += (hi - lo + 1) * cap
-        lo *= 2
-    return total
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cell_grid_w", "cell_grid_h", "cells_tx", "cells_ty", "entry_cap",
-        "max_cells_per_tri", "spill_cap", "valid_cap",
-    ),
-)
-def bin_triangles_cells(
-    setup: TriangleSetup,   # built with (tile_w, tile_h) = CELL dims
-    extra=None,
-    *,
-    cell_grid_w: int,
-    cell_grid_h: int,
-    cells_tx: int,        # cells per tile along x (tile_w // cell_w)
-    cells_ty: int,        # cells per tile along y (tile_h // cell_h)
-    entry_cap: int,
-    max_cells_per_tri: int = 32,
-    spill_cap: int = 1 << 16,
-    valid_cap: int = 0,
-) -> CellBinned:
-    """Bin triangles at CELL granularity for the fragment-centric kernel.
-
-    Same expand->sort->segment structure as bin_triangles, with two
-    differences: cell ids are TILE-MAJOR (tile * cells_per_tile + local) so
-    per-tile segments stay contiguous, and the final sort orders by
-    (cell id, draw ORDER) as a two-key sort — front-to-back z order is
-    useless without a per-entry exit, while order-sorted cells let the
-    kernel break quantized-depth ties by stream position, exactly."""
-    T = setup.valid.shape[0]
-    cpt = cells_tx * cells_ty
-    grid_w = cell_grid_w // cells_tx   # TILE grid
-    grid_h = cell_grid_h // cells_ty
-    ntiles = grid_w * grid_h
-    ncells_t = ntiles * cpt            # tile-major cell id domain
-    K = max_cells_per_tri
-
-    cx0 = setup.tile_lo[:, 0]
-    cy0 = setup.tile_lo[:, 1]
-    cx1 = setup.tile_hi[:, 0]
-    cy1 = setup.tile_hi[:, 1]
-    cw = jnp.maximum(cx1 - cx0 + 1, 0)
-    chh = jnp.maximum(cy1 - cy0 + 1, 0)
-    ncover = jnp.where(setup.valid, cw * chh, 0)
-    is_narrow = setup.valid & (ncover <= K) & (ncover > 0)
-    dense_live = jnp.sum(is_narrow.astype(jnp.int32))
-
-    tri_ids = jnp.arange(T, dtype=jnp.int32)
-    order_u = jnp.clip(
-        setup.channels[:, S.CH_ORDER], 0, float((1 << 22) - 1)
-    ).astype(jnp.uint32)
-
-    scount = jnp.where(is_narrow, jnp.maximum(ncover - 1, 0), 0)
-    total_spill = jnp.sum(scount)
-
-    assert cell_grid_w <= 256 and cell_grid_h <= 256
-    assert K <= 32 and T < (1 << 21)
-    caps = _level_caps(spill_cap, K, _CELL_LEVEL_FRACS)
-
-    twc = jnp.clip(cw, 1, K).astype(jnp.uint32)
-    key = (
-        ((31 - scount).astype(jnp.uint32) << 26)
-        | ((twc - 1) << 21)
-        | tri_ids.astype(jnp.uint32)
-    )
-    key = jnp.where(is_narrow, key, jnp.uint32(0xFFFFFFFF))
-    opA = (
-        (jnp.clip(cy0, 0, 255).astype(jnp.uint32) << 8)
-        | jnp.clip(cx0, 0, 255).astype(jnp.uint32)
-    )
-    vcap = min(valid_cap, entry_cap) if valid_cap else T
-    n_pad = max(max(vcap, max(caps)) - T, 0)
-    if n_pad:
-        key = jnp.concatenate(
-            [key, jnp.full((n_pad,), 0xFFFFFFFF, jnp.uint32)])
-        opA = jnp.concatenate([opA, jnp.zeros((n_pad,), jnp.uint32)])
-        order_u = jnp.concatenate([order_u, jnp.zeros((n_pad,), jnp.uint32)])
-    key, opA, order_u = jax.lax.sort(
-        (key, opA, order_u), dimension=0, num_keys=1, is_stable=False)
-
-    def unpack(cap):
-        k = key[:cap]
-        a = opA[:cap]
-        live = k != jnp.uint32(0xFFFFFFFF)
-        scnt = (31 - ((k >> 26) & 0x1F).astype(jnp.int32))
-        twl = (((k >> 21) & 0x1F) + 1).astype(jnp.int32)
-        tril = (k & jnp.uint32((1 << 21) - 1)).astype(jnp.int32)
-        cy = ((a >> 8) & 0xFF).astype(jnp.int32)
-        cx = (a & 0xFF).astype(jnp.int32)
-        return live, scnt, twl, tril, cy, cx, order_u[:cap]
-
-    def cell_id(cy, cx):
-        # tile-major: tile * cells/tile + local(row-major within tile)
-        t = (cy // cells_ty) * grid_w + (cx // cells_tx)
-        local = (cy % cells_ty) * cells_tx + (cx % cells_tx)
-        return t * cpt + local
-
-    live, _, _, tril, cy, cx, ordl = unpack(vcap)
-    seg_cell = [jnp.where(live, cell_id(cy, cx), jnp.int32(ncells_t))]
-    seg_ord = [ordl]
-    seg_tri = [tril]
-    placed_dense = jnp.sum(live.astype(jnp.int32))
-
-    placed_spill = jnp.int32(0)
-    lo = 1
-    for cap in caps:
-        hi = min(2 * lo, K) - 1
-        live, scnt, twl, tril, cy, cx, ordl = unpack(cap)
-        for c in range(lo, hi + 1):
-            lv = live & (scnt >= c)
-            ccy = cy + c // twl
-            ccx = cx + c - (c // twl) * twl
-            seg_cell.append(jnp.where(lv, cell_id(ccy, ccx),
-                                      jnp.int32(ncells_t)))
-            seg_ord.append(ordl)
-            seg_tri.append(tril)
-            placed_spill = placed_spill + jnp.sum(lv.astype(jnp.int32))
-        lo = 2 * lo
-        if lo >= K:
-            break
-
-    live_placed = placed_dense + placed_spill
-    overflow = (
-        (dense_live - placed_dense)
-        + (total_spill - placed_spill)
-        + jnp.maximum(live_placed - entry_cap, 0)
-    )
-
-    rows = sum(s.shape[0] for s in seg_cell)
-    pad = max(entry_cap - rows, 0)
-    all_cell = jnp.concatenate(seg_cell)
-    all_ord = jnp.concatenate(seg_ord)
-    all_tri = jnp.concatenate(seg_tri)
-    if pad:
-        all_cell = jnp.concatenate(
-            [all_cell, jnp.full((pad,), ncells_t, jnp.int32)])
-        all_ord = jnp.concatenate([all_ord, jnp.zeros((pad,), jnp.uint32)])
-        all_tri = jnp.concatenate([all_tri, jnp.zeros((pad,), jnp.int32)])
-
-    # (cell, order) two-key sort: cell 14 bits + order 21 bits exceed one
-    # u32, and order-sorted cells are what make the kernel's stream-position
-    # tie-break exact (equal D16-quantized depths resolve by draw order).
-    cell_s, _, entry_tri = jax.lax.sort(
-        (all_cell.astype(jnp.uint32), all_ord, all_tri),
-        dimension=0, num_keys=2, is_stable=False,
-    )
-    cell_s = cell_s[:entry_cap].astype(jnp.int32)
-    entry_tri = entry_tri[:entry_cap]
-
-    entry_tile = jnp.minimum(cell_s // cpt, ntiles)
-    tile_start = jnp.searchsorted(
-        entry_tile, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    local = jnp.clip(cell_s - entry_tile * cpt, 0, cpt - 1)
-
-    # channel rows with the LOCAL cell id in the (dead) CH_ZMIN column —
-    # XLA fuses the gather + concat into one row-write pass
-    assert S.CH_ZMIN == S.NUM_CHANNELS - 1
-    entry_channels = jnp.concatenate(
-        [setup.channels[entry_tri][:, : S.CH_ZMIN],
-         local.astype(jnp.float32)[:, None]],
-        axis=1,
-    )
-    e_pad = -(-entry_cap // 128) * 128 - entry_cap
-    cellrow = jnp.pad(local, (0, e_pad)) if e_pad else local
-
-    return CellBinned(
-        entry_channels=entry_channels,
-        entry_cellrow=cellrow.reshape(-1, 128),
-        entry_tile=entry_tile,
-        tile_start=tile_start,
-        num_entries=jnp.minimum(live_placed, entry_cap).astype(jnp.int32),
-        overflow=overflow.astype(jnp.int32),
-        dense_demand=dense_live.astype(jnp.int32),
-        entry_extra=extra[entry_tri] if extra is not None else None,
-    )
-
-
-def compact_medium(setup: TriangleSetup, extra, is_medium, med_cap: int,
-                   cells_tx: int, cells_ty: int):
-    """Compact medium triangles (cell cover > K, any tile cover) into a
-    small TriangleSetup on the TILE grid, for a second bin_triangles pass.
-
-    Uses the broad-list pattern (cumsum + searchsorted inverse lookup: a
-    [T] scatter costs per-row latency at millions of rows).  tile coords
-    derive exactly from cell coords: px//cell//cells_per_tile == px//tile.
-    Returns (medium setup, medium extra, overflow)."""
-    T = is_medium.shape[0]
-    num_med = jnp.sum(is_medium.astype(jnp.int32))
-    mcum = jnp.cumsum(is_medium.astype(jnp.int32))
-    src = jnp.searchsorted(
-        mcum, jnp.arange(1, med_cap + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    live = src < T
-    src = jnp.clip(src, 0, T - 1)
-    med = TriangleSetup(
-        valid=live,
-        channels=setup.channels[src],
-        tile_lo=jnp.stack([setup.tile_lo[src, 0] // cells_tx,
-                           setup.tile_lo[src, 1] // cells_ty], axis=1),
-        tile_hi=jnp.stack([setup.tile_hi[src, 0] // cells_tx,
-                           setup.tile_hi[src, 1] // cells_ty], axis=1),
-        lam=jnp.zeros((med_cap, 3, 3), jnp.float32),
-    )
-    overflow = jnp.maximum(num_med - med_cap, 0).astype(jnp.int32)
-    return med, (extra[src] if extra is not None else None), overflow
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "grid_w", "grid_h", "entry_cap", "max_tiles_per_tri", "broad_cap",
-        "spill_cap", "valid_cap", "packed",
-    ),
-)
 def bin_triangles(
     setup: TriangleSetup,
     extra=None,   # f32 [T, K] optional per-triangle rows to gather alongside

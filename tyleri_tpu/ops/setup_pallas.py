@@ -59,40 +59,8 @@ def pack_shifts(grid_w: int, grid_h: int):
     return bw, bh
 
 
-def pack_shifts_cells(cell_grid_w: int, cell_grid_h: int,
-                      tiles_grid_w: int, tiles_grid_h: int):
-    """Bit budget for the CELL-grid dual packing.  A full cell bbox cannot
-    fit 31 bits at 1080p (2 + 2*(7+8) = 32), so cells mode packs a MODE
-    bit + either (cell x0, y0, w-1, h-1) with 5-bit spans for narrow
-    triangles, or the TILE bbox for triangles spanning > 32 cells.  The
-    medium side is exact: > 32 covered cells implies >= 3 tiles (a tile
-    holds cells_per_tile <= 32 cells), so the synthetic cell bbox built
-    from whole tiles stays medium-classified downstream and floor-divides
-    back to the exact tile bbox."""
-    bwc = max(int(cell_grid_w - 1).bit_length(), 1)
-    bhc = max(int(cell_grid_h - 1).bit_length(), 1)
-    bw = max(int(tiles_grid_w - 1).bit_length(), 1)
-    bh = max(int(tiles_grid_h - 1).bit_length(), 1)
-    if 3 + bwc + bhc + 10 > 31 or 3 + 2 * (bw + bh) > 31:
-        return None
-    return bwc, bhc, bw, bh
-
-
 def supports(plan) -> bool:
     """Host-side gate: pow2 tiles, packable grid, TPU lowering."""
-    if getattr(plan, "cells", False):
-        return (
-            plan.cell_w & (plan.cell_w - 1) == 0
-            and plan.cell_h & (plan.cell_h - 1) == 0
-            and (plan.tile_w // plan.cell_w).bit_count() == 1
-            and (plan.tile_h // plan.cell_h).bit_count() == 1
-            and plan.max_tiles_per_tri == 32
-            and pack_shifts_cells(plan.cell_grid_w, plan.cell_grid_h,
-                                  plan.grid_w, plan.grid_h) is not None
-            # a cells plan can still raster on the TILE path (e.g. a non-D16
-            # pipeline state): the tile-grid packing must also fit
-            and pack_shifts(plan.grid_w, plan.grid_h) is not None
-        )
     return (
         plan.tile_w & (plan.tile_w - 1) == 0
         and plan.tile_h & (plan.tile_h - 1) == 0
@@ -211,8 +179,6 @@ def _plane_kernel(
     bh: int,
     cull: int,       # 0 none / 1 cull backfaces / 2 cull frontfaces / 3 all
     ccw_front: bool,
-    cells=None,      # (cshift_x, cshift_y, bwc, bhc): CELL-grid dual packing
-                     # (tile_shift/grid args are then CELL dims/grid)
 ):
     """Stage 2 of the fused setup: edge/interp planes, tile bbox, validity,
     z-min bound, channel emit (see _transform_kernel for the split note)."""
@@ -335,52 +301,21 @@ def _plane_kernel(
     stacked = ch_scratch[...].reshape(24, BLOCK)
     ch_ref[...] = jnp.transpose(stacked, (1, 0))
 
-    if cells is None:
-        packed = (
-            crossed.astype(jnp.int32) << (1 + 2 * (bw + bh))
-            | valid.astype(jnp.int32) << (2 * (bw + bh))
-            | ty1 << (bw + bh + bw)
-            | ty0 << (2 * bw)
-            | tx1 << bw
-            | tx0
-        )
-    else:
-        # dual packing (see pack_shifts_cells): fixed-position flags + a
-        # mode bit selecting (cell x0, y0, spans) or the exact tile bbox.
-        # Spans clamp at >= 1: an off-screen triangle (valid already 0 via
-        # on_screen) has x0 > x1 after the scissor clamp, and a NEGATIVE
-        # span shifted into the field would smear sign bits over the
-        # flag positions — every 1080p-style frame has such triangles
-        # below the padded grid's scissor edge.
-        cshift_x, cshift_y, bwc, bhc = cells
-        w = jnp.maximum(tx1 - tx0 + 1, 1)  # cell spans (narrow: w*h <= 32)
-        h = jnp.maximum(ty1 - ty0 + 1, 1)
-        is_med = (w * h) > 32
-        narrow_pack = (
-            ((h - 1) << (10 + bwc + bhc - 5))
-            | ((w - 1) << (bwc + bhc))
-            | (ty0 << bwc)
-            | tx0
-        )
-        med_pack = (
-            ((ty1 >> cshift_y) << (2 * bw + bh))
-            | ((ty0 >> cshift_y) << (2 * bw))
-            | ((tx1 >> cshift_x) << bw)
-            | (tx0 >> cshift_x)
-        )
-        packed = (
-            crossed.astype(jnp.int32) << 30
-            | valid.astype(jnp.int32) << 29
-            | jnp.where(is_med, med_pack | (1 << 28), narrow_pack)
-        )
+    packed = (
+        crossed.astype(jnp.int32) << (1 + 2 * (bw + bh))
+        | valid.astype(jnp.int32) << (2 * (bw + bh))
+        | ty1 << (bw + bh + bw)
+        | ty0 << (2 * bw)
+        | tx1 << bw
+        | tx0
+    )
     packed_ref[...] = packed
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile_w", "tile_h", "grid_w", "grid_h", "draw_cap",
-                     "cull_mode", "front_face", "interpret",
-                     "cells_tx", "cells_ty"),
+                     "cull_mode", "front_face", "interpret"),
 )
 def fused_setup(
     corner18,   # f32 [18, N/128, 128] field-major corner table
@@ -399,8 +334,6 @@ def fused_setup(
     cull_mode=None,   # pipeline cull state (static; None = CullMode.NONE)
     front_face=None,
     interpret: bool = False,
-    cells_tx: int = 0,  # cells mode: cells per tile along x/y (pow2);
-    cells_ty: int = 0,  # tile_w/h + grid_w/h are then the CELL dims/grid
 ):
     """Returns (TriangleSetup, crossings i32[]) — near-cull semantics.
 
@@ -414,19 +347,9 @@ def fused_setup(
     nrows = corner18.shape[1]
     N = nrows * 128
     assert N % BLOCK == 0, N
-    cells_mode = bool(cells_tx)
-    if cells_mode:
-        sh = pack_shifts_cells(grid_w, grid_h,
-                               grid_w // cells_tx, grid_h // cells_ty)
-        assert sh is not None, "cell grid too large for dual packed bbox"
-        bwc, bhc, bw, bh = sh
-        cells_arg = (cells_tx.bit_length() - 1, cells_ty.bit_length() - 1,
-                     bwc, bhc)
-    else:
-        sh = pack_shifts(grid_w, grid_h)
-        assert sh is not None, "grid too large for packed bbox"
-        bw, bh = sh
-        cells_arg = None
+    sh = pack_shifts(grid_w, grid_h)
+    assert sh is not None, "grid too large for packed bbox"
+    bw, bh = sh
     assert tile_w & (tile_w - 1) == 0 and tile_h & (tile_h - 1) == 0
 
     if draw_mod is None:
@@ -471,7 +394,7 @@ def fused_setup(
         tile_shift_x=tile_w.bit_length() - 1,
         tile_shift_y=tile_h.bit_length() - 1,
         grid_w=grid_w, grid_h=grid_h, bw=bw, bh=bh,
-        cull=cull, ccw_front=ccw_front, cells=cells_arg,
+        cull=cull, ccw_front=ccw_front,
     )
     p_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -502,36 +425,14 @@ def fused_setup(
     )(vp_f, sc_f, flags_in, corner18, win12, flagsA)
 
     packed_flat = packed.reshape(N)
-    if cells_mode:
-        csx = cells_tx.bit_length() - 1
-        csy = cells_ty.bit_length() - 1
-        med = ((packed_flat >> 28) & 1) > 0
-        ncx0 = packed_flat & ((1 << bwc) - 1)
-        ncy0 = (packed_flat >> bwc) & ((1 << bhc) - 1)
-        nw = ((packed_flat >> (bwc + bhc)) & 31) + 1
-        nh = ((packed_flat >> (bwc + bhc + 5)) & 31) + 1
-        mtx0 = packed_flat & ((1 << bw) - 1)
-        mtx1 = (packed_flat >> bw) & ((1 << bw) - 1)
-        mty0 = (packed_flat >> (2 * bw)) & ((1 << bh) - 1)
-        mty1 = (packed_flat >> (2 * bw + bh)) & ((1 << bh) - 1)
-        # mediums: synthetic whole-tile cell bbox (>= 3 tiles => > 32 cells,
-        # so the medium classification and the tile bbox derived by
-        # floor-division downstream stay exact)
-        tx0 = jnp.where(med, mtx0 << csx, ncx0)
-        tx1 = jnp.where(med, (mtx1 << csx) + cells_tx - 1, ncx0 + nw - 1)
-        ty0 = jnp.where(med, mty0 << csy, ncy0)
-        ty1 = jnp.where(med, (mty1 << csy) + cells_ty - 1, ncy0 + nh - 1)
-        valid = ((packed_flat >> 29) & 1) > 0
-        crossings = jnp.sum((packed_flat >> 30) & 1)
-    else:
-        mask = (1 << bw) - 1
-        maskh = (1 << bh) - 1
-        tx0 = packed_flat & mask
-        tx1 = (packed_flat >> bw) & mask
-        ty0 = (packed_flat >> (2 * bw)) & maskh
-        ty1 = (packed_flat >> (2 * bw + bh)) & maskh
-        valid = ((packed_flat >> (2 * (bw + bh))) & 1) > 0
-        crossings = jnp.sum(packed_flat >> (1 + 2 * (bw + bh)))
+    mask = (1 << bw) - 1
+    maskh = (1 << bh) - 1
+    tx0 = packed_flat & mask
+    tx1 = (packed_flat >> bw) & mask
+    ty0 = (packed_flat >> (2 * bw)) & maskh
+    ty1 = (packed_flat >> (2 * bw + bh)) & maskh
+    valid = ((packed_flat >> (2 * (bw + bh))) & 1) > 0
+    crossings = jnp.sum(packed_flat >> (1 + 2 * (bw + bh)))
 
     su = S.TriangleSetup(
         valid=valid,

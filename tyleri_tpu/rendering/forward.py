@@ -375,10 +375,6 @@ class ForwardRenderingFunction:
         # DERIVED (tri_cap + clip_cap + spill slot rows) so binning never
         # truncates live entries.
         self._spill_headroom = 0.2
-        # medium-triangle fraction (cells mode): compacted medium rows per
-        # scene triangle; grown with the same overflow feedback (sponza-1M
-        # measures ZERO mediums at (8,16) cells — typical tris are ~7 px)
-        self._med_headroom = 1.0 / 64.0
         # record() mutates host state (plan growth, triangle-table cache);
         # DispatchQueue workers may run successive records on different
         # threads, so serialize them here.  The lock is PROCESS-WIDE, not
@@ -461,7 +457,7 @@ class ForwardRenderingFunction:
             )
 
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
-        from tyleri_tpu.ops.binning import spill_rows, spill_rows_cells
+        from tyleri_tpu.ops.binning import spill_rows
 
         p = self.plan
         # capacities only grow (each growth recompiles, like swapchain
@@ -469,16 +465,9 @@ class ForwardRenderingFunction:
         tri_cap = _cap_growth(n_tris, 1 << 16, p.tri_cap)
         # spill list (tiles 2.. of multi-tile triangles): occupancy-grown
         # headroom; the multi-level expansion derives per-level caps from
-        # this single bound (ops/binning.py::_level_caps).  Cell-granularity
-        # binning straddles far more often (an (8,16) cell vs a (16,128)
-        # tile), so cells mode carries ~3x the spill headroom.
-        # (measured sponza demand: 1.63 spill covers per LIVE narrow tri at
-        # (8,16) cells ~ 1.16x the scene tri count; 6x the 0.2 base lands
-        # ~1.2x with growth doubling from there)
-        cells = p.raster.cells
+        # this single bound (ops/binning.py::_level_caps)
         spill_cap = _cap_growth(
-            int((6.0 if cells else 1.0) * self._spill_headroom * n_tris),
-            1 << 16, p.raster.spill_cap
+            int(self._spill_headroom * n_tris), 1 << 16, p.raster.spill_cap
         )
         # a tri_cap growth invalidates the learned dense-slot occupancy
         # (new geometry changes the live-narrow count); drop the shrink and
@@ -487,23 +476,7 @@ class ForwardRenderingFunction:
         vbase = tri_cap + p.raster.clip_cap
         if valid_cap:
             vbase = min(valid_cap, vbase)
-        srows = (spill_rows_cells(spill_cap, p.raster.max_tiles_per_tri)
-                 if cells else
-                 spill_rows(spill_cap, p.raster.max_tiles_per_tri))
-        # medium tier (cells mode): compacted medium-triangle rows + their
-        # tile-granularity entry table, occupancy-grown like the rest —
-        # but ONLY in cells mode: the plan is a jit static, so growing
-        # fields no code path reads would recompile the whole frame
-        if cells:
-            med_cap = _cap_growth(
-                int(n_tris * self._med_headroom) + 1024, 1 << 13,
-                p.raster.med_cap)
-            med_spill_cap = _cap_growth(
-                int(self._spill_headroom * n_tris // 4) + 1024, 1 << 13,
-                p.raster.med_spill_cap)
-        else:
-            med_cap = p.raster.med_cap
-            med_spill_cap = p.raster.med_spill_cap
+        srows = spill_rows(spill_cap, p.raster.max_tiles_per_tri)
         raster = dataclasses.replace(
             p.raster,
             # every row of the expansion has a reserved slot, so the big
@@ -515,11 +488,6 @@ class ForwardRenderingFunction:
             entry_cap=vbase + srows,
             spill_cap=spill_cap,
             valid_cap=valid_cap,
-            med_cap=med_cap,
-            med_spill_cap=med_spill_cap,
-            med_entry_cap=(med_cap + spill_rows(
-                med_spill_cap, p.raster.max_tiles_per_tri))
-            if cells else p.raster.med_entry_cap,
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays
             # for tri_cap + clip_cap rows
@@ -569,7 +537,6 @@ class ForwardRenderingFunction:
                 # _grow_plan).  A learned valid_cap goes back to full —
                 # dense drops mean the live-narrow count rose past it.
                 self._spill_headroom = min(self._spill_headroom * 2.0, 6.0)
-                self._med_headroom = min(self._med_headroom * 2.0, 1.0)
                 if self.plan.raster.valid_cap:
                     self._valid_shrink_after = min(
                         self._valid_shrink_after * 2, 512)

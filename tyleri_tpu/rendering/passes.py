@@ -96,25 +96,12 @@ class RasterPlan:
     # per-program fixed cost — measured ~10 us/program on empty segments);
     # must divide grid_h or it silently falls back to 1
     tiles_per_prog: int = 1
-    # fragment-centric cell formulation (ops/raster_cells.py): narrow
-    # triangles bin per covered (cell_h, cell_w)-px cell and resolve via
-    # sublane-batched chunks with zero per-entry scalar loads; medium
-    # triangles (> max_tiles_per_tri covered cells) compact into a small
-    # tile-granularity table for the serial sweep.  Needs the Pallas
-    # backend, D16 depth, and pow2 cell dims dividing the tile dims.
-    # In cells mode entry_cap/spill_cap size the CELL-granularity table;
-    # setup runs on the CELL grid.
-    cells: bool = False
-    cell_w: int = 16
-    cell_h: int = 8
-    # sublane-batched kernel (ops/raster_sublane.py): same binned inputs
-    # as the serial Pallas kernel, but a chunk of 128 entries is resolved
-    # with entries along SUBLANES and the tile row's pixels along LANES —
-    # plane coefficients become [128, 1] lane slices (zero per-entry
-    # scalar loads) and winners are found by sublane reductions.  Needs
-    # the Pallas backend and tile_w == 128; incompatible with
-    # packed_entries/dynroll (different chunk layouts).
-    sublane: bool = False
+    # (Round-4 note: two alternative kernel formulations — the
+    # fragment-centric cells mode and the sublane-batched kernel — were
+    # built, measured a production LOSS on their target config
+    # (BASELINE.md round-4 A/B: cells 10.45 / sublane 10.47 vs base
+    # 11.96 FPS), and DELETED; see git history before 2026-08-19 for
+    # the implementations.)
     # sampler anisotropy (builders.rs:300-320 max_sampler_anisotropy): >1
     # engages footprint-filtered sampling in the deferred shade with this
     # many bilinear taps along the footprint's major axis.  Set from
@@ -122,17 +109,6 @@ class RasterPlan:
     # sampler).  Applies to the visibility paths; exact mode keeps the
     # per-triangle bilinear fragment loop.
     aniso_taps: int = 0
-    med_cap: int = 1 << 13        # compacted medium-triangle rows
-    med_entry_cap: int = 1 << 15  # medium (tile, triangle) entries
-    med_spill_cap: int = 1 << 14  # spill bound for the medium expansion
-
-    @property
-    def cell_grid_w(self) -> int:
-        return self.grid_w * (self.tile_w // self.cell_w)
-
-    @property
-    def cell_grid_h(self) -> int:
-        return self.grid_h * (self.tile_h // self.cell_h)
 
     @property
     def grid_w(self) -> int:
@@ -165,12 +141,6 @@ class RasterPlan:
         if os.environ.get("TYLERI_WHILE"):
             kw.setdefault("exit_while",
                           os.environ["TYLERI_WHILE"] not in ("0", ""))
-        if os.environ.get("TYLERI_CELLS"):
-            kw.setdefault("cells",
-                          os.environ["TYLERI_CELLS"] not in ("0", ""))
-        if os.environ.get("TYLERI_SUBLANE"):
-            kw.setdefault("sublane",
-                          os.environ["TYLERI_SUBLANE"] not in ("0", ""))
         if os.environ.get("TYLERI_DYNROLL"):
             kw.setdefault("dynroll",
                           os.environ["TYLERI_DYNROLL"] not in ("0", ""))
@@ -229,46 +199,10 @@ def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
 
 
 def _setup_dims(plan: RasterPlan, state: PipelineState) -> dict:
-    """Setup grid for the raster backend the state will take: the CELL
-    grid (tile coords derive exactly by floor-division in the binning
-    wrapper) when the cells kernel engages, the tile grid otherwise.
-    Shared by mesh_pass and mesh_pass_fused so the two paths cannot
-    diverge; the fused kernel additionally needs the cells-per-tile
-    factors for its dual bbox packing."""
-    if _use_cells(plan, state):
-        return dict(tile_w=plan.cell_w, tile_h=plan.cell_h,
-                    grid_w=plan.cell_grid_w, grid_h=plan.cell_grid_h,
-                    cells_tx=plan.tile_w // plan.cell_w,
-                    cells_ty=plan.tile_h // plan.cell_h)
+    """Setup grid (tile geometry) shared by mesh_pass and mesh_pass_fused
+    so the two paths cannot diverge."""
     return dict(tile_w=plan.tile_w, tile_h=plan.tile_h,
                 grid_w=plan.grid_w, grid_h=plan.grid_h)
-
-
-def _use_cells(plan: RasterPlan, state: PipelineState) -> bool:
-    """Host-side gate for the fragment-centric cell kernel: it shares the
-    Pallas backend's envelope plus D16 (the scan key packs quantized z),
-    pow2 cells dividing the tile, one 128-lane vector per cell, and the
-    cell-binning key budget (8-bit cell grid coords)."""
-    from tyleri_tpu.pipeline.state import DepthFormat
-
-    return (
-        plan.cells
-        and not plan.exact
-        and _use_pallas(plan, state)
-        and state.depth.format == DepthFormat.D16_UNORM
-        and plan.cell_w * plan.cell_h == 128
-        # the cells kernel's block specs and permute flatten one 128-lane
-        # tile column per grid step
-        and plan.tile_w == 128
-        and plan.tile_w % plan.cell_w == 0
-        and plan.tile_h % plan.cell_h == 0
-        # the scan key budgets 6 bits for the in-tile cell index
-        and (plan.tile_w * plan.tile_h) // (plan.cell_w * plan.cell_h) <= 64
-        and plan.cell_grid_w <= 256
-        and plan.cell_grid_h <= 256
-        and plan.entry_cap % 128 == 0
-        and plan.med_entry_cap % plan.chunk == 0
-    )
 
 
 class PassStats(NamedTuple):
@@ -429,19 +363,8 @@ def _raster_binned(
     clip_overflow, clip_crossings,
     extra=None, lit_params=None,
 ):
-    if _use_cells(plan, state):
-        return _raster_cells(
-            plan, state, color, depth, su, viewport, scissor,
-            texels, tex_offset, tex_width, tex_height,
-            clip_overflow=clip_overflow, clip_crossings=clip_crossings,
-            extra=extra, lit_params=lit_params,
-        )
     use_pallas = _use_pallas(plan, state)
-    use_sublane = (
-        bool(plan.sublane) and use_pallas and plan.tile_w == 128
-        and not plan.packed_entries and not plan.dynroll
-    )
-    packed = bool(plan.packed_entries) and use_pallas and not use_sublane
+    packed = bool(plan.packed_entries) and use_pallas
     binned = bin_triangles(
         su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
@@ -452,24 +375,7 @@ def _raster_binned(
         valid_cap=plan.valid_cap,
         packed=packed,
     )
-    if use_sublane:
-        import jax
-
-        from tyleri_tpu.ops.raster_sublane import rasterize_visibility_sublane
-
-        vis, tile_overflow = rasterize_visibility_sublane(
-            binned, depth, scissor,
-            fb_w=plan.fb_w, fb_h=plan.fb_h,
-            tile_w=plan.tile_w, tile_h=plan.tile_h,
-            grid_w=plan.grid_w, grid_h=plan.grid_h,
-            chunk=plan.chunk,
-            depth_state=state.depth,
-            interpret=jax.default_backend() != "tpu",
-            tiles_per_prog=(plan.tiles_per_prog
-                            if plan.grid_h % plan.tiles_per_prog == 0
-                            else 1),
-        )
-    elif use_pallas:
+    if use_pallas:
         import jax
 
         from tyleri_tpu.ops.binning import PACK
@@ -515,86 +421,6 @@ def _raster_binned(
     return (color, depth,
             PassStats(binned.overflow, tile_overflow, clip_overflow,
                       clip_crossings, binned.dense_demand),
-            pass_order)
-
-
-def _raster_cells(
-    plan: RasterPlan,
-    state: PipelineState,
-    color, depth,
-    su,          # TriangleSetup on the CELL grid
-    viewport, scissor,
-    texels, tex_offset, tex_width, tex_height,
-    *,
-    clip_overflow, clip_crossings,
-    extra=None, lit_params=None,
-):
-    """Fragment-centric raster: cell-binned narrows + compacted mediums
-    through ops/raster_cells.py (see _use_cells for the envelope)."""
-    import jax
-
-    from tyleri_tpu.ops.binning import (
-        bin_triangles_cells, compact_medium,
-    )
-    from tyleri_tpu.ops.raster_cells import rasterize_visibility_cells
-
-    ctx = plan.tile_w // plan.cell_w
-    cty = plan.tile_h // plan.cell_h
-    K = plan.max_tiles_per_tri   # max CELL covers for the narrow path
-    is_med = su.valid & (
-        (su.tile_hi[:, 0] - su.tile_lo[:, 0] + 1)
-        * (su.tile_hi[:, 1] - su.tile_lo[:, 1] + 1) > K
-    )
-    cells = bin_triangles_cells(
-        su, extra,
-        cell_grid_w=plan.cell_grid_w, cell_grid_h=plan.cell_grid_h,
-        cells_tx=ctx, cells_ty=cty,
-        entry_cap=plan.entry_cap,
-        max_cells_per_tri=K,
-        spill_cap=plan.spill_cap,
-        valid_cap=plan.valid_cap,
-    )
-    med_su, med_extra, med_overflow = compact_medium(
-        su, extra, is_med, plan.med_cap, ctx, cty)
-    medium = bin_triangles(
-        med_su, med_extra,
-        grid_w=plan.grid_w, grid_h=plan.grid_h,
-        entry_cap=plan.med_entry_cap,
-        max_tiles_per_tri=plan.max_tiles_per_tri,
-        broad_cap=plan.broad_cap,
-        spill_cap=plan.med_spill_cap,
-    )
-    vis, tile_overflow = rasterize_visibility_cells(
-        cells, medium, depth, scissor,
-        fb_w=plan.fb_w, fb_h=plan.fb_h,
-        tile_w=plan.tile_w, tile_h=plan.tile_h,
-        cell_w=plan.cell_w, cell_h=plan.cell_h,
-        grid_w=plan.grid_w, grid_h=plan.grid_h,
-        m_chunk=plan.chunk,
-        depth_state=state.depth,
-        interpret=jax.default_backend() != "tpu",
-        tiles_per_prog=(plan.tiles_per_prog
-                        if plan.grid_h % plan.tiles_per_prog == 0
-                        else 1),
-    )
-    lit = None
-    if extra is not None and lit_params is not None:
-        light, inv_vp, eye = lit_params
-        # owner id spaces: narrow rows, en_cap + medium rows,
-        # en_cap + em_cap + broad slots (rasterize_visibility_cells)
-        combined = jnp.concatenate(
-            [cells.entry_extra, medium.entry_extra, medium.broad_extra])
-        lit = (combined, light, inv_vp, eye, viewport)
-    color = shade_visibility(
-        vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
-        lit=lit, aniso_taps=plan.aniso_taps,
-    )
-    depth = vis.depth if state.depth.write_enable else depth
-    pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
-    bin_overflow = cells.overflow + medium.overflow + med_overflow
-    return (color, depth,
-            PassStats(bin_overflow, tile_overflow, clip_overflow,
-                      clip_crossings, cells.dense_demand),
             pass_order)
 
 
