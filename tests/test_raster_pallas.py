@@ -470,3 +470,111 @@ def test_pallas_packed_lit_broad_owner_ids():
         c_pk, d_pk = run_lit(True, kw)
         np.testing.assert_array_equal(d_pk, d_ref)
         np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
+
+
+def _stack_scene(n_layers=3):
+    """n full-cover quads at decreasing z, drawn BACK TO FRONT (draw order
+    = stream order = CH_ORDER): the per-fragment blend chain visits every
+    layer, deepest first."""
+    quads = []
+    for i in range(n_layers):
+        z = 0.9 - 0.3 * i  # 0.9, 0.6, 0.3, ...
+        quads.append([[[-2, -2], [4, -2], [-2, 4]], [[4, 4], [-2, 4], [4, -2]]])
+        for t in quads[-1]:
+            pass
+    T = 2 * n_layers
+    clip = np.zeros((T, 3, 4), np.float32)
+    for i in range(n_layers):
+        z = 0.9 - 0.3 * i
+        for j, tri in enumerate([[[-2, -2], [4, -2], [-2, 4]],
+                                 [[4, 4], [-2, 4], [4, -2]]]):
+            clip[2 * i + j, :, 0] = [p[0] for p in tri]
+            clip[2 * i + j, :, 1] = [p[1] for p in tri]
+            clip[2 * i + j, :, 2] = z
+            clip[2 * i + j, :, 3] = 1.0
+    uv = np.tile(np.array([[0.3, 0.3], [0.7, 0.3], [0.3, 0.7]], np.float32),
+                 (T, 1, 1))
+    return clip, uv
+
+
+MESH_BLEND = PipelineState(
+    blend=BlendState(enable=True,
+                     src_color=__import__("tyleri_tpu.pipeline.state",
+                                          fromlist=["BlendFactor"]
+                                          ).BlendFactor.SRC_COLOR,
+                     dst_color=__import__("tyleri_tpu.pipeline.state",
+                                          fromlist=["BlendFactor"]
+                                          ).BlendFactor.ONE_MINUS_DST_COLOR,
+                     src_alpha=__import__("tyleri_tpu.pipeline.state",
+                                          fromlist=["BlendFactor"]
+                                          ).BlendFactor.ZERO,
+                     dst_alpha=__import__("tyleri_tpu.pipeline.state",
+                                          fromlist=["BlendFactor"]
+                                          ).BlendFactor.ZERO),
+    depth=DepthState(test_enable=True, write_enable=True,
+                     compare_op=CompareOp.LESS_OR_EQUAL,
+                     format=DepthFormat.D16_UNORM),
+)
+
+
+def _run_state(clip, uv, state, plan_kw=None):
+    T = clip.shape[0]
+    kw = dict(entry_cap=1024, cap_per_tile=512, chunk=128)
+    kw.update(plan_kw or {})
+    plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8, **kw)
+    texels = jnp.full((4, 16), 0.6, jnp.float32)
+    meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
+            jnp.full((1,), 2, jnp.int32))
+    color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+    depth = jnp.ones((FB_H, FB_W), jnp.float32)
+    c, d, _, _ = passes.mesh_pass(
+        plan, state, color, depth,
+        jnp.asarray(clip), jnp.asarray(uv),
+        jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
+        Viewport(0, 0, FB_W, FB_H).as_array(),
+        Rect2D(0, 0, FB_W, FB_H).as_array(), texels, *meta)
+    return np.asarray(c), np.asarray(d)
+
+
+def test_pallas_peel2_no_blend_matches_base():
+    """With blending off, the layer-2 shade is overwritten by layer 1
+    everywhere layer 2 exists — peel2 must be pixel-equal to base."""
+    rng = np.random.default_rng(77)
+    clip, uv = random_scene(rng, T=48)
+    c_ref, d_ref = run(clip, uv, pallas=True)
+    c_p2, d_p2 = run(clip, uv, pallas=True, plan_kw=dict(peel2=True))
+    np.testing.assert_array_equal(d_p2, d_ref)
+    np.testing.assert_allclose(c_p2, c_ref, atol=1e-6)
+
+
+def test_pallas_peel2_two_layer_blend_matches_exact():
+    """Two back-to-front layers: peel2's layer2-then-layer1 blend IS the
+    full per-fragment chain — must match the exact rasterizer."""
+    clip, uv = _stack_scene(n_layers=2)
+    c_exact, _ = _run_state(clip, uv, MESH_BLEND, dict(exact=True))
+    c_p2, _ = _run_state(clip, uv, MESH_BLEND, dict(pallas=True, peel2=True))
+    np.testing.assert_allclose(c_p2, c_exact, atol=2e-6)
+
+
+def test_pallas_peel2_overdraw_deviation_bounded():
+    """Three+ layers: the dropped third layer's contribution is damped by
+    the SrcColor/OneMinusDstColor chain.  On this WORST-CASE stack (every
+    layer full-cover, same color, maximally deep chains at every pixel)
+    peel2 measures 2 u8 vs the single-layer fast path's 61 — and the
+    deviation must not grow with stack depth (the chain forgets layers
+    geometrically).  The <= 1 u8 criterion on the real config5-reduced
+    scene is tools/measure_blend_deviation.py's job (real scenes rarely
+    have 3+ passing fragments per pixel)."""
+    def u8(x):
+        return np.round(np.clip(x, 0, 1) * 255).astype(np.int32)
+
+    for n_layers in (3, 5):
+        clip, uv = _stack_scene(n_layers=n_layers)
+        c_exact, _ = _run_state(clip, uv, MESH_BLEND, dict(exact=True))
+        c_base, _ = _run_state(clip, uv, MESH_BLEND, dict(pallas=True))
+        c_p2, _ = _run_state(clip, uv, MESH_BLEND,
+                             dict(pallas=True, peel2=True))
+        err_p2 = np.abs(u8(c_p2) - u8(c_exact)).max()
+        err_base = np.abs(u8(c_base) - u8(c_exact)).max()
+        assert err_p2 <= 2, f"peel2 deviates {err_p2} u8 from exact"
+        assert err_base >= 10 * err_p2, (err_base, err_p2)

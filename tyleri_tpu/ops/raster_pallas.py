@@ -96,6 +96,7 @@ def _visibility_kernel(
     vw_ref,           # f32 [th, tw] winner v/w
     iw_ref,           # f32 [th, tw] winner 1/w
     tex_ref,          # i32 [th, tw] winner texture slot
+    # [7 more layer-2 outputs in the same order if peel2]
     # [nvis_ref i32 (1,1) SMEM if debug_counts] + scratch:
     #   ebuf f32 [2, CHUNK, 128] (SMEM), sem DMA sems [2]
     *rest,
@@ -130,7 +131,14 @@ def _visibility_kernel(
                               # cost more than the skipped entries save
                               # (round-3 standalone: exit-free 43.8 ms vs
                               # production 47.6 on the same table)
+    peel2: bool = False,      # carry the top-2 (z, order) fragments per
+                              # pixel; the deferred shade blends layer 2
+                              # then layer 1 (per-fragment sequential-blend
+                              # parity to within the third layer)
 ):
+    if peel2:
+        l2_refs = list(rest[:7])
+        rest = rest[7:]
     if debug_counts:
         nvis_ref, *scr = rest
     else:
@@ -189,8 +197,22 @@ def _visibility_kernel(
             earliest (obuf = -1 for pre-pass depth, so equal-z vs prior content
             correctly fails under LESS and passes under LE).  This is the
             associative (z, order) min: entry streams may arrive in any order
-            (binning sorts them front-to-back for the early exit)."""
-            zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
+            (binning sorts them front-to-back for the early exit).
+
+            peel2: the carry additionally holds the SECOND-best (z, order)
+            fragment per pixel (a top-2 lexicographic min — still associative:
+            a fragment that beats layer 1 demotes the old layer 1 into
+            layer 2, which it dominated by the top-2 invariant).  The deferred
+            shade then applies the blend equation over layer2-then-layer1,
+            recovering per-fragment sequential blending to within the third
+            layer's contribution (ref src/pipeline/common_pipeline.rs:117-131
+            — the SrcColor/OneMinusDstColor mesh blend damps older layers
+            geometrically)."""
+            if peel2:
+                (zbuf, owner, obuf, uwb, vwb, iwb, texb,
+                 z2, own2, o2, uw2, vw2, iw2, tex2) = st_h
+            else:
+                zbuf, owner, obuf, uwb, vwb, iwb, texb = st_h
             xf = xfb
             yf = yf_h[h]
 
@@ -221,6 +243,34 @@ def _visibility_kernel(
                 passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order >= obuf)))
             else:
                 passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
+            if peel2:
+                if le:
+                    beats2 = (frag & ~passing
+                              & ((zq < z2) | ((zq == z2) & (order >= o2))))
+                else:
+                    beats2 = (frag & ~passing
+                              & ((zq < z2) | ((zq == z2) & (order < o2))))
+                # the demoted layer 1 dominated layer 2 by invariant
+                z2 = jnp.where(passing, zbuf, jnp.where(beats2, zq, z2))
+                own2 = jnp.where(passing, owner, jnp.where(beats2, eid, own2))
+                o2 = jnp.where(passing, obuf, jnp.where(beats2, order, o2))
+                uwf = plane(S.CH_UW)
+                vwf = plane(S.CH_VW)
+                iwf = plane(S.CH_INVW)
+                texf = meta & S.META_TEX_MASK
+                uw2 = jnp.where(passing, uwb, jnp.where(beats2, uwf, uw2))
+                vw2 = jnp.where(passing, vwb, jnp.where(beats2, vwf, vw2))
+                iw2 = jnp.where(passing, iwb, jnp.where(beats2, iwf, iw2))
+                tex2 = jnp.where(passing, texb, jnp.where(beats2, texf, tex2))
+                zbuf = jnp.where(passing, zq, zbuf)
+                owner = jnp.where(passing, eid, owner)
+                obuf = jnp.where(passing, order, obuf)
+                uwb = jnp.where(passing, uwf, uwb)
+                vwb = jnp.where(passing, vwf, vwb)
+                iwb = jnp.where(passing, iwf, iwb)
+                texb = jnp.where(passing, texf, texb)
+                return (zbuf, owner, obuf, uwb, vwb, iwb, texb,
+                        z2, own2, o2, uw2, vw2, iw2, tex2)
             zbuf = jnp.where(passing, zq, zbuf)
             owner = jnp.where(passing, eid, owner)
             obuf = jnp.where(passing, order, obuf)
@@ -243,8 +293,9 @@ def _visibility_kernel(
             )
 
         zb0 = depth_init_ref[_ts * tile_h:(_ts + 1) * tile_h, :]
-        state0 = tuple(
-            (
+
+        def layer0(h):
+            return (
                 zb0[h * HB:(h + 1) * HB, :],
                 jnp.full((HB, tile_w), -1, jnp.int32),
                 jnp.full((HB, tile_w), -1.0, jnp.float32),
@@ -253,6 +304,9 @@ def _visibility_kernel(
                 jnp.ones((HB, tile_w), jnp.float32),
                 jnp.zeros((HB, tile_w), jnp.int32),
             )
+
+        state0 = tuple(
+            layer0(h) + layer0(h) if peel2 else layer0(h)
             for h in range(halves)
         )
 
@@ -351,9 +405,12 @@ def _visibility_kernel(
         # DMAs) is skipped.  Deadness is monotone, so the carried ``alive`` flag
         # also gates the waits (a DMA is only waited on if it was started).
         def tile_zmax(st):
+            # peel2: the exit bound must admit entries that could still enter
+            # LAYER 2 (z2 >= z1 everywhere), so the threshold is max over z2
+            zi = 7 if peel2 else 0
             m = None
             for h in range(halves):
-                mh = jnp.max(st[h][0])
+                mh = jnp.max(st[h][zi])
                 m = mh if m is None else jnp.maximum(m, mh)
             return m
 
@@ -503,7 +560,7 @@ def _visibility_kernel(
             )
 
         for h in range(halves):
-            zbuf, owner, obuf, uwb, vwb, iwb, texb = state[h]
+            zbuf, owner, obuf, uwb, vwb, iwb, texb = state[h][:7]
             sl = slice(_ts * tile_h + h * HB, _ts * tile_h + (h + 1) * HB)
             owner_ref[sl, :] = owner
             z_ref[sl, :] = zbuf
@@ -512,6 +569,15 @@ def _visibility_kernel(
             vw_ref[sl, :] = vwb
             iw_ref[sl, :] = iwb
             tex_ref[sl, :] = texb
+            if peel2:
+                z2, own2, o2, uw2, vw2, iw2, tex2 = state[h][7:]
+                l2_refs[0][sl, :] = own2
+                l2_refs[1][sl, :] = z2
+                l2_refs[2][sl, :] = o2
+                l2_refs[3][sl, :] = uw2
+                l2_refs[4][sl, :] = vw2
+                l2_refs[5][sl, :] = iw2
+                l2_refs[6][sl, :] = tex2
 
 
 @functools.partial(
@@ -520,6 +586,7 @@ def _visibility_kernel(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
         "chunk", "depth_state", "interpret", "debug_counts", "packed",
         "lag2", "exit_while", "dynroll", "tiles_per_prog", "noexit",
+        "peel2",
     ),
 )
 def rasterize_visibility_pallas(
@@ -543,8 +610,12 @@ def rasterize_visibility_pallas(
     dynroll: bool = False,
     tiles_per_prog: int = 1,
     noexit: bool = False,
+    peel2: bool = False,
 ):
-    """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0).
+    """Pallas visibility resolve. Returns (VisibilityBuffer, overflow=0);
+    with peel2=True returns (VisibilityBuffer, layer2 VisibilityBuffer,
+    overflow=0) — the second-best (z, order) fragment per pixel for the
+    sequential-blend shade (ops/shade.py two-layer path).
 
     Unlike the XLA path there is no per-tile capacity (tiles stream their
     whole segment), so tile overflow cannot occur.
@@ -564,6 +635,9 @@ def rasterize_visibility_pallas(
     if tiles_per_prog > 1 and (grid_h % tiles_per_prog != 0 or debug_counts):
         raise ValueError(
             "tiles_per_prog must divide grid_h (and debug_counts needs 1)")
+    if peel2 and (packed or dynroll or debug_counts):
+        raise ValueError("peel2 does not compose with packed/dynroll/"
+                         "debug_counts")
     _check_broad_smem(binned.broad_channels_cm.shape[1],
                       "rasterize_visibility_pallas")
     if packed:
@@ -600,7 +674,7 @@ def rasterize_visibility_pallas(
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
         debug_counts=debug_counts, packed=packed, lag2=lag2,
         exit_while=exit_while, dynroll=dynroll,
-        tiles_per_prog=tiles_per_prog, noexit=noexit,
+        tiles_per_prog=tiles_per_prog, noexit=noexit, peel2=peel2,
     )
 
     tpp = tiles_per_prog
@@ -619,7 +693,7 @@ def rasterize_visibility_pallas(
         out_specs=[
             pl.BlockSpec((tile_h * tpp, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
-            for _ in range(7)
+            for _ in range(14 if peel2 else 7)
         ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
@@ -645,7 +719,7 @@ def rasterize_visibility_pallas(
             binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
         )
 
-    owner, z, order, uw, vw, iw, tex, *nvis = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # tiles are independent: let Mosaic split the grid across the
@@ -661,8 +735,9 @@ def rasterize_visibility_pallas(
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-        ] + ([jax.ShapeDtypeStruct((grid_h, grid_w), jnp.int32)]
-             if debug_counts else []),
+        ] * (2 if peel2 else 1)
+        + ([jax.ShapeDtypeStruct((grid_h, grid_w), jnp.int32)]
+           if debug_counts else []),
         interpret=interpret,
     )(
         binned.tile_start,
@@ -674,15 +749,21 @@ def rasterize_visibility_pallas(
         depth0,
     )
 
-    vis = VisibilityBuffer(
-        owner=owner[:fb_h, :fb_w],
-        depth=z[:fb_h, :fb_w],
-        order=order[:fb_h, :fb_w],
-        uw=uw[:fb_h, :fb_w],
-        vw=vw[:fb_h, :fb_w],
-        iw=iw[:fb_h, :fb_w],
-        tex=tex[:fb_h, :fb_w],
-    )
+    def crop_vis(owner, z, order, uw, vw, iw, tex):
+        return VisibilityBuffer(
+            owner=owner[:fb_h, :fb_w],
+            depth=z[:fb_h, :fb_w],
+            order=order[:fb_h, :fb_w],
+            uw=uw[:fb_h, :fb_w],
+            vw=vw[:fb_h, :fb_w],
+            iw=iw[:fb_h, :fb_w],
+            tex=tex[:fb_h, :fb_w],
+        )
+
+    vis = crop_vis(*outs[:7])
+    nvis = list(outs[14 if peel2 else 7:])
+    if peel2:
+        return vis, crop_vis(*outs[7:14]), jnp.zeros((), jnp.int32)
     if debug_counts:
         return vis, jnp.zeros((), jnp.int32), nvis[0]
     return vis, jnp.zeros((), jnp.int32)

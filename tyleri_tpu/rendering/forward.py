@@ -425,18 +425,22 @@ class ForwardRenderingFunction:
                 "LESS_OR_EQUAL); frames will use the slower XLA tile path",
                 debug.MessageType.PERFORMANCE,
             )
-        if not exact and self.mesh_state.blend.enable:
+        if (not exact and self.mesh_state.blend.enable
+                and not self.plan.raster.peel2):
             # ADVICE r1: the visibility path blends only the final visible
             # fragment against the pre-pass framebuffer; order-dependent
             # blends with overdraw deviate from per-fragment sequential
-            # blending (use exact=True for parity-critical rendering)
+            # blending.  RasterPlan.peel2 recovers it to within the third
+            # layer (<1 u8 for the mesh blend); exact=True reproduces it
+            # fully.
             render_device.debug_messenger.emit(
                 debug.Severity.WARNING,
                 "blend-order-deviation",
                 "order-dependent color blend on the visibility path: only "
                 "the final visible fragment is blended; overlapping "
                 "fragments that each pass the depth test would accumulate "
-                "differently (exact mode reproduces per-fragment blending)",
+                "differently (enable plan.peel2 for two-layer sequential "
+                "blending, or exact mode for full per-fragment parity)",
                 debug.MessageType.PERFORMANCE,
             )
 

@@ -92,6 +92,13 @@ class RasterPlan:
     # the gate's per-chunk serialization can cost more than the skipped
     # entries save (round-3 standalone: exit-free 43.8 ms vs 47.6)
     noexit: bool = False
+    # two-layer depth peel (Pallas path): the kernel carries the top-2
+    # (z, order) fragments per pixel and the deferred shade applies the
+    # blend equation over layer2-then-layer1 — per-fragment sequential
+    # blending (ref common_pipeline.rs:117-131) to within the third
+    # layer's contribution, which the SrcColor/OneMinusDstColor mesh
+    # blend damps geometrically (validate: tools/measure_blend_deviation)
+    peel2: bool = False
     # vertically-adjacent tiles resolved per grid program (divides the
     # per-program fixed cost — measured ~10 us/program on empty segments);
     # must divide grid_h or it silently falls back to 1
@@ -150,6 +157,9 @@ class RasterPlan:
         if os.environ.get("TYLERI_NOEXIT"):
             kw.setdefault("noexit",
                           os.environ["TYLERI_NOEXIT"] not in ("0", ""))
+        if os.environ.get("TYLERI_PEEL2"):
+            kw.setdefault("peel2",
+                          os.environ["TYLERI_PEEL2"] not in ("0", ""))
         if jax.default_backend() == "tpu":
             kw.setdefault("tile_w", 128)
             # 16 rows: with the ROW-major entry table (contiguous SMEM
@@ -364,7 +374,8 @@ def _raster_binned(
     extra=None, lit_params=None,
 ):
     use_pallas = _use_pallas(plan, state)
-    packed = bool(plan.packed_entries) and use_pallas
+    peel2 = bool(plan.peel2) and use_pallas and not plan.dynroll
+    packed = bool(plan.packed_entries) and use_pallas and not peel2
     binned = bin_triangles(
         su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
@@ -375,13 +386,14 @@ def _raster_binned(
         valid_cap=plan.valid_cap,
         packed=packed,
     )
+    vis2 = None
     if use_pallas:
         import jax
 
         from tyleri_tpu.ops.binning import PACK
         from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
 
-        vis, tile_overflow = rasterize_visibility_pallas(
+        out = rasterize_visibility_pallas(
             binned, depth, scissor,
             fb_w=plan.fb_w, fb_h=plan.fb_h,
             tile_w=plan.tile_w, tile_h=plan.tile_h,
@@ -394,10 +406,15 @@ def _raster_binned(
             exit_while=bool(plan.exit_while),
             dynroll=bool(plan.dynroll),
             noexit=bool(plan.noexit),
+            peel2=peel2,
             tiles_per_prog=(plan.tiles_per_prog
                             if plan.grid_h % plan.tiles_per_prog == 0
                             else 1),
         )
+        if peel2:
+            vis, vis2, tile_overflow = out
+        else:
+            vis, tile_overflow = out
     else:
         vis, tile_overflow = rasterize_visibility(
             binned, depth, scissor,
@@ -412,6 +429,14 @@ def _raster_binned(
         light, inv_vp, eye = lit_params
         combined = jnp.concatenate([binned.entry_extra, binned.broad_extra])
         lit = (combined, light, inv_vp, eye, viewport)
+    if vis2 is not None:
+        # sequential-blend recovery: the deeper layer blends into the
+        # incoming framebuffer first, then the visible layer over it —
+        # the last two steps of the true per-fragment blend chain
+        color = shade_visibility(
+            vis2, texels, tex_offset, tex_width, tex_height, state.blend,
+            color, lit=lit, aniso_taps=plan.aniso_taps,
+        )
     color = shade_visibility(
         vis, texels, tex_offset, tex_width, tex_height, state.blend, color,
         lit=lit, aniso_taps=plan.aniso_taps,
