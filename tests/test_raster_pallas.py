@@ -305,17 +305,6 @@ def test_early_exit_skips_occluded_entries():
     assert visits <= 256, f"early exit dead: visited {visits} of {T}"
 
 
-def test_pallas_packed_entries_match_xla():
-    """plan.packed_entries: the 5-entries-per-row table must render
-    identically to the XLA path (and to the unpacked kernel)."""
-    rng = np.random.default_rng(91)
-    clip, uv = random_scene(rng, T=64)
-    c_ref, d_ref = run(clip, uv, pallas=False)
-    c_pk, d_pk = run(clip, uv, pallas=True,
-                     plan_kw=dict(packed_entries=True))
-    np.testing.assert_array_equal(d_pk, d_ref)
-    np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
-
 
 @pytest.mark.parametrize("tpp", [2, 4])
 def test_pallas_tiles_per_prog_matches_xla(tpp):
@@ -330,23 +319,11 @@ def test_pallas_tiles_per_prog_matches_xla(tpp):
     np.testing.assert_allclose(c_mt, c_ref, atol=1e-6)
 
 
-@pytest.mark.parametrize("kw", [dict(dynroll=True),
-                                dict(dynroll=True, packed_entries=True)])
-def test_pallas_dynroll_matches_xla(kw):
-    """plan.dynroll (VMEM dynamic-sublane coefficient slices), alone and
-    composed with the packed table, must render identically to the XLA
-    path."""
-    rng = np.random.default_rng(92)
-    clip, uv = random_scene(rng, T=64)
-    c_ref, d_ref = run(clip, uv, pallas=False)
-    c_dr, d_dr = run(clip, uv, pallas=True, plan_kw=kw)
-    np.testing.assert_array_equal(d_dr, d_ref)
-    np.testing.assert_allclose(c_dr, c_ref, atol=1e-6)
 
-
-def test_pallas_packed_broad_and_cap_pressure():
-    """packed mode with a broad triangle + a segment pressing entry_cap
-    (clamped windows re-cover; entry_cap not a PACK multiple)."""
+def test_pallas_broad_and_cap_pressure():
+    """A broad triangle + a segment pressing against a tight entry_cap:
+    the last chunk window clamps against e_cap and re-covers processed
+    entries (idempotent under the associative resolve)."""
     rng = np.random.default_rng(17)
     T = 40
     xy = rng.uniform(-1, -0.1, size=(T, 3, 2))
@@ -360,11 +337,10 @@ def test_pallas_packed_broad_and_cap_pressure():
                    np.float32)
     clip = np.concatenate([big, clip], 0)
     uv = rng.random((T + 1, 3, 2)).astype(np.float32)
-    kw = dict(entry_cap=126, cap_per_tile=128, spill_cap=128,
+    kw = dict(entry_cap=128, cap_per_tile=128, spill_cap=128,
               max_tiles_per_tri=2, broad_cap=8)
     c_ref, d_ref = run(clip, uv, pallas=False, plan_kw=kw)
-    c_pk, d_pk = run(clip, uv, pallas=True,
-                     plan_kw=dict(packed_entries=True, **kw))
+    c_pk, d_pk = run(clip, uv, pallas=True, plan_kw=kw)
     np.testing.assert_array_equal(d_pk, d_ref)
     np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
 
@@ -389,8 +365,7 @@ def occlusion_scene(rng, n_far=96):
 
 @pytest.mark.parametrize("kw", [dict(exit_lag2=True),
                                 dict(exit_while=True),
-                                dict(noexit=True),
-                                dict(noexit=True, packed_entries=True)])
+                                dict(noexit=True)])
 def test_pallas_exit_variants_match_xla(kw):
     """plan.exit_lag2 (threshold published one chunk late) and
     plan.exit_while (while-loop chunk structure) are pure scheduling
@@ -404,72 +379,6 @@ def test_pallas_exit_variants_match_xla(kw):
         np.testing.assert_allclose(c_v, c_ref, atol=1e-6)
 
 
-def test_pallas_all4_combo_matches_xla():
-    """The 'all4' A/B candidate (packed + dynroll + while + tpp4) — any
-    combo bench.py may auto-apply as the measured winner must hold the
-    pixel contract."""
-    rng = np.random.default_rng(95)
-    kw = dict(packed_entries=True, dynroll=True, exit_while=True,
-              tiles_per_prog=4)
-    for clip, uv in (random_scene(rng, T=64), occlusion_scene(rng)):
-        c_ref, d_ref = run(clip, uv, pallas=False)
-        c_v, d_v = run(clip, uv, pallas=True, plan_kw=kw)
-        np.testing.assert_array_equal(d_v, d_ref)
-        np.testing.assert_allclose(c_v, c_ref, atol=1e-6)
-
-
-def test_pallas_packed_lit_broad_owner_ids():
-    """Owner-id regression: in packed mode the broad owner base must be the
-    LOGICAL entry_cap (what the lit path's concat(entry_extra, broad_extra)
-    table uses), not the packed row count (entry_packed.shape[0]) nor the
-    1-row entry_channels dummy — both collide with narrow entry indices and
-    make the lit shade read the wrong normal planes."""
-    rng = np.random.default_rng(41)
-    clip, uv = random_scene(rng, T=24)
-    # a huge near-fullscreen triangle -> broad list; behind the narrows so
-    # both owner spaces win pixels in the same frame
-    big = np.array([[[-4, -4, 0.97, 1], [4, -4, 0.97, 1], [0, 4, 0.97, 1]]],
-                   np.float32)
-    clip = np.concatenate([clip, big], 0)
-    uv = np.concatenate([uv, rng.random((1, 3, 2)).astype(np.float32)], 0)
-    T = clip.shape[0]
-    n = rng.normal(size=(T, 3, 3))
-    n /= np.linalg.norm(n, axis=-1, keepdims=True)
-    from tyleri_tpu.scene.light import DirectionalLight
-
-    light = DirectionalLight(direction=(0.3, -1.0, -0.5))
-    lit = (jnp.asarray(light.as_array()),
-           jnp.asarray(np.eye(4, dtype=np.float32)),
-           jnp.asarray([0.0, 0.0, 3.0], jnp.float32))
-
-    def run_lit(pallas, plan_kw=None):
-        kw = dict(entry_cap=1024, cap_per_tile=512, chunk=128,
-                  max_tiles_per_tri=2, broad_cap=32)
-        kw.update(plan_kw or {})
-        plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8,
-                                 pallas=pallas, **kw)
-        texels = jnp.ones((4, 16), jnp.float32)
-        meta = (jnp.zeros((1,), jnp.int32), jnp.full((1,), 2, jnp.int32),
-                jnp.full((1,), 2, jnp.int32))
-        color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
-        depth = jnp.ones((FB_H, FB_W), jnp.float32)
-        color, depth, _, _ = passes.mesh_pass(
-            plan, FLAT, color, depth,
-            jnp.asarray(clip), jnp.asarray(uv),
-            jnp.zeros((T,), jnp.int32), jnp.ones((T,), bool),
-            Viewport(0, 0, FB_W, FB_H).as_array(),
-            Rect2D(0, 0, FB_W, FB_H).as_array(),
-            texels, *meta,
-            normals=jnp.asarray(n, jnp.float32), lit_params=lit)
-        return np.asarray(color), np.asarray(depth)
-
-    c_ref, d_ref = run_lit(False)
-    assert (np.asarray(d_ref) < 1.0).all(), "broad must cover the frame"
-    for kw in (dict(packed_entries=True),
-               dict(packed_entries=True, dynroll=True)):
-        c_pk, d_pk = run_lit(True, kw)
-        np.testing.assert_array_equal(d_pk, d_ref)
-        np.testing.assert_allclose(c_pk, c_ref, atol=1e-6)
 
 
 def _stack_scene(n_layers=3):

@@ -1,6 +1,6 @@
 """A/B the production plan flags on config5 in ONE TPU client.
 
-The env knobs (TYLERI_PACKED / TYLERI_LAG2 / TYLERI_WHILE) are read at
+The env knobs (TYLERI_LAG2 / TYLERI_WHILE / TYLERI_PEEL2 / ...) are read at
 plan-construction time (passes.RasterPlan.for_scene), so flipping
 os.environ between RenderWindow constructions gives each combo its own
 plan without new processes — one client, many executables, all cached.
@@ -18,21 +18,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KNOBS = ("TYLERI_PACKED", "TYLERI_LAG2", "TYLERI_WHILE",
-         "TYLERI_DYNROLL", "TYLERI_TPP", "TYLERI_NOEXIT")
+KNOBS = ("TYLERI_LAG2", "TYLERI_WHILE", "TYLERI_TPP", "TYLERI_NOEXIT",
+         "TYLERI_PEEL2")
 COMBOS = {
     "base": {},
-    "packed": {"TYLERI_PACKED": "1"},
     "while": {"TYLERI_WHILE": "1"},
-    "packed+while": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1"},
     "lag2": {"TYLERI_LAG2": "1"},
-    "packed+lag2": {"TYLERI_PACKED": "1", "TYLERI_LAG2": "1"},
     "tpp2": {"TYLERI_TPP": "2"},
     "tpp4": {"TYLERI_TPP": "4"},
-    "packed+while+tpp4": {"TYLERI_PACKED": "1", "TYLERI_WHILE": "1",
-                          "TYLERI_TPP": "4"},
     "noexit": {"TYLERI_NOEXIT": "1"},
-    "noexit+packed": {"TYLERI_NOEXIT": "1", "TYLERI_PACKED": "1"},
+    "peel2": {"TYLERI_PEEL2": "1"},
 }
 
 

@@ -10,10 +10,8 @@ it bit-exactly — the same contract the production TPU path promises
     python tools/fuzz_backends.py [n_iters] [seed0]
 
 Prints one line per case; exits nonzero on the first mismatch with a repro
-line.  Caps are sized generously for cells-mode cases (cells bins at cell
-granularity, so overflow-truncation order differs legitimately from the
-tile-grid path); tight-cap cases run on the shared-binning variants where
-drops are identical by construction.
+line.  Tight-cap cases run on shared-binning variants where drops are
+identical by construction.
 """
 
 import os
@@ -166,22 +164,6 @@ def _state(le=True, cull=CullMode.NONE, ff=FrontFace.COUNTER_CLOCKWISE):
     )
 
 
-def _serial(tile_h=16, **flags):
-    kw = dict(tile_w=128, tile_h=tile_h, chunk=128, pallas=True,
-              entry_cap=1024, cap_per_tile=512, spill_cap=1024,
-              max_tiles_per_tri=8, broad_cap=16)
-    kw.update(flags)
-    return kw
-
-
-def _cells(tile_h=16):
-    # generous caps: cells-mode truncation order differs legitimately
-    return dict(tile_w=128, tile_h=tile_h, chunk=128, pallas=True,
-                entry_cap=4096, cap_per_tile=1024, spill_cap=4096,
-                max_tiles_per_tri=16, broad_cap=32, med_cap=256,
-                med_entry_cap=1024, med_spill_cap=512, cells=True)
-
-
 # fixed (plan, state) pool: every case reuses one of these executables
 # (a fresh plan/state per case would pay a fresh XLA compile per case)
 POOL = [
@@ -189,15 +171,12 @@ POOL = [
     (_serial(), _state(le=False)),
     (_serial(tile_h=8, entry_cap=512, max_tiles_per_tri=2, broad_cap=8),
      _state()),
-    (_serial(packed_entries=True), _state()),
-    (_serial(packed_entries=True, dynroll=True), _state(le=False)),
-    (_serial(dynroll=True, exit_while=True), _state()),
     (_serial(exit_lag2=True, tiles_per_prog=2), _state()),
-    (_serial(packed_entries=True, dynroll=True, exit_while=True,
-             tiles_per_prog=4), _state()),
+    (_serial(exit_while=True, tiles_per_prog=4), _state()),
+    (_serial(noexit=True), _state()),
+    (_serial(peel2=True), _state()),
     (_serial(), _state(cull=CullMode.BACK)),
-    (_serial(packed_entries=True),
-     _state(cull=CullMode.FRONT, ff=FrontFace.CLOCKWISE)),
+    (_serial(tile_h=8), _state(cull=CullMode.FRONT, ff=FrontFace.CLOCKWISE)),
 ]
 
 
@@ -233,7 +212,6 @@ def one_case(seed):
     rng = np.random.default_rng(seed)
     clip, uv = random_scene(rng)
     plan_kw, state = POOL[seed % len(POOL)]
-    cells_ok = False
     if rng.random() < 0.3:
         sx = int(rng.integers(0, 64))
         sy = int(rng.integers(0, 24))
@@ -243,20 +221,13 @@ def one_case(seed):
         scissor = [0, 0, FBW, FBH]
 
     ref_kw = dict(plan_kw)
-    for k in ("packed_entries", "dynroll", "exit_while", "exit_lag2",
+    for k in ("exit_while", "exit_lag2",
               "tiles_per_prog"):
         ref_kw.pop(k, None)
     ref_kw["pallas"] = False
     c_ref, d_ref, st_ref = render(clip, uv, state, ref_kw, scissor)
 
-    if cells_ok and int(np.asarray(st_ref.bin_overflow)) > 0:
-        # tile-grid overflow: cells mode may keep entries the reference
-        # dropped; not a comparable case
-        return "skip-overflow"
-
     c_v, d_v, st_v = render(clip, uv, state, plan_kw, scissor)
-    if cells_ok and int(np.asarray(st_v.bin_overflow)) > 0:
-        return "skip-overflow"
     if not np.array_equal(d_v, d_ref):
         bad = np.argwhere(d_v != d_ref)
         raise AssertionError(
@@ -266,7 +237,7 @@ def one_case(seed):
         bad = np.argwhere(np.abs(c_v - c_ref).max(-1) > 1e-6)
         raise AssertionError(
             f"color mismatch seed={seed} plan={plan_kw} at {bad[:4]}")
-    return f"ok T={clip.shape[0]} {'cells' if cells_ok else 'serial'}"
+    return f"ok T={clip.shape[0]} serial"
 
 
 def main():

@@ -42,7 +42,7 @@ def step(name, fn):
         log(f"==== {name} FAILED (continuing) ====")
 
 
-NAMES = ["base", "noexit", "noexit+packed", "packed", "packed+while"]
+NAMES = ["base", "peel2", "noexit"]
 AB_RESULTS = {}
 VARIANT_OK = {}
 
@@ -92,14 +92,12 @@ def variant_probe():
     def flags_to_plan_kw(env):
         kw = dict(tile_w=128, tile_h=16, chunk=128, entry_cap=1024,
                   cap_per_tile=512, spill_cap=1024, pallas=True)
-        if env.get("TYLERI_PACKED"):
-            kw["packed_entries"] = True
         if env.get("TYLERI_LAG2"):
             kw["exit_lag2"] = True
         if env.get("TYLERI_WHILE"):
             kw["exit_while"] = True
-        if env.get("TYLERI_DYNROLL"):
-            kw["dynroll"] = True
+        if env.get("TYLERI_PEEL2"):
+            kw["peel2"] = True
         if env.get("TYLERI_TPP"):
             kw["tiles_per_prog"] = int(env["TYLERI_TPP"])
         if env.get("TYLERI_NOEXIT"):

@@ -59,11 +59,6 @@ class BinnedEntries(NamedTuple):
     # interpolation planes) gathered with the same permutations
     entry_extra: jax.Array = None     # f32 [E_cap, K]
     broad_extra: jax.Array = None     # f32 [B_cap, K]
-    # packed entry table (packed=True): PACK entries per 128-lane row, each
-    # 24 channels at lane offset 24*u — replaces entry_channels for the
-    # Pallas kernel, writing [E/PACK, 128] (~5x less HBM than the
-    # lane-padded [E, 128]) and shrinking its chunk DMAs 5x
-    entry_packed: jax.Array = None    # f32 [E_cap/PACK + slack, 128]
     dense_demand: jax.Array = None    # i32 [] live narrow triangles
                                       # (pre-cap dense-slot demand; drives
                                       # the adaptive valid_cap shrink)
@@ -74,12 +69,6 @@ class BinnedEntries(NamedTuple):
 # scount >= 1, 2, 4, 8, 16 are ~13%, 4%, 1.5%, 0.5%, 0.2% of the table;
 # fractions carry ~1.2x headroom over those at the default spill_cap).
 _LEVEL_FRACS = (0.6, 0.2, 0.08, 0.03, 0.012)
-
-# entries per 128-lane packed row (24 channels each, lanes 0..119 live)
-PACK = 5
-# leading-dim slack rows appended to the packed table so the kernel's
-# fixed-size row windows can clamp without re-reading live rows
-PACK_SLACK = 32
 
 
 def _level_caps(spill_cap: int, K: int, fracs=_LEVEL_FRACS) -> list[int]:
@@ -119,9 +108,6 @@ def bin_triangles(
     valid_cap: int = 0,   # dense slots for live narrow triangles (0 = T):
                           # culled/invalid rows beyond it stop riding the
                           # big sort + channel gather as dead weight
-    packed: bool = False,  # emit entry_packed (PACK entries / 128-lane row)
-                           # instead of entry_channels — Pallas-kernel-only
-                           # consumers (the XLA path needs row entries)
 ) -> BinnedEntries:
     T = setup.valid.shape[0]
     ntiles = grid_w * grid_h
@@ -294,23 +280,7 @@ def bin_triangles(
     # zeroed: every consumer masks by liveness (the Pallas kernel by the
     # [start, end) window, the XLA path by its tile lists), and the masking
     # pass would cost a full extra read+write of the table.
-    if packed:
-        # PACK interleaved gathers + lane concat: row r holds entries
-        # PACK*r+u at lane offset 24*u.  The fusion writes [E/PACK, 128]
-        # with every lane live — ~5x less HBM than the lane-padded [E, 128]
-        # twin the unpacked kernel consumes.  Entries past entry_cap are
-        # index-0 padding; they sit beyond every tile segment's [start, end)
-        # so the kernel's liveness mask never resolves them.
-        e_pad = -(-entry_cap // PACK) * PACK - entry_cap
-        ids = jnp.pad(entry_tri, (0, e_pad)) if e_pad else entry_tri
-        cols = [setup.channels[ids[u::PACK]] for u in range(PACK)]
-        ep = jnp.concatenate(cols, axis=1)            # [E/PACK, 120]
-        ep = jnp.pad(ep, ((0, PACK_SLACK), (0, 128 - PACK * S.NUM_CHANNELS)))
-        entry_packed = ep
-        entry_channels = jnp.zeros((1, S.NUM_CHANNELS), jnp.float32)
-    else:
-        entry_packed = None
-        entry_channels = setup.channels[entry_tri]
+    entry_channels = setup.channels[entry_tri]
     entry_extra = extra[entry_tri] if extra is not None else None
 
     # Broad (huge) triangles: dense side list, every covered tile scans it.
@@ -336,7 +306,6 @@ def bin_triangles(
 
     return BinnedEntries(
         entry_channels=entry_channels,
-        entry_packed=entry_packed,
         entry_tile=entry_tile,
         tile_start=tile_start,
         num_entries=jnp.minimum(live_placed, entry_cap).astype(jnp.int32),

@@ -106,20 +106,13 @@ def _visibility_kernel(
     chunk: int,
     e_cap: int,
     owner_base: int,   # LOGICAL entry-table length: broad owner j maps to
-                       # owner_base + j (in packed mode e_cap counts packed
-                       # ROWS, which must not leak into owner ids — shade
-                       # and the lit path index concat(entry, broad) tables)
+                       # owner_base + j (shade and the lit path index
+                       # concat(entry, broad) tables)
     depth_state: DepthState,
     le: bool,
     debug_counts: bool = False,
-    packed: bool = False,
     lag2: bool = False,
     exit_while: bool = False,
-    dynroll: bool = False,   # stage chunks in VMEM and read coefficients
-                             # via one dynamic [UNROLL, 128] sublane slice
-                             # per unroll group + static [1, 1] element
-                             # broadcasts, instead of ~23 SMEM scalar
-                             # loads per entry (measured ~70% of runtime)
     tiles_per_prog: int = 1,  # independent (tile_h, tile_w) tiles resolved
                               # sequentially per grid program: divides the
                               # per-program fixed cost (prologue, output
@@ -143,14 +136,7 @@ def _visibility_kernel(
         nvis_ref, *scr = rest
     else:
         scr = list(rest)
-    if dynroll:
-        ebuf, zsm, sem, zsem = scr
-    else:
-        ebuf, sem = scr
-    if packed:
-        from tyleri_tpu.ops.binning import PACK
-        rows_win = chunk // PACK
-        e_rows = e_cap  # packed mode: e_cap is the packed table's row count
+    ebuf, sem = scr
     gy0 = pl.program_id(0)
     gx = pl.program_id(1)
     # sub-tile loop: each grid program resolves tiles_per_prog
@@ -318,81 +304,23 @@ def _visibility_kernel(
         # clamp against e_cap and re-cover processed entries; re-processing is
         # idempotent under the associative (z, order) resolve.
         #
-        # packed mode: windows cover whole PACKED ROWS (PACK entries each) so
-        # every entry's 24 coefficient lane offsets are STATIC under the
-        # PACK-wide unroll; up to PACK-1 dead lead entries mask out.
-        if packed:
-            r0 = start // PACK
-            e_base0 = r0 * PACK
-            nchunks = jnp.where(end > start, pl.cdiv(end - e_base0, chunk), 0)
+        nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
 
-            def win_rows(k):
-                return jnp.minimum(r0 + k * rows_win, e_rows - rows_win)
+        def chunk_slice(k):
+            return jnp.minimum(start + k * chunk, e_cap - chunk)
 
-            def chunk_slice(k):
-                # first ENTRY covered by window k's buffer
-                return win_rows(k) * PACK
-
-            if dynroll:
-                # VMEM packed rows (vector [1,128] coefficient slices) +
-                # the gate entry's packed row staged into SMEM (dynamic
-                # LANE indexing is an SMEM-only access)
-                def start_dma(slot, k):
-                    grow = jnp.maximum(start, chunk_slice(k)) // PACK
-                    return [
-                        pltpu.make_async_copy(
-                            entries_ref.at[pl.ds(win_rows(k), rows_win), :],
-                            ebuf.at[slot], sem.at[slot]),
-                        pltpu.make_async_copy(
-                            entries_ref.at[pl.ds(grow, 1), :],
-                            zsm.at[slot], zsem.at[slot]),
-                    ]
-            else:
-                def start_dma(slot, k):
-                    return pltpu.make_async_copy(
-                        entries_ref.at[pl.ds(win_rows(k), rows_win), :],
-                        ebuf.at[slot],
-                        sem.at[slot],
-                    )
-        else:
-            nchunks = jnp.where(end > start, pl.cdiv(end - start, chunk), 0)
-
-            def chunk_slice(k):
-                return jnp.minimum(start + k * chunk, e_cap - chunk)
-
-            if dynroll:
-                # ebuf lives in VMEM for the vector coefficient slices, but
-                # the exit gate needs ONE SCALAR (the first unprocessed
-                # entry's CH_ZMIN) — stage that row into SMEM alongside
-                # (dynamic scalar indexing of VMEM sublanes is not a
-                # supported Mosaic access)
-                def start_dma(slot, k):
-                    row = jnp.maximum(start, chunk_slice(k))
-                    return [
-                        pltpu.make_async_copy(
-                            entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
-                            ebuf.at[slot], sem.at[slot]),
-                        pltpu.make_async_copy(
-                            entries_ref.at[pl.ds(row, 1), :],
-                            zsm.at[slot], zsem.at[slot]),
-                    ]
-            else:
-                def start_dma(slot, k):
-                    return pltpu.make_async_copy(
-                        entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
-                        ebuf.at[slot],
-                        sem.at[slot],
-                    )
+        def start_dma(slot, k):
+            return pltpu.make_async_copy(
+                entries_ref.at[pl.ds(chunk_slice(k), chunk), :],
+                ebuf.at[slot],
+                sem.at[slot],
+            )
 
         def dma_start(slot, k):
-            c = start_dma(slot, k)
-            for x in (c if isinstance(c, list) else [c]):
-                x.start()
+            start_dma(slot, k).start()
 
         def dma_wait(slot, k):
-            c = start_dma(slot, k)
-            for x in (c if isinstance(c, list) else [c]):
-                x.wait()
+            start_dma(slot, k).wait()
 
         @pl.when(nchunks > 0)
         def _():
@@ -436,18 +364,7 @@ def _visibility_kernel(
                 # the gate more conservative); ascending zmin makes it the
                 # window's live min
                 idx0 = jnp.maximum(start - s, 0)
-                if packed and dynroll:
-                    zmin0 = zsm[slot, 0,
-                                24 * jax.lax.rem(idx0, PACK)
-                                + S.CH_ZMIN] * inv_q
-                elif packed:
-                    zmin0 = ebuf[slot, idx0 // PACK,
-                                 24 * jax.lax.rem(idx0, PACK)
-                                 + S.CH_ZMIN] * inv_q
-                elif dynroll:
-                    zmin0 = zsm[slot, 0, S.CH_ZMIN] * inv_q
-                else:
-                    zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
+                zmin0 = ebuf[slot, idx0, S.CH_ZMIN] * inv_q
                 proceed = alive & (zmin0 <= thresh)
 
             @pl.when(proceed & (k + 1 < nchunks))
@@ -460,38 +377,15 @@ def _visibility_kernel(
 
             # 4-entry unroll: cuts loop overhead and lets later entries' SMEM
             # scalar loads overlap earlier entries' vector work (measured best
-            # of 2/4/8 at 16-row tiles with the row-major table).  packed mode
-            # unrolls by PACK so each entry's lane offset is static.
-            UNROLL = PACK if packed else 4
-
-            def bc_lane(v):
-                # [1, 1] -> [1, tile_w] lane broadcast.  Mosaic has no
-                # combined sublane+lane broadcast ("Not implemented:
-                # Broadcast in both sublanes and lanes") and its replicated-
-                # layout inference folds a bare broadcast_in_dim chain back
-                # into that NYI form — the +0.0 forces a real [1, tile_w]
-                # vreg (MLIR only folds addf(x, -0.0), never +0.0, because
-                # -0.0 + 0.0 == +0.0), leaving the consuming ops a
-                # supported sublane-only replication.
-                return v + jnp.zeros((1, tile_w), jnp.float32)
+            # of 2/4/8 at 16-row tiles with the row-major table)
+            UNROLL = 4
 
             def entry_body(jj, inner):
                 j = jj * UNROLL
                 idx = s + j
-                if dynroll and packed:
-                    g = ebuf[slot, pl.ds(jj, 1), :]      # [1, 128]: PACK entries
-                elif dynroll:
-                    g = ebuf[slot, pl.ds(j, UNROLL), :]  # [UNROLL, 128] vregs
                 for u in range(UNROLL):
                     live_u = (idx + u >= start) & (idx + u < end)
-                    if packed and dynroll:
-                        c_u = lambda row, u=u: bc_lane(g[0:1, 24 * u + row:24 * u + row + 1])  # noqa: E731
-                    elif packed:
-                        c_u = lambda row, u=u: ebuf[slot, jj, 24 * u + row]  # noqa: E731
-                    elif dynroll:
-                        c_u = lambda row, u=u: bc_lane(g[u:u + 1, row:row + 1])  # noqa: E731
-                    else:
-                        c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
+                    c_u = lambda row, u=u: ebuf[slot, j + u, row]  # noqa: E731
                     inner = resolve_entry(c_u, idx + u, live_u, inner)
                 return inner
 
@@ -584,8 +478,8 @@ def _visibility_kernel(
     jax.jit,
     static_argnames=(
         "fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
-        "chunk", "depth_state", "interpret", "debug_counts", "packed",
-        "lag2", "exit_while", "dynroll", "tiles_per_prog", "noexit",
+        "chunk", "depth_state", "interpret", "debug_counts",
+        "lag2", "exit_while", "tiles_per_prog", "noexit",
         "peel2",
     ),
 )
@@ -604,10 +498,8 @@ def rasterize_visibility_pallas(
     depth_state: DepthState,
     interpret: bool = False,
     debug_counts: bool = False,
-    packed: bool = False,
     lag2: bool = False,
     exit_while: bool = False,
-    dynroll: bool = False,
     tiles_per_prog: int = 1,
     noexit: bool = False,
     peel2: bool = False,
@@ -635,25 +527,14 @@ def rasterize_visibility_pallas(
     if tiles_per_prog > 1 and (grid_h % tiles_per_prog != 0 or debug_counts):
         raise ValueError(
             "tiles_per_prog must divide grid_h (and debug_counts needs 1)")
-    if peel2 and (packed or dynroll or debug_counts):
-        raise ValueError("peel2 does not compose with packed/dynroll/"
-                         "debug_counts")
+    if peel2 and debug_counts:
+        raise ValueError("peel2 does not compose with debug_counts")
     _check_broad_smem(binned.broad_channels_cm.shape[1],
                       "rasterize_visibility_pallas")
-    if packed:
-        from tyleri_tpu.ops.binning import PACK
-        if binned.entry_packed is None:
-            raise ValueError("packed=True needs bin_triangles(packed=True)")
-        if chunk % PACK != 0:
-            raise ValueError(f"packed chunk {chunk} must be a PACK multiple")
-        e_cap = binned.entry_packed.shape[0]  # packed table ROW count
-        if binned.entry_packed.shape[0] * PACK < chunk:
-            raise ValueError("packed table smaller than one window")
-    else:
-        e_cap = binned.entry_channels.shape[0]
-        if e_cap % chunk != 0:
-            raise ValueError(
-                f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
+    e_cap = binned.entry_channels.shape[0]
+    if e_cap % chunk != 0:
+        raise ValueError(
+            f"entry_cap {e_cap} must be a multiple of chunk {chunk}")
 
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -667,13 +548,11 @@ def rasterize_visibility_pallas(
         _visibility_kernel,
         tile_w=tile_w, tile_h=tile_h, grid_w=grid_w,
         chunk=chunk, e_cap=e_cap,
-        # entry_tile is always sliced to the LOGICAL entry_cap; in packed
-        # mode entry_channels is a 1-row dummy and entry_packed counts rows,
-        # so neither is the right broad-owner base
+        # entry_tile is always sliced to the LOGICAL entry_cap
         owner_base=binned.entry_tile.shape[0], depth_state=depth_state,
         le=depth_state.compare_op == CompareOp.LESS_OR_EQUAL,
-        debug_counts=debug_counts, packed=packed, lag2=lag2,
-        exit_while=exit_while, dynroll=dynroll,
+        debug_counts=debug_counts, lag2=lag2,
+        exit_while=exit_while,
         tiles_per_prog=tiles_per_prog, noexit=noexit, peel2=peel2,
     )
 
@@ -697,27 +576,17 @@ def rasterize_visibility_pallas(
         ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
-        scratch_shapes=(
-            [pltpu.VMEM(
-                (2, chunk // PACK if packed else chunk, 128), jnp.float32),
-             pltpu.SMEM((2, 1, 128), jnp.float32),   # exit-gate zmin row
-             pltpu.SemaphoreType.DMA((2,)),
-             pltpu.SemaphoreType.DMA((2,))]
-            if dynroll else
-            [pltpu.SMEM(
-                (2, chunk // PACK if packed else chunk, 128), jnp.float32),
-             pltpu.SemaphoreType.DMA((2,))]
-        ),
+        scratch_shapes=[
+            pltpu.SMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
-    if packed:
-        entries_padded = binned.entry_packed
-    else:
-        # lane-pad to the physical 128-lane row (XLA fuses the pad into the
-        # binning gather's output write; the padded bytes exist in HBM anyway)
-        entries_padded = jnp.pad(
-            binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
-        )
+    # lane-pad to the physical 128-lane row (XLA fuses the pad into the
+    # binning gather's output write; the padded bytes exist in HBM anyway)
+    entries_padded = jnp.pad(
+        binned.entry_channels, ((0, 0), (0, 128 - S.NUM_CHANNELS))
+    )
 
     outs = pl.pallas_call(
         kernel,

@@ -68,11 +68,6 @@ class RasterPlan:
     # visibility backend: "auto" = Pallas kernel on TPU / XLA elsewhere;
     # True forces Pallas (interpret-mode off-TPU), False forces XLA
     pallas: object = "auto"
-    # packed entry table for the Pallas kernel: PACK (5) entries per
-    # 128-lane row — the binning gather writes ~5x less HBM and the kernel
-    # DMAs ~5x less per chunk, with every coefficient lane offset static.
-    # Only meaningful when the Pallas backend is selected.
-    packed_entries: bool = False
     # publish the early-exit threshold one chunk boundary late (still an
     # upper bound, so still exact): pipelines the per-chunk vector->scalar
     # zmax crossing behind a chunk of entry work at the cost of up to one
@@ -82,11 +77,6 @@ class RasterPlan:
     # front-to-back cutoff (dead chunks never iterate) instead of running
     # inert fori iterations to the segment end
     exit_while: bool = False
-    # coefficient access: VMEM chunk staging + one dynamic sublane slice
-    # per unroll group + [1,1] element broadcasts, instead of ~23 SMEM
-    # scalar loads per entry; composes with packed_entries (one [1,128]
-    # slice then serves PACK entries at static lane offsets)
-    dynroll: bool = False
     # drop the front-to-back early-exit gate: no per-chunk zmin scalar
     # read, no tile-zmax vector->scalar reduce.  At high winner density
     # the gate's per-chunk serialization can cost more than the skipped
@@ -134,23 +124,16 @@ class RasterPlan:
 
         entry_cap = max(1024, 2 * tri_capacity)
         cap_per_tile = max(128, min(4096, entry_cap // 8))
-        # perf A/B knob for the packed entry table (tools/profile_*.py,
-        # bench.py): plans built through for_scene flip packed_entries
-        # without a code edit
+        # perf A/B env knobs (tools/ab_flags.py): plans built through
+        # for_scene flip kernel flags without a code edit
         import os
 
-        if os.environ.get("TYLERI_PACKED"):
-            kw.setdefault("packed_entries",
-                          os.environ["TYLERI_PACKED"] not in ("0", ""))
         if os.environ.get("TYLERI_LAG2"):
             kw.setdefault("exit_lag2",
                           os.environ["TYLERI_LAG2"] not in ("0", ""))
         if os.environ.get("TYLERI_WHILE"):
             kw.setdefault("exit_while",
                           os.environ["TYLERI_WHILE"] not in ("0", ""))
-        if os.environ.get("TYLERI_DYNROLL"):
-            kw.setdefault("dynroll",
-                          os.environ["TYLERI_DYNROLL"] not in ("0", ""))
         if os.environ.get("TYLERI_TPP"):
             kw.setdefault("tiles_per_prog",
                           max(int(os.environ["TYLERI_TPP"]), 1))
@@ -189,9 +172,7 @@ def _use_pallas(plan: RasterPlan, state: PipelineState) -> bool:
         and state.depth.compare_op in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL)
         and plan.tile_w % 128 == 0
         and plan.chunk % 128 == 0
-        # packed windows clamp against the table end instead of needing
-        # the cap to tile exactly into chunks
-        and (plan.packed_entries or plan.entry_cap % plan.chunk == 0)
+        and plan.entry_cap % plan.chunk == 0
     )
     if plan.pallas is True:
         if not supported:
@@ -374,8 +355,7 @@ def _raster_binned(
     extra=None, lit_params=None,
 ):
     use_pallas = _use_pallas(plan, state)
-    peel2 = bool(plan.peel2) and use_pallas and not plan.dynroll
-    packed = bool(plan.packed_entries) and use_pallas and not peel2
+    peel2 = bool(plan.peel2) and use_pallas
     binned = bin_triangles(
         su, extra,
         grid_w=plan.grid_w, grid_h=plan.grid_h,
@@ -384,13 +364,11 @@ def _raster_binned(
         broad_cap=plan.broad_cap,
         spill_cap=plan.spill_cap,
         valid_cap=plan.valid_cap,
-        packed=packed,
     )
     vis2 = None
     if use_pallas:
         import jax
 
-        from tyleri_tpu.ops.binning import PACK
         from tyleri_tpu.ops.raster_pallas import rasterize_visibility_pallas
 
         out = rasterize_visibility_pallas(
@@ -398,13 +376,11 @@ def _raster_binned(
             fb_w=plan.fb_w, fb_h=plan.fb_h,
             tile_w=plan.tile_w, tile_h=plan.tile_h,
             grid_w=plan.grid_w, grid_h=plan.grid_h,
-            chunk=-(-plan.chunk // PACK) * PACK if packed else plan.chunk,
+            chunk=plan.chunk,
             depth_state=state.depth,
             interpret=jax.default_backend() != "tpu",
-            packed=packed,
             lag2=bool(plan.exit_lag2),
             exit_while=bool(plan.exit_while),
-            dynroll=bool(plan.dynroll),
             noexit=bool(plan.noexit),
             peel2=peel2,
             tiles_per_prog=(plan.tiles_per_prog

@@ -185,6 +185,17 @@ class RenderWindow:
         self._stats_queue: list = []
         self._stats_lock = __import__("threading").Lock()
         self._stats_inflight = False
+        # Rate limit the drain cadence: each drain is one host<->device
+        # round trip, and on the remote tunnel an in-flight get occupies
+        # the link alongside the frame launches — draining once per frame
+        # measured 11.6 ms/frame of production-loop cost (round-4 bisect,
+        # tools/exp_loop_overhead.py: 81.3 -> 69.8 ms/frame with stats
+        # off).  Overflow reports are feedback, not per-frame outputs: a
+        # few frames of latency only delays a capacity growth, so drain at
+        # most every _stats_min_interval seconds unless the backlog
+        # exceeds two swapchain rings (memory bound, not correctness).
+        self._stats_min_interval = 0.25
+        self._stats_last_drain = 0.0
         self.frame_index = 0
         # pre-populated scenes: one available + one per in-flight image
         # (the reference pre-signals fences with fresh CBs,
@@ -307,11 +318,19 @@ class RenderWindow:
         fetches them ALL in one round trip (round-3 incident: per-frame
         serialized device_gets at ~3 s tunnel latency measured every flag
         combo at ~0.3 FPS while the frame program itself ran at 75 ms)."""
+        import time as _time
+
         with self._stats_lock:
             self._stats_queue.append(frame)
             if self._stats_inflight:
                 return
+            now = _time.monotonic()
+            backlog = len(self._stats_queue)
+            if (now - self._stats_last_drain < self._stats_min_interval
+                    and backlog < 2 * self.swapchain.image_count):
+                return  # rate-limited: flush() or a later recycle drains it
             self._stats_inflight = True
+            self._stats_last_drain = now
         self._stats_pending = [f for f in self._stats_pending if not f.done()]
         self._stats_pending.append(
             self._stats_pool.submit(self._drain_stats, device)
@@ -376,6 +395,13 @@ class RenderWindow:
         for f in self._stats_pending:
             f.result()
         self._stats_pending.clear()
+        # rate-limited leftovers: stats queued without an in-flight drain
+        # task must still be reported (never silently dropped)
+        with self._stats_lock:
+            leftovers = self._stats_queue[:]
+            self._stats_queue.clear()
+        if leftovers:
+            self._report_frames_stats(self.render_device, leftovers)
         last_idx = self.swapchain.last_acquired_image
         img = None
         drained = []
