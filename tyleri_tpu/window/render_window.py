@@ -186,15 +186,19 @@ class RenderWindow:
         self._stats_lock = __import__("threading").Lock()
         self._stats_inflight = False
         # Rate limit the drain cadence: each drain is one host<->device
-        # round trip, and on the remote tunnel an in-flight get occupies
-        # the link alongside the frame launches — draining once per frame
-        # measured 11.6 ms/frame of production-loop cost (round-4 bisect,
+        # round trip whose get also WAITS for the youngest queued frame to
+        # execute, and an in-flight get occupies the tunnel alongside the
+        # frame launches — draining once per frame measured 11.6 ms/frame
+        # of production-loop cost (round-4 bisect,
         # tools/exp_loop_overhead.py: 81.3 -> 69.8 ms/frame with stats
-        # off).  Overflow reports are feedback, not per-frame outputs: a
-        # few frames of latency only delays a capacity growth, so drain at
-        # most every _stats_min_interval seconds unless the backlog
-        # exceeds two swapchain rings (memory bound, not correctness).
-        self._stats_min_interval = 0.25
+        # off; a 0.25 s cadence with a 2-ring backlog bound recovered
+        # nothing because the bound re-forced a drain every ~4 frames).
+        # Overflow reports are feedback, not per-frame outputs: seconds of
+        # latency only delay a capacity growth, so the queue holds ONLY
+        # the 5 stat scalars per frame (the frame's big buffers are not
+        # retained) and drains fire at most once per second.
+        self._stats_min_interval = 1.0
+        self._stats_backlog_max = 256
         self._stats_last_drain = 0.0
         self.frame_index = 0
         # pre-populated scenes: one available + one per in-flight image
@@ -320,14 +324,16 @@ class RenderWindow:
         combo at ~0.3 FPS while the frame program itself ran at 75 ms)."""
         import time as _time
 
+        row = (frame.bin_overflow, frame.tile_overflow, frame.clip_overflow,
+               frame.clip_crossings, frame.bin_demand)
         with self._stats_lock:
-            self._stats_queue.append(frame)
+            self._stats_queue.append(row)
             if self._stats_inflight:
                 return
             now = _time.monotonic()
             backlog = len(self._stats_queue)
             if (now - self._stats_last_drain < self._stats_min_interval
-                    and backlog < 2 * self.swapchain.image_count):
+                    and backlog < self._stats_backlog_max):
                 return  # rate-limited: flush() or a later recycle drains it
             self._stats_inflight = True
             self._stats_last_drain = now
@@ -339,26 +345,28 @@ class RenderWindow:
     def _drain_stats(self, device) -> None:
         while True:
             with self._stats_lock:
-                frames = self._stats_queue[:]
+                rows = self._stats_queue[:]
                 self._stats_queue.clear()
-                if not frames:
+                if not rows:
                     self._stats_inflight = False
                     return
-            self._report_frames_stats(device, frames)
+            self._report_stat_rows(device, rows)
 
     def _report_frame_stats(self, device, frame) -> None:
         self._report_frames_stats(device, [frame])
 
     def _report_frames_stats(self, device, frames) -> None:
+        self._report_stat_rows(device, [
+            (f.bin_overflow, f.tile_overflow, f.clip_overflow,
+             f.clip_crossings, f.bin_demand)
+            for f in frames
+        ])
+
+    def _report_stat_rows(self, device, rows) -> None:
         """Report completed frames' capacity overflows (never dropped)
         and feed the occupancy-growth loop.  ONE batched device_get for
         the whole batch: each separate fetch pays a full host<->device
         round trip, so a drain of N frames costs one latency, not N."""
-        rows = [
-            (f.bin_overflow, f.tile_overflow, f.clip_overflow,
-             f.clip_crossings, f.bin_demand)
-            for f in frames
-        ]
         fetched = iter(jax.device_get(
             tuple(s for row in rows for s in row if s is not None)
         ))
@@ -401,7 +409,7 @@ class RenderWindow:
             leftovers = self._stats_queue[:]
             self._stats_queue.clear()
         if leftovers:
-            self._report_frames_stats(self.render_device, leftovers)
+            self._report_stat_rows(self.render_device, leftovers)
         last_idx = self.swapchain.last_acquired_image
         img = None
         drained = []
