@@ -430,7 +430,10 @@ def _visibility_kernel(
             state, _, _, _, nvis = jax.lax.fori_loop(
                 0, nchunks, chunk_body, carry0)
         if debug_counts:
-            nvis_ref[0, 0] = nvis
+            # full-array SMEM block (a (1,1) per-program block is no
+            # longer lowerable: Mosaic requires the last two block dims
+            # divisible by (8,128) or equal to the array's)
+            nvis_ref[gy, gx] = nvis
 
         # ---- broad entries: SMEM-resident, scalar bbox test, bounded by the
         # live count (zero-cost when no huge triangles exist) ----
@@ -573,7 +576,7 @@ def rasterize_visibility_pallas(
             pl.BlockSpec((tile_h * tpp, tile_w), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
             for _ in range(14 if peel2 else 7)
-        ] + ([pl.BlockSpec((1, 1), lambda i, j, *_: (i, j),
+        ] + ([pl.BlockSpec((grid_h, grid_w), lambda i, j, *_: (0, 0),
                            memory_space=pltpu.SMEM)]
              if debug_counts else []),
         scratch_shapes=[
