@@ -79,9 +79,10 @@ def main():
         return (vis.depth, binned.entry_tile, binned.num_entries,
                 jnp.take(zmin_tri,
                          jnp.clip(binned.entry_channels[:, 22].astype(jnp.int32),
-                                  0, zmin_tri.shape[0] - 1)))
+                                  0, zmin_tri.shape[0] - 1)),
+                binned.entry_channels[:, 9:12])
 
-    depth, entry_tile, num_entries, entry_zmin = map(
+    depth, entry_tile, num_entries, entry_zmin, entry_zabc = map(
         np.asarray, jax.device_get(run(view_projs, models)))
     print(f"entries (cap rows): {entry_tile.shape[0]}  live: {num_entries}")
 
@@ -113,22 +114,43 @@ def main():
     # Conservative estimate of processed work: entries before the FIRST
     # position where zmin > final zmax could still be processed; entries
     # after are skipped (sorted => suffix).  That's exactly 1 - suffix.
-    order = np.lexsort((ez, et))
-    et_s, ez_s = et[order], ez[order]
-    starts = np.searchsorted(et_s, np.arange(gh * gw))
-    ends = np.searchsorted(et_s, np.arange(gh * gw) + 1)
-    processed = 0
-    total = 0
-    for t in range(gh * gw):
-        seg = ez_s[starts[t]:ends[t]]
-        total += seg.size
-        if seg.size == 0:
-            continue
-        k = np.searchsorted(seg, tile_zmax[t], side="right")
-        processed += k
-    print(f"suffix-exit model: processed {processed} / {total} = "
-          f"{100 * processed / max(total, 1):.1f}% (skip "
-          f"{100 * (1 - processed / max(total, 1)):.1f}%)")
+    def suffix_model(tag, bound):
+        order = np.lexsort((bound, et))
+        et_s, ez_s = et[order], bound[order]
+        starts = np.searchsorted(et_s, np.arange(gh * gw))
+        ends = np.searchsorted(et_s, np.arange(gh * gw) + 1)
+        processed = 0
+        total = 0
+        for t in range(gh * gw):
+            seg = ez_s[starts[t]:ends[t]]
+            total += seg.size
+            if seg.size == 0:
+                continue
+            k = np.searchsorted(seg, tile_zmax[t], side="right")
+            processed += k
+        print(f"suffix-exit model [{tag}]: processed {processed} / {total}"
+              f" = {100 * processed / max(total, 1):.1f}% (skip "
+              f"{100 * (1 - processed / max(total, 1)):.1f}%)")
+
+    suffix_model("tri-global zmin", ez)
+
+    # TILE-LOCAL lower bound: the affine z plane's min over the tile rect
+    # (corner picked by coefficient signs), clamped by the triangle-global
+    # zmin (the plane min over the rect can undershoot the triangle's own
+    # min where the rect lies outside the triangle) — computable at binning
+    # time from values the entry table already carries.
+    za, zb, zc = (entry_zabc[live, i].astype(np.float64) for i in range(3))
+    tx = (et % gw).astype(np.float64)
+    ty = (et // gw).astype(np.float64)
+    x0, x1 = tx * tw_t + 0.5, tx * tw_t + tw_t - 0.5
+    y0, y1 = ty * th_t + 0.5, ty * th_t + th_t - 0.5
+    xc = np.where(za > 0, x0, x1)
+    yc = np.where(zb > 0, y0, y1)
+    zlocal = np.clip(np.maximum(za * xc + zb * yc + zc, ez), 0.0, 1.0)
+    skip_local = zlocal > tile_zmax[et]
+    print(f"skippable with TILE-LOCAL plane bound: "
+          f"{skip_local.mean() * 100:.1f}%")
+    suffix_model("tile-local bound", zlocal)
 
 
 if __name__ == "__main__":
