@@ -116,6 +116,7 @@ class RenderWindow:
         refresh_hz: float = 60.0,
         device_mesh=None,
         composite_alpha: str = "opaque",
+        present_quantize: str = "deferred",
     ):
         from tyleri_tpu.device.builders import RenderDeviceBuilder
 
@@ -137,10 +138,21 @@ class RenderWindow:
         self.rendering_function = rendering_function(
             render_device, self.swapchain, exact=exact
         )
-        # fuse the presentation quantize into the frame program when the
-        # rendering function supports it (one launch/frame instead of two)
+        # presentation quantize scheduling:
+        #   "deferred" (default) — quantize as its own launch from the
+        #     done-callback: it pipelines behind the NEXT frame's
+        #     execution, measured 2.4 ms/frame faster than fused on a
+        #     healthy tunnel (round-4 exp_loop_overhead: 64.9 vs 67.3 ms)
+        #   "fused" — quantize inside the frame program (one launch per
+        #     frame): serially extends the frame, but on a degraded
+        #     high-latency link every extra per-frame launch serializes
+        #     (the round-3 incident), so the option stays selectable
+        if present_quantize not in ("deferred", "fused"):
+            raise ValueError(
+                f"unsupported present_quantize {present_quantize!r}")
         rf_plan = getattr(self.rendering_function, "plan", None)
-        if rf_plan is not None and hasattr(rf_plan, "present_u8"):
+        if (present_quantize == "fused" and rf_plan is not None
+                and hasattr(rf_plan, "present_u8")):
             import dataclasses as _dc
 
             self.rendering_function.plan = _dc.replace(
@@ -342,12 +354,30 @@ class RenderWindow:
             self._stats_pool.submit(self._drain_stats, device)
         )
 
+    @staticmethod
+    def _row_ready(row) -> bool:
+        return all(
+            s is None or not hasattr(s, "is_ready") or s.is_ready()
+            for s in row
+        )
+
     def _drain_stats(self, device) -> None:
         while True:
             with self._stats_lock:
-                rows = self._stats_queue[:]
-                self._stats_queue.clear()
-                if not rows:
+                # fetch only rows whose frames have EXECUTED: a device_get
+                # on an in-flight frame's scalars parks on the stream and
+                # occupies the tunnel for ~a frame time (measured 6.6
+                # ms/frame of production-loop cost, round-4
+                # exp_loop_overhead).  Unready rows stay queued — overflow
+                # feedback tolerates seconds of latency, and flush()
+                # drains everything unconditionally.
+                rows = [r for r in self._stats_queue if self._row_ready(r)]
+                if rows:
+                    pending = [r for r in self._stats_queue
+                               if not self._row_ready(r)]
+                    self._stats_queue.clear()
+                    self._stats_queue.extend(pending)
+                else:
                     self._stats_inflight = False
                     return
             self._report_stat_rows(device, rows)
