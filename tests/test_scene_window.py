@@ -264,3 +264,42 @@ def test_config3_lit_scene_renders_end_to_end():
     lum = arr[..., :3].max(-1)
     lit_px = lum[lum > 4]
     assert lit_px.std() > 8.0, "lit sphere should show shading gradients"
+
+
+def test_present_quantize_policy_and_parity():
+    """present_quantize: "auto" fuses the quantize into the frame program
+    below 2^20 framebuffer px and defers it above (each regime's measured
+    winner, BASELINE.md round-4); explicit modes override; deferred and
+    fused present bit-identical pixels; resize re-resolves the policy."""
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+
+    # auto at 64x64 -> fused (plan carries the quantize)
+    win = RenderWindow(dev, resolution=RES)
+    assert win.rendering_function.plan.present_u8 == "opaque"
+    # explicit deferred -> plan does NOT quantize; the window does
+    win_d = RenderWindow(dev, resolution=RES, present_quantize="deferred")
+    assert win_d.rendering_function.plan.present_u8 is None
+    # explicit fused at any size
+    win_f = RenderWindow(dev, resolution=RES, present_quantize="fused")
+    assert win_f.rendering_function.plan.present_u8 == "opaque"
+
+    # pixel parity between the two schedules on the same scene phase
+    for w in (win_d, win_f):
+        rig.fill(w.get_render_scene(), 0.3)
+        w.render()
+    a, b = win_d.flush(), win_f.flush()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # auto re-resolves across a resize over the 2^20-px threshold
+    win.flush()
+    win.resize((2048, 1024))  # 2^21 px -> deferred
+    assert win.rendering_function.plan.present_u8 is None
+    win.resize(RES)           # back under -> fused again
+    assert win.rendering_function.plan.present_u8 == "opaque"
+
+    try:
+        RenderWindow(dev, present_quantize="sometimes")
+        raise AssertionError("invalid present_quantize must be rejected")
+    except ValueError:
+        pass

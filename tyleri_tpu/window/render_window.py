@@ -116,7 +116,7 @@ class RenderWindow:
         refresh_hz: float = 60.0,
         device_mesh=None,
         composite_alpha: str = "opaque",
-        present_quantize: str = "deferred",
+        present_quantize: str = "auto",
     ):
         from tyleri_tpu.device.builders import RenderDeviceBuilder
 
@@ -138,26 +138,29 @@ class RenderWindow:
         self.rendering_function = rendering_function(
             render_device, self.swapchain, exact=exact
         )
+        # presentation alpha semantics: "opaque" = the reference's
+        # CompositeAlpha::OPAQUE (swapchain.rs:59; display ignores alpha);
+        # "inherit" keeps the framebuffer's alpha in the presented image
+        # (useful for readback/testing the blend state's alpha channel)
+        self.composite_alpha = composite_alpha
         # presentation quantize scheduling:
-        #   "deferred" (default) — quantize as its own launch from the
-        #     done-callback: it pipelines behind the NEXT frame's
-        #     execution, measured 2.4 ms/frame faster than fused on a
-        #     healthy tunnel (round-4 exp_loop_overhead: 64.9 vs 67.3 ms)
-        #   "fused" — quantize inside the frame program (one launch per
-        #     frame): serially extends the frame, but on a degraded
-        #     high-latency link every extra per-frame launch serializes
-        #     (the round-3 incident), so the option stays selectable
-        if present_quantize not in ("deferred", "fused"):
+        #   "deferred" — quantize as its own launch from the done-callback:
+        #     it pipelines behind the NEXT frame's execution, measured 2.4
+        #     ms/frame faster than fused on a healthy tunnel at 1080p
+        #     (round-4 exp_loop_overhead: 64.9 vs 67.3 ms production loop)
+        #   "fused" — quantize inside the frame program (ONE launch per
+        #     frame): on launch-bound small frames the deferred variant's
+        #     second ~2 ms launch dominates (cube 800x600 measured 512 ->
+        #     196 FPS), and on a degraded high-latency link every extra
+        #     per-frame launch serializes (the round-3 incident)
+        #   "auto" (default) — defer at >= 2^20 framebuffer pixels (1080p
+        #     is 2.07M, 800x600 is 0.48M), fuse below: each regime's
+        #     measured winner
+        if present_quantize not in ("auto", "deferred", "fused"):
             raise ValueError(
                 f"unsupported present_quantize {present_quantize!r}")
-        rf_plan = getattr(self.rendering_function, "plan", None)
-        if (present_quantize == "fused" and rf_plan is not None
-                and hasattr(rf_plan, "present_u8")):
-            import dataclasses as _dc
-
-            self.rendering_function.plan = _dc.replace(
-                rf_plan, present_u8=composite_alpha
-            )
+        self._present_quantize = present_quantize
+        self._apply_present_quantize()
         # FIFO (vsync) presentation is mandatory in the reference
         # (swapchain.rs:46-51): pace render() to the refresh clock via the
         # native pacer; "immediate" (headless/bench extension) skips pacing.
@@ -169,11 +172,6 @@ class RenderWindow:
         # multi-chip: a (draws, tiles) jax.sharding.Mesh routes record()
         # through the shard_mapped frame program (tyleri_tpu.parallel)
         self.device_mesh = device_mesh
-        # presentation alpha semantics: "opaque" = the reference's
-        # CompositeAlpha::OPAQUE (swapchain.rs:59; display ignores alpha);
-        # "inherit" keeps the framebuffer's alpha in the presented image
-        # (useful for readback/testing the blend state's alpha channel)
-        self.composite_alpha = composite_alpha
         self.present_target = present_target
         # the last presented u8 image: kept as the DEVICE array; the
         # ``latest_image`` property fetches (and caches) the host copy on
@@ -220,6 +218,33 @@ class RenderWindow:
         self._using: dict[int, _UsingResources] = {}
         self.profiler = FrameProfiler()
 
+    # measured crossover for the "auto" quantize policy (see __init__):
+    # 800x600 (0.48M px) is launch-bound and wants the fused quantize;
+    # 1080p (2.07M px) wants the deferred launch that pipelines behind
+    # the next frame
+    _QUANTIZE_DEFER_MIN_PX = 1 << 20
+
+    def _effective_present_quantize(self) -> str:
+        if self._present_quantize != "auto":
+            return self._present_quantize
+        w, h = self.swapchain.resolution
+        return ("deferred" if w * h >= self._QUANTIZE_DEFER_MIN_PX
+                else "fused")
+
+    def _apply_present_quantize(self) -> None:
+        """Point the rendering function's plan at the effective quantize
+        mode (fused = quantize inside the frame program).  Re-applied on
+        resize: the auto policy is resolution-dependent."""
+        rf_plan = getattr(self.rendering_function, "plan", None)
+        if rf_plan is None or not hasattr(rf_plan, "present_u8"):
+            return
+        want = (self.composite_alpha
+                if self._effective_present_quantize() == "fused" else None)
+        if rf_plan.present_u8 != want:
+            self.rendering_function.plan = dataclasses.replace(
+                rf_plan, present_u8=want
+            )
+
     # -- accessors (ref: render_window.rs:46-54,219-224) --
 
     @property
@@ -262,6 +287,7 @@ class RenderWindow:
         rs = getattr(self.rendering_function, "resize", None)
         if rs is not None:
             rs(resolution)
+        self._apply_present_quantize()
 
     # -- the frame hot loop (ref: render_window.rs:126-218) --
 
