@@ -25,8 +25,12 @@ import jax  # noqa: E402
 # The axon TPU plugin in this environment ignores the JAX_PLATFORMS env var;
 # force CPU through the config so the 8 virtual devices take effect.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+# honor an explicit env override (e.g. a throwaway dir for a cold-cache
+# stability run) so such runs don't touch the shared .jax_cache with its
+# expensive TPU executables
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # jax's cache writer is not atomic; concurrent processes sharing .jax_cache

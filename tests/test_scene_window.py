@@ -303,3 +303,38 @@ def test_present_quantize_policy_and_parity():
         raise AssertionError("invalid present_quantize must be rejected")
     except ValueError:
         pass
+
+
+def test_stats_drain_skips_inflight_rows(monkeypatch):
+    """The background stats drain fetches only rows whose scalars have
+    executed (is_ready()) — a device_get on an in-flight frame parks on
+    the stream and occupies the tunnel (BASELINE.md round-4: 6.6
+    ms/frame).  Unready rows stay queued; flush() reports them all."""
+    dev = make_device()
+    win = RenderWindow(dev, resolution=RES)
+
+    class Scalar:
+        def __init__(self, ready):
+            self.ready = ready
+
+        def is_ready(self):
+            return self.ready
+
+    ready_row = tuple(Scalar(True) for _ in range(5))
+    pending_row = tuple(Scalar(False) for _ in range(5))
+    reported = []
+    monkeypatch.setattr(
+        win, "_report_stat_rows",
+        lambda device, rows: reported.extend(rows),
+    )
+    win._stats_queue.extend([ready_row, pending_row])
+    win._stats_inflight = True
+    win._drain_stats(dev)
+    assert reported == [ready_row]          # fetched the executed row only
+    assert win._stats_queue == [pending_row]  # in-flight row still queued
+    assert win._stats_inflight is False
+
+    # flush() must drain unconditionally — overflow reports are never
+    # silently dropped (architecture invariant)
+    win.flush()
+    assert pending_row in reported
