@@ -52,28 +52,21 @@ def main():
     rw.RenderWindow._report_frames_stats = lambda self, d, fs: None
     row("no stats")
 
-    # no stats + unfused present (present_u8 None -> quantize as a separate
-    # launch in the done-callback; isolates the fused quantize's cost)
-    patched = {}
+    # no stats + fused present quantize forced (the auto policy defers at
+    # 1080p; this row isolates the deferred launch's saving)
+    import tyleri_tpu.window.render_window as rwmod
 
-    class _NoU8Window(rw.RenderWindow):
+    class _FusedWindow(rwmod.RenderWindow):
         def __init__(self, *a, **k):
+            k.setdefault("present_quantize", "fused")
             super().__init__(*a, **k)
-            import dataclasses as _dc
 
-            self.rendering_function.plan = _dc.replace(
-                self.rendering_function.plan, present_u8=None)
-
-    patched["cls"] = rw.RenderWindow
+    orig_cls = rwmod.RenderWindow
     try:
-        bench_rw = bench.bench_rig.__globals__  # patch the symbol bench uses
-        import tyleri_tpu.window.render_window as rwmod
-
-        rwmod_Render = rwmod.RenderWindow
-        rwmod.RenderWindow = _NoU8Window
-        row("no stats, unfused quantize")
+        rwmod.RenderWindow = _FusedWindow
+        row("no stats, fused quantize")
     finally:
-        rwmod.RenderWindow = patched["cls"]
+        rwmod.RenderWindow = orig_cls
         rw.RenderWindow._report_frames_stats = orig_stats
 
 
