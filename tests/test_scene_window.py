@@ -338,3 +338,42 @@ def test_stats_drain_skips_inflight_rows(monkeypatch):
     # silently dropped (architecture invariant)
     win.flush()
     assert pending_row in reported
+
+
+def test_stats_drain_error_does_not_wedge_reporting(monkeypatch):
+    """A failed background drain (tunnel error, poisoned scalars) must
+    clear the in-flight latch — otherwise no later drain is ever
+    scheduled and the queue grows unboundedly — and flush() must still
+    drain leftovers and in-flight frames before surfacing the error."""
+    dev = make_device()
+    rig = scenelib.config1_triangle(dev, RES)
+    win = RenderWindow(dev, resolution=RES)
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(device, rows):
+        raise Boom("tunnel died")
+
+    monkeypatch.setattr(win, "_report_stat_rows", exploding)
+    win._stats_queue.append((None, None, None, None, None))
+    win._stats_inflight = True
+    try:
+        win._drain_stats(dev)
+        raise AssertionError("drain should re-raise")
+    except Boom:
+        pass
+    assert win._stats_inflight is False  # latch cleared on failure
+
+    # flush() with a failed pending drain still drains the window (the
+    # presented image survives) and re-raises the drain's error at the end
+    rig.fill(win.get_render_scene(), 0.0)
+    win.render()
+    win._stats_pending.append(win._stats_pool.submit(exploding, dev, []))
+    try:
+        win.flush()
+        raise AssertionError("flush should surface the drain error")
+    except Boom:
+        pass
+    assert not win._using          # in-flight frames were drained
+    assert win.latest_image is not None

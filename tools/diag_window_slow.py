@@ -81,11 +81,16 @@ def main():
     rig = scenelib.config5_sponza(device)
     print("scene:", rig.name, "tris:", rig.triangle_count, flush=True)
 
-    orig_stats = rw.RenderWindow._report_frames_stats
+    # disable at the enqueue: the background drain calls
+    # _report_stat_rows directly, so patching _report_frames_stats alone
+    # silences only flush()'s end-of-window report
+    orig_enqueue = rw.RenderWindow._enqueue_frame_stats
+    orig_report = rw.RenderWindow._report_stat_rows
     orig_u8 = rw._UsingResources._ensure_u8
 
     # B. no stats readback
-    rw.RenderWindow._report_frames_stats = lambda self, d, fs: None
+    rw.RenderWindow._enqueue_frame_stats = lambda self, d, f: None
+    rw.RenderWindow._report_stat_rows = lambda self, d, rows: None
     run_window(device, rig, frames, "no stats")
 
     # C. no stats AND no u8 quantize callback
@@ -97,7 +102,8 @@ def main():
     rw._UsingResources._ensure_u8 = orig_u8
 
     # D. production
-    rw.RenderWindow._report_frames_stats = orig_stats
+    rw.RenderWindow._enqueue_frame_stats = orig_enqueue
+    rw.RenderWindow._report_stat_rows = orig_report
     run_window(device, rig, frames, "production")
 
 

@@ -2,10 +2,14 @@
 with the HONEST two-point method (diag_window_slow's single-window numbers
 carry the whole end-fence constant, misleading under a degraded tunnel).
 
-Rows (each a bench.bench_rig two-point slope on config5):
-  A. production                  (stats drain + fused present quantize)
-  B. stats reporting disabled    (isolates the stats device_get path)
-  C. stats off + present_u8 off  (isolates the fused quantize)
+Rows (each a bench.bench_rig two-point slope on config5; the auto
+present-quantize policy DEFERS at 1080p, so production = deferred):
+  A. production              (readiness-gated stats drain + deferred quantize)
+  B. stats disabled          (no queuing, no drain tasks, no stat device_gets
+                              — isolates the whole stats path)
+  C. stats off + FUSED quantize (quantize inside the frame program instead of
+                              the deferred own-launch; isolates the deferred
+                              schedule's saving)
   D. stats off + device-put blob pre-staged is not separable here; see
      exp_fixedcost for transfer latency.
 
@@ -36,7 +40,13 @@ def main():
     rig = scenelib.config5_sponza(device)
     print("scene:", rig.name, "tris:", rig.triangle_count, flush=True)
 
-    orig_stats = rw.RenderWindow._report_frames_stats
+    # Disable stats at the ENQUEUE: the background drain calls
+    # _report_stat_rows directly, so patching _report_frames_stats (the
+    # old hook) only silences flush()'s end-of-window report — a constant
+    # the two-point slope cancels — and rows B/C would still pay every
+    # per-second drain device_get.
+    orig_enqueue = rw.RenderWindow._enqueue_frame_stats
+    orig_report = rw.RenderWindow._report_stat_rows
 
     def row(label):
         t0 = time.perf_counter()
@@ -49,25 +59,25 @@ def main():
 
     row("production")
 
-    rw.RenderWindow._report_frames_stats = lambda self, d, fs: None
+    rw.RenderWindow._enqueue_frame_stats = lambda self, d, f: None
+    rw.RenderWindow._report_stat_rows = lambda self, d, rows: None
     row("no stats")
 
     # no stats + fused present quantize forced (the auto policy defers at
     # 1080p; this row isolates the deferred launch's saving)
-    import tyleri_tpu.window.render_window as rwmod
-
-    class _FusedWindow(rwmod.RenderWindow):
+    class _FusedWindow(rw.RenderWindow):
         def __init__(self, *a, **k):
             k.setdefault("present_quantize", "fused")
             super().__init__(*a, **k)
 
-    orig_cls = rwmod.RenderWindow
+    orig_cls = rw.RenderWindow
     try:
-        rwmod.RenderWindow = _FusedWindow
+        rw.RenderWindow = _FusedWindow
         row("no stats, fused quantize")
     finally:
-        rwmod.RenderWindow = orig_cls
-        rw.RenderWindow._report_frames_stats = orig_stats
+        rw.RenderWindow = orig_cls
+        rw.RenderWindow._enqueue_frame_stats = orig_enqueue
+        rw.RenderWindow._report_stat_rows = orig_report
 
 
 if __name__ == "__main__":

@@ -388,25 +388,42 @@ class RenderWindow:
         )
 
     def _drain_stats(self, device) -> None:
-        while True:
+        rows = []
+        try:
+            while True:
+                with self._stats_lock:
+                    # fetch only rows whose frames have EXECUTED: a
+                    # device_get on an in-flight frame's scalars parks on
+                    # the stream and occupies the tunnel for ~a frame time
+                    # (measured 6.6 ms/frame of production-loop cost,
+                    # round-4 exp_loop_overhead).  Unready rows stay
+                    # queued — overflow feedback tolerates seconds of
+                    # latency, and flush() drains everything
+                    # unconditionally.
+                    rows = [r for r in self._stats_queue
+                            if self._row_ready(r)]
+                    if rows:
+                        pending = [r for r in self._stats_queue
+                                   if not self._row_ready(r)]
+                        self._stats_queue.clear()
+                        self._stats_queue.extend(pending)
+                    else:
+                        self._stats_inflight = False
+                        return
+                self._report_stat_rows(device, rows)
+                rows = []
+        except BaseException:
+            # a failed fetch (tunnel error, poisoned frame scalars) must
+            # not leave the inflight latch set: later recycles could then
+            # never schedule another drain and the queue would grow
+            # unboundedly.  The extracted rows go back on the queue so a
+            # later drain/flush can retry them (never silently dropped).
+            # The exception still propagates into the worker future;
+            # flush() surfaces it.
             with self._stats_lock:
-                # fetch only rows whose frames have EXECUTED: a device_get
-                # on an in-flight frame's scalars parks on the stream and
-                # occupies the tunnel for ~a frame time (measured 6.6
-                # ms/frame of production-loop cost, round-4
-                # exp_loop_overhead).  Unready rows stay queued — overflow
-                # feedback tolerates seconds of latency, and flush()
-                # drains everything unconditionally.
-                rows = [r for r in self._stats_queue if self._row_ready(r)]
-                if rows:
-                    pending = [r for r in self._stats_queue
-                               if not self._row_ready(r)]
-                    self._stats_queue.clear()
-                    self._stats_queue.extend(pending)
-                else:
-                    self._stats_inflight = False
-                    return
-            self._report_stat_rows(device, rows)
+                self._stats_queue[:0] = rows
+                self._stats_inflight = False
+            raise
 
     def _report_frame_stats(self, device, frame) -> None:
         self._report_frames_stats(device, [frame])
@@ -455,9 +472,15 @@ class RenderWindow:
         """Drain all in-flight frames (the Drop behavior,
         ref: render_window.rs:226-233); returns the last presented image.
         Drained frames still report their capacity overflows."""
-        # drain the async stats reports submitted by render() recycles
+        # drain the async stats reports submitted by render() recycles.
+        # A failed drain must not abort the flush before the leftover
+        # reports and in-flight frames are drained (overflow reports are
+        # never silently dropped); its error is re-raised at the end.
+        drain_error = None
         for f in self._stats_pending:
-            f.result()
+            e = f.exception()
+            if e is not None and drain_error is None:
+                drain_error = e
         self._stats_pending.clear()
         # rate-limited leftovers: stats queued without an in-flight drain
         # task must still be reported (never silently dropped)
@@ -465,7 +488,11 @@ class RenderWindow:
             leftovers = self._stats_queue[:]
             self._stats_queue.clear()
         if leftovers:
-            self._report_stat_rows(self.render_device, leftovers)
+            try:
+                self._report_stat_rows(self.render_device, leftovers)
+            except BaseException as e:
+                if drain_error is None:
+                    drain_error = e
         last_idx = self.swapchain.last_acquired_image
         img = None
         drained = []
@@ -476,12 +503,18 @@ class RenderWindow:
             drained.append(using.frame)
             using.scene.clear()
         if drained:
-            self._report_frames_stats(self.render_device, drained)
+            try:
+                self._report_frames_stats(self.render_device, drained)
+            except BaseException as e:
+                if drain_error is None:
+                    drain_error = e
         self._using.clear()
         if img is not None:
             self._latest_u8 = img
             if self.present_target is not None:
                 self.present_target(img)
+        if drain_error is not None:
+            raise drain_error
         return self.latest_image
 
     # -- automatic in-flight drain (ref Drop impl: render_window.rs:226-233) --
