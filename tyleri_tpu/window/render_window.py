@@ -531,3 +531,12 @@ class RenderWindow:
                 self.flush()
         except Exception:
             pass  # interpreter teardown: never raise from __del__
+        try:
+            pool = getattr(self, "_stats_pool", None)
+            if pool is not None:
+                # flush() above already joined the pending drains; release
+                # the worker thread so long-running apps that create many
+                # windows don't accumulate idle stats threads
+                pool.shutdown(wait=False)
+        except Exception:
+            pass
