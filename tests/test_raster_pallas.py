@@ -465,15 +465,87 @@ def test_pallas_peel2_two_layer_blend_matches_exact():
     np.testing.assert_allclose(c_p2, c_exact, atol=2e-6)
 
 
+def _run_layers(zs, tex_ids, state, plan_kw=None):
+    """Full-cover quad per z (draw order = list order), per-layer texture
+    color — distinguishes WHICH fragment a layer blended, not just how
+    many fragments blended."""
+    clip, uv = _layers_scene(zs)
+    T = clip.shape[0]
+    kw = dict(entry_cap=1024, cap_per_tile=512, chunk=128)
+    kw.update(plan_kw or {})
+    plan = passes.RasterPlan(fb_w=FB_W, fb_h=FB_H, tile_w=128, tile_h=8, **kw)
+    colors = (0.6, 0.25, 0.9)
+    texels = jnp.concatenate(
+        [jnp.full((4, 16), c, jnp.float32) for c in colors])
+    meta = (jnp.arange(3, dtype=jnp.int32) * 4,
+            jnp.full((3,), 2, jnp.int32), jnp.full((3,), 2, jnp.int32))
+    tri_tex = jnp.asarray(np.repeat(np.asarray(tex_ids, np.int32), 2))
+    color = jnp.zeros((FB_H, FB_W, 4), jnp.float32)
+    depth = jnp.ones((FB_H, FB_W), jnp.float32)
+    c, d, _, _ = passes.mesh_pass(
+        plan, state, color, depth,
+        jnp.asarray(clip), jnp.asarray(uv),
+        tri_tex, jnp.ones((T,), bool),
+        Viewport(0, 0, FB_W, FB_H).as_array(),
+        Rect2D(0, 0, FB_W, FB_H).as_array(), texels, *meta)
+    return np.asarray(c), np.asarray(d)
+
+
+def _layers_scene(zs):
+    T = 2 * len(zs)
+    clip = np.zeros((T, 3, 4), np.float32)
+    for i, z in enumerate(zs):
+        for j, tri in enumerate([[[-2, -2], [4, -2], [-2, 4]],
+                                 [[4, 4], [-2, 4], [4, -2]]]):
+            clip[2 * i + j, :, 0] = [p[0] for p in tri]
+            clip[2 * i + j, :, 1] = [p[1] for p in tri]
+            clip[2 * i + j, :, 2] = z
+            clip[2 * i + j, :, 3] = 1.0
+    uv = np.tile(np.array([[0.3, 0.3], [0.7, 0.3], [0.3, 0.7]], np.float32),
+                 (T, 1, 1))
+    return clip, uv
+
+
+def test_pallas_peel2_excludes_nonsurvivors():
+    """A fragment drawn AFTER the winner with greater z never blended in
+    exact mode (it failed the depth test at its draw time) — peel2 must
+    not blend it either.  Draw order [near, far]: exact survivors =
+    [near] only, so peel2 AND the single-layer path both equal exact; a
+    naive global top-2 would wrongly blend far-then-near."""
+    zs, tex = [0.3, 0.7], [0, 1]
+    c_exact, _ = _run_layers(zs, tex, MESH_BLEND, dict(exact=True))
+    c_base, _ = _run_layers(zs, tex, MESH_BLEND, dict(pallas=True))
+    c_p2, _ = _run_layers(zs, tex, MESH_BLEND, dict(pallas=True, peel2=True))
+    np.testing.assert_allclose(c_base, c_exact, atol=2e-6)
+    np.testing.assert_allclose(c_p2, c_exact, atol=2e-6)
+
+
+def test_pallas_peel2_layer2_is_the_prior_record():
+    """Layer 2 must be the depth-record holder just before the winner
+    drew, not the global second-smallest z.  Draw order [mid .5, near .3,
+    between .4]: 'between' fails the exact depth test (drawn after near),
+    so exact survivors are [mid, near] and layer 2 is MID — a naive top-2
+    (near, between) blends the wrong fragment's color.  The three layers
+    carry distinct texture colors so any wrong pairing shows."""
+    zs, tex = [0.5, 0.3, 0.4], [0, 1, 2]
+    c_exact, _ = _run_layers(zs, tex, MESH_BLEND, dict(exact=True))
+    c_p2, _ = _run_layers(zs, tex, MESH_BLEND, dict(pallas=True, peel2=True))
+    np.testing.assert_allclose(c_p2, c_exact, atol=2e-6)
+    # teeth: single-layer misses the second blend entirely on this scene
+    c_base, _ = _run_layers(zs, tex, MESH_BLEND, dict(pallas=True))
+    assert np.abs(c_base - c_exact).max() > 0.01
+
+
 def test_pallas_peel2_overdraw_deviation_bounded():
-    """Three+ layers: the dropped third layer's contribution is damped by
-    the SrcColor/OneMinusDstColor chain.  On this WORST-CASE stack (every
-    layer full-cover, same color, maximally deep chains at every pixel)
-    peel2 measures 2 u8 vs the single-layer fast path's 61 — and the
-    deviation must not grow with stack depth (the chain forgets layers
-    geometrically).  The <= 1 u8 criterion on the real config5-reduced
-    scene is tools/measure_blend_deviation.py's job (real scenes rarely
-    have 3+ passing fragments per pixel)."""
+    """Three+ layers drawn back-to-front: every fragment survives, peel2
+    truncates the chain to the last two survivors.  On THIS stack (bright
+    0.6 color) the dropped deeper layers contribute 2 u8 vs the
+    single-layer fast path's 61, and the deviation does not grow with
+    stack depth.  NOTE this is scene-specific, not a universal bound: the
+    blend is out = src^2 + dst*(1-dst), whose d(out)/d(dst) = 1-2*dst —
+    deep layers are damped near dst=0.5 but pass through nearly linearly
+    when dst is dark or bright, so real-scene deviation is measured, not
+    bounded (tools/measure_blend_deviation.py)."""
     def u8(x):
         return np.round(np.clip(x, 0, 1) * 255).astype(np.int32)
 

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 
-def render(device, rig, *, exact: bool):
+def render(device, rig, *, exact: bool, peel2: bool = False):
     import tyleri_tpu as ty
     from tyleri_tpu.scene.render_scene import RenderScene
     from tyleri_tpu.window.swapchain import ImageViewSwapchain
@@ -36,6 +36,11 @@ def render(device, rig, *, exact: bool):
         rf.plan = dataclasses.replace(
             rf.plan,
             raster=dataclasses.replace(rf.plan.raster, cap_per_tile=16384),
+        )
+    if peel2:
+        rf.plan = dataclasses.replace(
+            rf.plan,
+            raster=dataclasses.replace(rf.plan.raster, peel2=True),
         )
     frame = None
     for _ in range(6):
@@ -64,14 +69,15 @@ def main():
         scenelib.config5_sponza(device, resolution=(480, 272), grid_n=132),
     ]
     for rig in rigs:
-        a = render(device, rig, exact=False)
         b = render(device, rig, exact=True)
-        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
-        bad = int((diff > 1).sum())
-        print(f"{rig.name} ({rig.triangle_count} tris): "
-              f"max|diff|={int(diff.max())}u8 "
-              f"pixels>1u8={bad} ({100.0 * bad / diff.size:.3f}%) "
-              f"mean|diff|={diff.mean():.4f}u8")
+        for label, kw in (("fast", {}), ("peel2", dict(peel2=True))):
+            a = render(device, rig, exact=False, **kw)
+            diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            bad = int((diff > 1).sum())
+            print(f"{rig.name} ({rig.triangle_count} tris) {label}: "
+                  f"max|diff|={int(diff.max())}u8 "
+                  f"pixels>1u8={bad} ({100.0 * bad / diff.size:.3f}%) "
+                  f"mean|diff|={diff.mean():.4f}u8")
 
 
 if __name__ == "__main__":

@@ -185,15 +185,16 @@ def _visibility_kernel(
             associative (z, order) min: entry streams may arrive in any order
             (binning sorts them front-to-back for the early exit).
 
-            peel2: the carry additionally holds the SECOND-best (z, order)
-            fragment per pixel (a top-2 lexicographic min — still associative:
-            a fragment that beats layer 1 demotes the old layer 1 into
-            layer 2, which it dominated by the top-2 invariant).  The deferred
-            shade then applies the blend equation over layer2-then-layer1,
-            recovering per-fragment sequential blending to within the third
-            layer's contribution (ref src/pipeline/common_pipeline.rs:117-131
-            — the SrcColor/OneMinusDstColor mesh blend damps older layers
-            geometrically)."""
+            peel2: the carry additionally holds the depth-record holder
+            immediately BEFORE the winner drew — the second-to-last
+            surviving fragment of the exact sequential depth test (see the
+            rules at the update site below; the naive global top-2 by
+            (z, order) can select a fragment exact mode never blended).
+            The deferred shade applies the blend equation over
+            layer2-then-layer1, recovering per-fragment sequential blending
+            exactly on every pixel with <= 2 surviving fragments and
+            truncating deeper survivors (ref
+            src/pipeline/common_pipeline.rs:117-131)."""
             if peel2:
                 (zbuf, owner, obuf, uwb, vwb, iwb, texb,
                  z2, own2, o2, uw2, vw2, iw2, tex2) = st_h
@@ -230,24 +231,53 @@ def _visibility_kernel(
             else:
                 passing = frag & ((zq < zbuf) | ((zq == zbuf) & (order < obuf)))
             if peel2:
+                # Layer 2 is the depth-RECORD holder immediately before
+                # the winner drew (the second-to-last SURVIVOR of the
+                # sequential depth test) — NOT the global second-best
+                # (z, order): a fragment drawn after the winner with
+                # greater z never blended in exact mode, and blending it
+                # deviates where even the single-layer path is exact
+                # (measured on config4: naive top-2 was WORSE than
+                # single-layer).  Three rules keep the survivor invariant
+                # in one streaming pass (lex comparisons reuse the depth
+                # tie rule):
+                #   * a non-winning fragment is a candidate only if drawn
+                #     before the current winner (order < obuf)
+                #   * on a winner change the old winner demotes only if
+                #     drawn before the new one (obuf < order); otherwise
+                #     the old layer 2 is kept only while still
+                #     order-valid (o2 < order), else the slot keeps the
+                #     old winner's (z, order) as a record GATE with
+                #     own2 = -1 (unshadeable): the true record is at
+                #     least that deep, we just cannot name its fragment
+                #   * z2 never increases, so the peel-aware early-exit
+                #     bound (zi below) stays sound
+                # A gated/absent layer 2 shades as background — such
+                # pixels fall back to single-layer semantics, never to a
+                # fragment exact mode did not blend.
+                valid2 = order < obuf
                 if le:
-                    beats2 = (frag & ~passing
+                    beats2 = (frag & ~passing & valid2
                               & ((zq < z2) | ((zq == z2) & (order >= o2))))
                 else:
-                    beats2 = (frag & ~passing
+                    beats2 = (frag & ~passing & valid2
                               & ((zq < z2) | ((zq == z2) & (order < o2))))
-                # the demoted layer 1 dominated layer 2 by invariant
-                z2 = jnp.where(passing, zbuf, jnp.where(beats2, zq, z2))
-                own2 = jnp.where(passing, owner, jnp.where(beats2, eid, own2))
-                o2 = jnp.where(passing, obuf, jnp.where(beats2, order, o2))
+                demote = passing & (obuf < order)
+                inval = passing & ~demote & ~(o2 < order)
+                repl = demote | inval
+                z2 = jnp.where(repl, zbuf, jnp.where(beats2, zq, z2))
+                own2 = jnp.where(demote, owner,
+                                 jnp.where(inval, -1,
+                                           jnp.where(beats2, eid, own2)))
+                o2 = jnp.where(repl, obuf, jnp.where(beats2, order, o2))
                 uwf = plane(S.CH_UW)
                 vwf = plane(S.CH_VW)
                 iwf = plane(S.CH_INVW)
                 texf = meta & S.META_TEX_MASK
-                uw2 = jnp.where(passing, uwb, jnp.where(beats2, uwf, uw2))
-                vw2 = jnp.where(passing, vwb, jnp.where(beats2, vwf, vw2))
-                iw2 = jnp.where(passing, iwb, jnp.where(beats2, iwf, iw2))
-                tex2 = jnp.where(passing, texb, jnp.where(beats2, texf, tex2))
+                uw2 = jnp.where(repl, uwb, jnp.where(beats2, uwf, uw2))
+                vw2 = jnp.where(repl, vwb, jnp.where(beats2, vwf, vw2))
+                iw2 = jnp.where(repl, iwb, jnp.where(beats2, iwf, iw2))
+                tex2 = jnp.where(repl, texb, jnp.where(beats2, texf, tex2))
                 zbuf = jnp.where(passing, zq, zbuf)
                 owner = jnp.where(passing, eid, owner)
                 obuf = jnp.where(passing, order, obuf)
