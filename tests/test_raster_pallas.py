@@ -536,6 +536,52 @@ def test_pallas_peel2_layer2_is_the_prior_record():
     assert np.abs(c_base - c_exact).max() > 0.01
 
 
+def test_pallas_peel2_random_layer_permutations():
+    """Property test of the survivor-selection rules: on full-cover layers
+    with random z / draw-order / colors (including exact depth ties), the
+    peel2 render must equal blend(blend(bg, s[-2]), s[-1]) over the exact
+    sequential depth test's SURVIVOR chain — computed independently in
+    numpy here.  Entries stream z-sorted (binning) while survivorship is
+    draw-ordered, so permutations exercise the demote / revalidate / gate
+    paths; ties exercise both compare ops' record rules."""
+    import dataclasses
+
+    from tyleri_tpu.ops.blend import apply_blend
+
+    rng = np.random.default_rng(20260819)
+    colors = (0.6, 0.25, 0.9)
+    for case in range(12):
+        le = bool(case % 2)
+        n = int(rng.integers(3, 7))
+        zs = np.round(rng.uniform(0.05, 0.95, n), 3)
+        if case >= 4:  # inject exact depth ties
+            i, j = rng.choice(n, 2, replace=False)
+            zs[j] = zs[i]
+        tex = rng.integers(0, 3, n)
+        state = MESH_BLEND if le else dataclasses.replace(
+            MESH_BLEND, depth=dataclasses.replace(
+                MESH_BLEND.depth, compare_op=CompareOp.LESS))
+        c_p2, _ = _run_layers(list(zs), list(tex), state,
+                              dict(pallas=True, peel2=True))
+        # independent survivor chain (prefix records of the D16-quantized
+        # depth in draw order; LE passes ties, LESS fails them)
+        rec, chain = 1.0, []
+        for i in range(n):
+            zq = round(float(zs[i]) * 65535.0) / 65535.0
+            if zq < rec or (le and zq == rec):
+                rec = zq
+                chain.append(i)
+        out = np.zeros(4, np.float32)
+        for i in chain[-2:]:
+            c = colors[tex[i]]
+            src = np.array([c, c, c, c], np.float32)
+            out = np.asarray(apply_blend(state.blend, src, out))
+        expect = np.broadcast_to(out, c_p2.shape)
+        np.testing.assert_allclose(c_p2, expect, atol=3e-6,
+                                   err_msg=f"case {case} zs={zs} tex={tex} "
+                                           f"le={le} chain={chain}")
+
+
 def test_pallas_peel2_overdraw_deviation_bounded():
     """Three+ layers drawn back-to-front: every fragment survives, peel2
     truncates the chain to the last two survivors.  On THIS stack (bright
