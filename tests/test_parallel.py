@@ -71,6 +71,57 @@ def test_draw_shard_only():
     assert badc < 0.01
 
 
+def _peel2_plan(plan):
+    import dataclasses
+
+    return dataclasses.replace(plan, raster=dataclasses.replace(
+        plan.raster, peel2=True, pallas=True,
+        tile_w=128, tile_h=8, chunk=128))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_peel2_tiles_only_matches_single_chip():
+    """Tile bands partition pixels, not draws: every pixel's full survivor
+    chain stays on one device, so sharded peel2 must match single-chip
+    peel2 up to band-recompute noise.  The record SELECTION can flip at
+    pixels where band-local plane evaluation rounds a D16 z across a tie
+    (the layer-2 pick is twice as tie-sensitive as the winner's), so this
+    budgets a handful of pixels instead of allclose."""
+    rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=12))
+    rf.plan = _peel2_plan(rf.plan)
+    want_c, want_d = single_chip(rf, arrays)
+    mesh = make_render_mesh(1, devices=jax.devices()[:8])  # 8 tile bands
+    color, depth, *_ = render_frame_sharded(
+        rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    badc = (np.abs(np.asarray(color) - want_c).max(axis=-1) > 2e-4).mean()
+    assert badc < 0.002, f"{badc:.3%} color pixels differ"
+    badd = (np.abs(np.asarray(depth) - want_d) > 1.6e-5).mean()
+    assert badd < 0.002, f"{badd:.3%} depth pixels differ"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_sharded_peel2_draw_sharding_notes_shard_local_layer2():
+    """Draw sharding makes layer 2 shard-local (the composite keeps the
+    winning shard's blended color): the frame must still render and the
+    messenger must note the semantics once."""
+    dev = ty.RenderDeviceBuilder().validation_level(
+        ty.ValidationLevel.INFO).build()
+    rig = scenelib.config4_instances(dev, RES, n_instances=6)
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    rf.plan = _peel2_plan(rf.plan)
+    scene = RenderScene()
+    rig.fill(scene, 0.6)
+    msgs = []
+    dev.debug_messenger.callback = lambda m: msgs.append(m.message_id)
+    mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
+    frame = rf.record_sharded(dev, scene.render_resources, 1.0, RES, mesh)
+    assert np.asarray(frame.color)[..., :3].max() > 0
+    assert msgs.count("peel2-shard-local") == 1
+    # emitted once, not per frame
+    rf.record_sharded(dev, scene.render_resources, 1.0, RES, mesh)
+    assert msgs.count("peel2-shard-local") == 1
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
 def test_equal_z_tie_resolves_by_draw_order_across_devices():
     """Two identical triangles (equal depth everywhere) as two draws that

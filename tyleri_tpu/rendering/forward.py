@@ -430,9 +430,11 @@ class ForwardRenderingFunction:
             # ADVICE r1: the visibility path blends only the final visible
             # fragment against the pre-pass framebuffer; order-dependent
             # blends with overdraw deviate from per-fragment sequential
-            # blending.  RasterPlan.peel2 recovers it to within the third
-            # layer (<1 u8 for the mesh blend); exact=True reproduces it
-            # fully.
+            # blending.  RasterPlan.peel2 also blends the second-to-last
+            # SURVIVING fragment (exact for every pixel with <= 2
+            # survivors; deeper chains truncate — measured per scene by
+            # tools/measure_blend_deviation.py); exact=True reproduces the
+            # chain fully.
             render_device.debug_messenger.emit(
                 debug.Severity.WARNING,
                 "blend-order-deviation",
@@ -665,6 +667,25 @@ class ForwardRenderingFunction:
         )
 
         nd = device_mesh.shape[AXIS_DRAWS]
+        if (nd > 1 and self.plan.raster.peel2
+                and not getattr(self, "_peel2_shard_warned", False)):
+            # Each draw shard peels its OWN last-two survivors and the
+            # composite keeps the winning shard's blended color, so layer 2
+            # is shard-local: a deeper survivor that round-robined to a
+            # different device is not blended (tiles-only sharding is
+            # unaffected — it partitions pixels, not draws).  The survivor
+            # guarantee (never blend a fragment exact mode didn't) holds
+            # per shard but not globally.
+            self._peel2_shard_warned = True
+            render_device.debug_messenger.emit(
+                debug.Severity.INFO,
+                "peel2-shard-local",
+                "peel2 with draw sharding: layer 2 is selected per draw "
+                "shard; cross-shard blend chains truncate at the winning "
+                "shard's record (use a tiles-only mesh or exact mode for "
+                "global layer-2 semantics)",
+                debug.MessageType.PERFORMANCE,
+            )
         with self._record_lock:
             # production ParallelGroup partitioning (validates the
             # round-robin invariant the compiled draw%n mask relies on)
