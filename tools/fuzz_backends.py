@@ -175,6 +175,9 @@ POOL = [
     (_serial(exit_while=True, tiles_per_prog=4), _state()),
     (_serial(noexit=True), _state()),
     (_serial(peel2=True), _state()),
+    (_serial(peel2=True, exit_lag2=True), _state()),
+    (_serial(peel2=True, exit_while=True, tiles_per_prog=2),
+     _state(le=False)),
     (_serial(), _state(cull=CullMode.BACK)),
     (_serial(tile_h=8), _state(cull=CullMode.FRONT, ff=FrontFace.CLOCKWISE)),
 ]
