@@ -536,6 +536,38 @@ def test_pallas_peel2_layer2_is_the_prior_record():
     assert np.abs(c_base - c_exact).max() > 0.01
 
 
+def test_pallas_peel2_exit_bound_is_sound():
+    """The peel-aware early exit thresholds on layer-2 depth (zi=7): build
+    a scene where it ENGAGES (two full-cover quads drawn last, so z2 drops
+    to the second quad's depth and the many far triangles behind it get
+    skipped) and require the exit / lag2 / noexit variants pixel-equal —
+    the bound must never skip an entry that could still alter layer 2."""
+    rng = np.random.default_rng(31)
+    far_xy = rng.uniform(-1, 1, (96, 3, 2)) * 0.9
+    quads, _ = _layers_scene([0.5, 0.1])  # drawn LAST (orders after fars)
+    T = 96 + 4
+    clip = np.zeros((T, 3, 4), np.float32)
+    clip[:96, :, 0] = far_xy[..., 0]
+    clip[:96, :, 1] = far_xy[..., 1]
+    clip[:96, :, 2] = 0.9
+    clip[:96, :, 3] = 1.0
+    clip[96:] = quads
+    uv = np.tile(np.array([[0.3, 0.3], [0.7, 0.3], [0.3, 0.7]], np.float32),
+                 (T, 1, 1))
+    outs = []
+    for kw in (dict(), dict(noexit=True), dict(exit_lag2=True)):
+        c, d = _run_state(clip, uv, MESH_BLEND,
+                          dict(pallas=True, peel2=True, **kw))
+        outs.append((c, d))
+    for c, d in outs[1:]:
+        np.testing.assert_array_equal(d, outs[0][1])
+        np.testing.assert_array_equal(c, outs[0][0])
+    # every pixel's survivor chain ends [quadA .5, quadB .1]: the blend is
+    # the same constant everywhere (texel 0.6 through two blend steps)
+    inner = outs[0][0][2:-2, 2:-2, 0]
+    assert float(inner.max() - inner.min()) < 1e-6
+
+
 def test_pallas_peel2_random_layer_permutations():
     """Property test of the survivor-selection rules: on full-cover layers
     with random z / draw-order / colors (including exact depth ties), the
