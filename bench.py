@@ -68,6 +68,9 @@ def bench_rig(device, rig, warmup=8, frames=16, budget_s=180.0):
     for k in range(warmup):
         one_frame(0.1 * k)
         if time.perf_counter() - t0 > budget_s:
+            print(f"bench {rig.name}: budget ({budget_s:.0f}s) exhausted "
+                  f"during warmup frame {k} (cold compiles?) — skipping",
+                  file=sys.stderr)
             win.flush()
             return None
     win.flush()  # drain so the timed window starts clean
