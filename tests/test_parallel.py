@@ -316,6 +316,75 @@ def test_sharded_exact_mode_matches_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("height", [60, 52])
+def test_non_divisible_band_heights_match_single_chip(height):
+    """VERDICT r4 item 4: fb_h not divisible by the tile-shard count used
+    to raise; bands are now padded to ceil(fb_h/nt) and the composite
+    crops.  60/8 and 52/8 both exercise a partial last band (and 52 a
+    band height that is not tile-aligned either)."""
+    res = (64, height)
+    dev = ty.RenderDeviceBuilder().build()
+    rig = scenelib.config2_cube(dev, res)
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(res))
+    scene = RenderScene()
+    rig.fill(scene, 0.6)
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, res)
+    frame = _render_frame(rf.plan, rf.mesh_state, rf.ui_state, *arrays)
+    want_c, want_d = np.asarray(frame.color), np.asarray(frame.depth)
+    assert (want_d < 1.0).any(), "sanity: the cube must be visible"
+
+    for layout in (1, 2):  # 8 tile bands, and 2 draws x 4 tile bands
+        mesh = make_render_mesh(layout, devices=jax.devices()[:8])
+        color, depth, *_ = render_frame_sharded(
+            rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+        assert color.shape == (height, 64, 4), color.shape
+        assert depth.shape == (height, 64), depth.shape
+        np.testing.assert_allclose(np.asarray(color), want_c, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(depth), want_d, atol=1.6e-5)
+
+
+def _collective_bytes(jaxpr):
+    """Sum the operand bytes of every collective eqn (recursing into
+    sub-jaxprs): per-device collective traffic as lowered, pre-XLA."""
+    names = ("psum", "pmin", "pmax", "all_gather", "all_to_all",
+             "reduce_scatter", "ppermute")
+    total = 0
+    for eqn in jaxpr.eqns:
+        if any(n in eqn.primitive.name for n in names):
+            for v in eqn.invars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "shape") and hasattr(aval, "dtype"):
+                    total += int(np.prod(aval.shape, dtype=np.int64)) * aval.dtype.itemsize
+        for p in eqn.params.values():
+            inner = getattr(p, "jaxpr", p)
+            if hasattr(inner, "eqns"):
+                total += _collective_bytes(inner)
+    return total
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_composite_traffic_stays_o_band_as_draw_axis_grows():
+    """VERDICT r4 item 4: the depth composite's per-device collective byte
+    volume must be O(band), independent of the draws-axis length — the
+    reduction formulation's whole point.  Compare the lowered collective
+    operand bytes at nd=2 vs nd=8 (same band: 1 tile shard both ways)."""
+    rf, arrays = build(lambda d: scenelib.config4_instances(d, RES, n_instances=12))
+
+    def per_device_bytes(nd):
+        mesh = make_render_mesh(nd, devices=jax.devices()[:nd])
+        jaxpr = jax.make_jaxpr(
+            lambda *a: render_frame_sharded(
+                rf.plan, rf.mesh_state, rf.ui_state, mesh, *a)
+        )(*arrays)
+        return _collective_bytes(jaxpr.jaxpr)
+
+    b2, b8 = per_device_bytes(2), per_device_bytes(8)
+    assert b2 > 0, "no collectives found in the sharded frame jaxpr"
+    assert b8 <= 1.25 * b2, (
+        f"collective bytes grew with the draws axis: nd=2 {b2} vs nd=8 {b8}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_composite_uses_reductions_not_gathers():
     """The cross-device depth composite must lower to pmin/pmax/psum
     reductions (per-device traffic independent of the draws-axis size),

@@ -88,6 +88,54 @@ def test_ui_overlay_occludes_mesh():
     assert img[40, 32, 0] > 0
 
 
+def test_ui_scale_factor_2_matches_oracle():
+    """DPI golden test (VERDICT r4 item 6): at scale_factor=2.0 the UI
+    points->NDC mapping divides the window size by the scale factor
+    (rendering/forward.py build_frame_inputs; ref ui.vert:16-18 with the
+    window/scale_factor push constants of stages.rs:56-60), so a quad
+    authored in points covers TWICE the pixels.  Compares the full record()
+    path against the f64 oracle fed screen_pts = window/scale."""
+    from tyleri_tpu.scene.render_scene import RenderScene
+    from tyleri_tpu.testing import oracle
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = make_device()
+    (white,) = dev.create_textures(
+        [((1, 1), lambda b: b.__setitem__(slice(None), 1.0))])
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    scene = RenderScene()
+    quad = [
+        ((4, 4), (0, 0), (0, 1, 0, 1)),
+        ((16, 4), (1, 0), (0, 1, 0, 1)),
+        ((16, 12), (1, 1), (0, 1, 0, 1)),
+        ((4, 12), (0, 1), (0, 1, 0, 1)),
+    ]
+    idx = [0, 1, 2, 0, 2, 3]
+    scene.add_ui([(quad, idx, white)])
+    frame = rf.record(dev, scene.render_resources, 2.0, RES)
+    got = np.asarray(frame.color)
+
+    # the quad spans points (4,4)-(16,12) => pixels (8,8)-(32,24) at DPI 2;
+    # pixel (28,20) is inside ONLY with the scale division in place
+    assert got[20, 28, 1] > 0.5, "scale_factor division dropped or broken"
+    assert got[20, 36, 1] == 0.0, "quad overshoots its scaled extent"
+
+    pos = np.asarray([p for p, _, _ in quad], np.float64)
+    uvs = np.asarray([uv for _, uv, _ in quad], np.float64)
+    cols = np.asarray([c for _, _, c in quad], np.float64)
+    tri = np.asarray(idx).reshape(-1, 3)
+    w, h = RES
+    o_clip = oracle.make_ui_clip(pos, np.asarray(idx), (w / 2.0, h / 2.0))
+    o_color = np.zeros((h, w, 4), np.float64)
+    o_depth = np.ones((h, w), np.float64)
+    oracle.rasterize(o_color, o_depth, o_clip, uvs[tri], rf.ui_state,
+                     math3d.Viewport(0, 0, w, h), math3d.Rect2D(0, 0, w, h),
+                     texture=np.ones((1, 1, 4)), vertex_color=cols[tri])
+    bad = (np.abs(got - o_color).max(axis=-1) > 1e-3).mean()
+    assert bad < 0.003, f"{bad:.3%} pixels differ from the DPI-2 oracle"
+    np.testing.assert_allclose(np.asarray(frame.depth), o_depth, atol=1e-6)
+
+
 def test_multi_camera_viewports():
     dev = make_device()
     verts, idx = prim.triangle(0.5)

@@ -12,8 +12,8 @@ draw recording (SURVEY §2 "Parallelism").  The TPU-native scaling axes are:
   devices instead of threads, ref: src/render_objects/mod.rs:5-30).
 
 Both axes combine into a 2-D mesh (draws, tiles); collectives ride ICI:
-the composite is an all_gather over the ``draws`` axis of band-sized
-buffers only.
+the composite is pmin/pmax/psum reductions over the ``draws`` axis whose
+per-device traffic is O(band size), independent of the draws-axis length.
 """
 
 from __future__ import annotations

@@ -30,12 +30,15 @@ from tyleri_tpu.rendering.forward import FramePlan, frame_body
 
 
 def _band_plan(plan: FramePlan, n_tile_shards: int) -> FramePlan:
-    if plan.raster.fb_h % n_tile_shards != 0:
-        raise ValueError(
-            f"framebuffer height {plan.raster.fb_h} not divisible by "
-            f"{n_tile_shards} tile shards"
-        )
-    band_h = plan.raster.fb_h // n_tile_shards
+    """Per-shard band plan: ``band_h = ceil(fb_h / n_tile_shards)``.
+
+    Non-divisible heights are PADDED, not rejected: every shard renders a
+    full ``band_h`` band and the composite's caller crops the padded rows
+    (``band_h * n - fb_h`` < n rows, rendered clear because the window
+    scissor — global-height-sized — clips them).  The raster kernels
+    already handle arbitrary band heights (they pad to the tile grid
+    internally and crop, ops/raster_pallas.py:576+656)."""
+    band_h = -(-plan.raster.fb_h // n_tile_shards)
     return dataclasses.replace(
         plan, raster=dataclasses.replace(plan.raster, fb_h=band_h)
     )
@@ -149,4 +152,10 @@ def render_frame_sharded(plan, mesh_state, ui_state, mesh, *arrays):
         check_vma=False,  # outputs are replicated over AXIS_DRAWS by the
                           # pmin/psum composite; skip the static proof
     )
-    return shard(*arrays)
+    color, depth, order, *stats = shard(*arrays)
+    fb_h = plan.raster.fb_h
+    if nt * band_h != fb_h:
+        # non-divisible height: bands were padded to ceil(fb_h/nt); drop
+        # the clear-rendered padding rows (only the last band is partial)
+        color, depth, order = color[:fb_h], depth[:fb_h], order[:fb_h]
+    return (color, depth, order, *stats)
