@@ -100,10 +100,12 @@ def test_sharded_peel2_tiles_only_matches_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
-def test_sharded_peel2_draw_sharding_notes_shard_local_layer2():
-    """Draw sharding makes layer 2 shard-local (the composite keeps the
-    winning shard's blended color): the frame must still render and the
-    messenger must note the semantics once."""
+def test_sharded_peel2_draw_mesh_remaps_to_tiles_only():
+    """VERDICT r4 item 7: peel2 + a draws mesh axis used to silently adopt
+    shard-local layer-2 semantics (a third blend behavior).  Now the mesh
+    is re-mapped to tiles-only — ONE semantics: the result must match
+    single-chip peel2 (pixel bands keep every survivor chain on one
+    device) and the messenger notes the remap once."""
     dev = ty.RenderDeviceBuilder().validation_level(
         ty.ValidationLevel.INFO).build()
     rig = scenelib.config4_instances(dev, RES, n_instances=6)
@@ -115,11 +117,18 @@ def test_sharded_peel2_draw_sharding_notes_shard_local_layer2():
     dev.debug_messenger.callback = lambda m: msgs.append(m.message_id)
     mesh = make_render_mesh(2, devices=jax.devices()[:2])  # 2 draws x 1 tile
     frame = rf.record_sharded(dev, scene.render_resources, 1.0, RES, mesh)
-    assert np.asarray(frame.color)[..., :3].max() > 0
-    assert msgs.count("peel2-shard-local") == 1
+    got_c = np.asarray(frame.color)
+    assert got_c[..., :3].max() > 0
+    assert msgs.count("peel2-mesh-tiles-only") == 1
+    assert "peel2-shard-local" not in msgs
     # emitted once, not per frame
     rf.record_sharded(dev, scene.render_resources, 1.0, RES, mesh)
-    assert msgs.count("peel2-shard-local") == 1
+    assert msgs.count("peel2-mesh-tiles-only") == 1
+    # one semantics: the remapped render matches single-chip peel2
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, RES)
+    want_c, _ = single_chip(rf, arrays)
+    badc = (np.abs(got_c - want_c).max(axis=-1) > 2e-4).mean()
+    assert badc < 0.002, f"{badc:.3%} color pixels differ from single-chip"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")

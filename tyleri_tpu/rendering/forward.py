@@ -660,32 +660,42 @@ class ForwardRenderingFunction:
         assignment is the reference's ParallelGroup round-robin
         (Camera::get_and_order_meshes, ref camera.rs:32-39) applied to the
         ``draws`` mesh axis instead of rayon threads."""
-        from tyleri_tpu.parallel.mesh import AXIS_DRAWS
+        from tyleri_tpu.parallel.mesh import AXIS_DRAWS, AXIS_TILES
         from tyleri_tpu.parallel.sharding import (
             derive_draw_groups,
             render_frame_sharded,
         )
 
         nd = device_mesh.shape[AXIS_DRAWS]
-        if (nd > 1 and self.plan.raster.peel2
-                and not getattr(self, "_peel2_shard_warned", False)):
-            # Each draw shard peels its OWN last-two survivors and the
-            # composite keeps the winning shard's blended color, so layer 2
-            # is shard-local: a deeper survivor that round-robined to a
-            # different device is not blended (tiles-only sharding is
-            # unaffected — it partitions pixels, not draws).  The survivor
-            # guarantee (never blend a fragment exact mode didn't) holds
-            # per shard but not globally.
-            self._peel2_shard_warned = True
-            render_device.debug_messenger.emit(
-                debug.Severity.INFO,
-                "peel2-shard-local",
-                "peel2 with draw sharding: layer 2 is selected per draw "
-                "shard; cross-shard blend chains truncate at the winning "
-                "shard's record (use a tiles-only mesh or exact mode for "
-                "global layer-2 semantics)",
-                debug.MessageType.PERFORMANCE,
+        if nd > 1 and self.plan.raster.peel2:
+            # peel2's layer 2 is PER-PIXEL SEQUENTIAL state: the depth-record
+            # holder just before the winner drew.  Partitioning pixels
+            # (tiles) preserves it exactly — every pixel's full survivor
+            # chain stays on one device.  Partitioning draws cannot: an
+            # exact cross-shard recomposite from per-shard top-2 records is
+            # unsound (a shard whose winner AND layer-2 both postdate the
+            # global winner can hide the true second survivor behind its own
+            # records, so the composite could blend a fragment exact mode
+            # never blended — violating the survivor guarantee the kernel's
+            # demotion rules exist to keep).  Policy: ONE semantics — remap
+            # the mesh to tiles-only (same devices, 1 x N) and say so once.
+            from jax.sharding import Mesh
+
+            device_mesh = Mesh(
+                device_mesh.devices.reshape(1, -1), (AXIS_DRAWS, AXIS_TILES)
             )
+            nd = 1
+            if not getattr(self, "_peel2_remap_noted", False):
+                self._peel2_remap_noted = True
+                render_device.debug_messenger.emit(
+                    debug.Severity.INFO,
+                    "peel2-mesh-tiles-only",
+                    "peel2 with a draws mesh axis: re-mapped the device mesh "
+                    "to tiles-only to preserve global layer-2 semantics "
+                    "(draw sharding would make layer 2 shard-local; pixel "
+                    "bands keep every survivor chain on one device)",
+                    debug.MessageType.PERFORMANCE,
+                )
         with self._record_lock:
             # production ParallelGroup partitioning (validates the
             # round-robin invariant the compiled draw%n mask relies on)
