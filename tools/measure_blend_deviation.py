@@ -28,8 +28,11 @@ def render(device, rig, *, exact: bool, peel2: bool = False):
     from tyleri_tpu.scene.render_scene import RenderScene
     from tyleri_tpu.window.swapchain import ImageViewSwapchain
 
+    # pin the policy: the blend-parity "auto" default would itself engage
+    # peel2 at these scene scales, contaminating the "fast" row
     rf = ty.ForwardRenderingFunction(
-        device, ImageViewSwapchain(rig.resolution), exact=exact)
+        device, ImageViewSwapchain(rig.resolution), exact=exact,
+        blend_parity="peel2" if peel2 else "fast")
     if exact:
         # exact mode scans per-tile fragment lists: give the reduced-res
         # grid generous per-tile capacity so nothing truncates

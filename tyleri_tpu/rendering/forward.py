@@ -337,10 +337,22 @@ def _build_table(positions, uvs, normals, indices, first_index,
     return corner, draw, valid, tex, corner18
 
 
+# blend-parity auto policy (VERDICT r4 item 3): the reference's mesh
+# pipeline ALWAYS blends in submission order (common_pipeline.rs:117-131),
+# while the visibility path blends only the final survivor.  Below this
+# triangle count the two-layer depth peel engages by default: its measured
+# ~20% kernel cost buys deviation that actually drops (config4-class: 3.07%
+# px >1u8 -> 0.34% — BASELINE.md deviation table); at config5 scale peel2
+# still leaves 12.7% px >1u8, so the fast path ships and the messenger
+# reports the deviation instead.
+BLEND_PARITY_PEEL2_MAX_TRIS = 1 << 18
+
+
 class ForwardRenderingFunction:
     """The only RenderingFunction impl, as in the reference (mod.rs:46-50)."""
 
-    def __init__(self, render_device, swapchain, *, exact: bool = False):
+    def __init__(self, render_device, swapchain, *, exact: bool = False,
+                 blend_parity: str = "auto"):
         self.render_device = render_device
         w, h = swapchain.resolution
         self.common_pipeline = CommonPipeline()
@@ -356,7 +368,24 @@ class ForwardRenderingFunction:
             self.ui_pipeline.state.depth, format=render_device.depth_format
         )
         self.ui_state = dataclasses.replace(self.ui_pipeline.state, depth=uds)
+        # blend-parity policy: "auto" engages peel2 per-frame by scene scale
+        # (see _apply_blend_parity); "peel2"/"fast" pin it; "exact" is the
+        # bit-parity mode (same as exact=True).  An explicit TYLERI_PEEL2
+        # env (the A/B knob) overrides the policy either way.
+        if blend_parity not in ("auto", "fast", "peel2", "exact"):
+            raise ValueError(f"unsupported blend_parity {blend_parity!r}")
+        import os as _os
+
+        if "TYLERI_PEEL2" in _os.environ:
+            blend_parity = ("peel2"
+                            if _os.environ["TYLERI_PEEL2"] not in ("0", "")
+                            else "fast")
+        exact = exact or blend_parity == "exact"
+        self.blend_parity = blend_parity
+        self._blend_parity_warned = False
         raster = RasterPlan.for_scene(w, h, 1 << 12, exact=exact)
+        if blend_parity == "peel2":
+            raster = dataclasses.replace(raster, peel2=True)
         # the device's shared sampler (builders.rs:300-320): anisotropy > 1
         # engages the footprint-filtered deferred shade (ops/sampling.py)
         aniso = getattr(render_device, "sampler_anisotropy", None)
@@ -425,26 +454,9 @@ class ForwardRenderingFunction:
                 "LESS_OR_EQUAL); frames will use the slower XLA tile path",
                 debug.MessageType.PERFORMANCE,
             )
-        if (not exact and self.mesh_state.blend.enable
-                and not self.plan.raster.peel2):
-            # ADVICE r1: the visibility path blends only the final visible
-            # fragment against the pre-pass framebuffer; order-dependent
-            # blends with overdraw deviate from per-fragment sequential
-            # blending.  RasterPlan.peel2 also blends the second-to-last
-            # SURVIVING fragment (exact for every pixel with <= 2
-            # survivors; deeper chains truncate — measured per scene by
-            # tools/measure_blend_deviation.py); exact=True reproduces the
-            # chain fully.
-            render_device.debug_messenger.emit(
-                debug.Severity.WARNING,
-                "blend-order-deviation",
-                "order-dependent color blend on the visibility path: only "
-                "the final visible fragment is blended; overlapping "
-                "fragments that each pass the depth test would accumulate "
-                "differently (enable plan.peel2 for two-layer sequential "
-                "blending, or exact mode for full per-fragment parity)",
-                debug.MessageType.PERFORMANCE,
-            )
+        # blend-order deviation reporting moved to _apply_blend_parity: the
+        # "auto" policy needs the frame's triangle count to decide whether
+        # peel2 engages, and the messenger should stay silent when it does.
 
     def resize(self, resolution) -> None:
         """Re-target the frame program to a new framebuffer size (the
@@ -461,6 +473,51 @@ class ForwardRenderingFunction:
                 self.plan,
                 raster=dataclasses.replace(old, fb_w=int(w), fb_h=int(h)),
             )
+
+    def _apply_blend_parity(self, raster: RasterPlan, n_tris: int) -> RasterPlan:
+        """Blend-parity "auto" policy (VERDICT r4 item 3, mirroring the
+        present_quantize "auto" pattern): the reference blends EVERY
+        overlapping mesh fragment in submission order
+        (common_pipeline.rs:117-131).  Tiers by scene scale:
+
+        * peel2 (two-layer sequential blending — exact on every pixel with
+          <= 2 surviving fragments) engages below
+          BLEND_PARITY_PEEL2_MAX_TRIS, where its ~20% kernel cost buys
+          deviation that measurably drops (config4: 3.07% px >1u8 -> 0.34%);
+        * above it the fast single-survivor path ships and the messenger
+          reports the deviation once (at config5 scale peel2 still leaves
+          12.7% px >1u8 — not worth 20%).
+
+        "auto" never picks exact mode: exact drops the Frame.order map
+        (cross-device z-tie arbitration) and lit shading — semantics the
+        policy must not change silently.  blend_parity="exact" (or
+        exact=True) remains the explicit bit-parity mode."""
+        from tyleri_tpu.rendering.passes import _use_pallas
+
+        if (self.blend_parity not in ("auto", "fast") or raster.exact
+                or not self.mesh_state.blend.enable):
+            return raster
+        want = (self.blend_parity == "auto"
+                and n_tris <= BLEND_PARITY_PEEL2_MAX_TRIS)
+        # peel2 is a Pallas-kernel feature; where the XLA path runs (CPU,
+        # unsupported depth states) the flag would be inert — keep the plan
+        # stable and report the deviation instead
+        effective = want and _use_pallas(raster, self.mesh_state)
+        if not effective and not self._blend_parity_warned:
+            self._blend_parity_warned = True
+            self.render_device.debug_messenger.emit(
+                debug.Severity.WARNING,
+                "blend-order-deviation",
+                "order-dependent color blend on the visibility path: only "
+                "the final visible fragment is blended; overlapping "
+                "fragments that each pass the depth test would accumulate "
+                "differently (peel2 adds two-layer sequential blending; "
+                "exact mode gives full per-fragment parity)",
+                debug.MessageType.PERFORMANCE,
+            )
+        if raster.peel2 != effective:
+            raster = dataclasses.replace(raster, peel2=effective)
+        return raster
 
     def _grow_plan(self, n_cams: int, n_draws: int, n_tris: int, n_ui: int) -> None:
         from tyleri_tpu.ops.binning import spill_rows
@@ -498,6 +555,7 @@ class ForwardRenderingFunction:
             # crossing triangles are rare, and every per-triangle stage pays
             # for tri_cap + clip_cap rows
         )
+        raster = self._apply_blend_parity(raster, n_tris)
         new = FramePlan(
             raster=raster,
             # exact growth, not pow2: every camera slot runs a FULL mesh

@@ -192,6 +192,12 @@ def rasterize(
     light=None,     # optional scene.light.DirectionalLight (Blinn-Phong)
     inv_vp=None,    # [4, 4] inverse view-projection (lit unproject)
     eye=None,       # [3] camera world position
+    survivor_hook=None,  # optional instrumentation: called as
+                         # hook(y0, x0, passed_mask, frag_rgba) for every
+                         # depth-test-passing fragment region, BEFORE the
+                         # blend — pixel output is unaffected (used by
+                         # tools/kpeel_deviation.py to study k-layer
+                         # truncated blend chains)
 ):
     """Rasterize triangles in draw order into ``color``/``depth`` (in place).
 
@@ -233,11 +239,12 @@ def rasterize(
                 (sx0, sy0, sx1, sy1), texture,
                 has_vcolor=vertex_color is not None,
                 lit=lit,
+                survivor_hook=survivor_hook,
             )
 
 
 def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor,
-                lit=None):
+                lit=None, survivor_hook=None):
     xyzw = tri[:, :4]
     w = xyzw[:, 3]
     if np.any(w <= 0):  # clipped volume guarantees w>0 up to fp noise
@@ -368,6 +375,8 @@ def _raster_one(color, depth, tri, state, vp, sbox, texture, has_vcolor,
         ) / denom[..., None]
         frag = frag * vcol
 
+    if survivor_hook is not None:
+        survivor_hook(y0, x0, passed, np.broadcast_to(frag, passed.shape + (4,)))
     region_c = color[y0:y1, x0:x1]
     blended = blend(state.blend, frag, region_c)
     region_c[passed] = blended[passed]

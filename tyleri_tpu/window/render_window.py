@@ -112,6 +112,7 @@ class RenderWindow:
         rendering_function=ForwardRenderingFunction,
         present_target: Optional[Callable[[np.ndarray], None]] = None,
         exact: bool = False,
+        blend_parity: str = "auto",
         present_mode: str = "fifo",
         refresh_hz: float = 60.0,
         device_mesh=None,
@@ -136,7 +137,8 @@ class RenderWindow:
         if composite_alpha not in ("opaque", "inherit"):
             raise ValueError(f"unsupported composite_alpha {composite_alpha!r}")
         self.rendering_function = rendering_function(
-            render_device, self.swapchain, exact=exact
+            render_device, self.swapchain, exact=exact,
+            blend_parity=blend_parity,
         )
         # presentation alpha semantics: "opaque" = the reference's
         # CompositeAlpha::OPAQUE (swapchain.rs:59; display ignores alpha);
