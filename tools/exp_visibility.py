@@ -47,6 +47,10 @@ def _variant_kernel(
                        # chunk ([unroll, 128] per group) + static [1,1]
                        # element broadcasts, replacing the ~23 SMEM scalar
                        # loads per entry (measured ~70% of kernel time)
+    e2_stored=False,   # round-5 A/B baseline: evaluate e2 as a stored
+                       # 3-coefficient plane (the pre-round-5 formulation;
+                       # the harness refills table cols 6..8 with derived
+                       # coefficients) instead of e2 = (|2A| - e0) - e1
 ):
     if exit_while:
         exit_test = True
@@ -81,7 +85,10 @@ def _variant_kernel(
         tl = meta >> S.META_TEX_BITS
         e0 = plane(S.CH_E0)
         e1 = plane(S.CH_E1)
-        e2 = plane(S.CH_E2)
+        if e2_stored:
+            e2 = plane(S.CH_TWOA)  # 3-load stored plane (round-4 baseline)
+        else:
+            e2 = (coeff(S.CH_TWOA) - e0) - e1  # derived (production)
         cov = (
             ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
             & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))
@@ -294,14 +301,14 @@ def _variant_kernel(
     static_argnames=("fb_w", "fb_h", "tile_w", "tile_h", "grid_w", "grid_h",
                      "chunk", "unroll", "strip_attrs", "hoist_loads",
                      "lex", "zmax_carry", "cond_dma", "exit_test",
-                     "exit_while", "lag2", "dynroll"),
+                     "exit_while", "lag2", "dynroll", "e2_stored"),
 )
 def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
                 fb_w, fb_h, tile_w, tile_h, grid_w, grid_h, chunk,
                 unroll, strip_attrs, hoist_loads,
                 lex=False, zmax_carry=False, cond_dma=False,
                 exit_test=False, exit_while=False, lag2=False,
-                dynroll=False):
+                dynroll=False, e2_stored=False):
     e_cap = binned_rm.shape[0]
     pad_h = grid_h * tile_h
     pad_w = grid_w * tile_w
@@ -316,6 +323,7 @@ def run_variant(binned_rm, tile_start, num_broad, init_depth, scissor, *,
         unroll=unroll, strip_attrs=strip_attrs, hoist_loads=hoist_loads,
         lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma, exit_test=exit_test,
         exit_while=exit_while, lag2=lag2, dynroll=dynroll,
+        e2_stored=e2_stored,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -443,10 +451,20 @@ def main():
                 strip_attrs=False, hoist_loads=False, empty=False,
                 seg=0, lex=False, zmax_carry=False, cond_dma=False,
                 exit_test=False, exit_while=False, lag2=False,
-                dynroll=False):
+                dynroll=False, e2_stored=False):
         if tile_h not in cache:
             cache[tile_h] = bin_for(tile_h)
         b, grid_w, grid_h = cache[tile_h]
+        table = b.entry_channels
+        if e2_stored:
+            # refill the freed CH_TWOA rows with the stored-plane e2
+            # coefficients (a2 = -(a0+a1), b2 = -(b0+b1), c2 = 2A-c0-c1)
+            # so the baseline kernel's 3-load plane eval is load-faithful
+            a2 = -(table[:, 0] + table[:, 3])
+            b2 = -(table[:, 1] + table[:, 4])
+            c2 = table[:, 6] - table[:, 2] - table[:, 5]
+            table = table.at[:, 6].set(a2).at[:, 7].set(b2).at[:, 8].set(c2)
+            table = jax.block_until_ready(table)
         tile_start = b.tile_start
         nbroad = b.num_broad
         if empty:
@@ -462,14 +480,14 @@ def main():
                 b.entry_channels.shape[0])
             nbroad = jnp.zeros_like(b.num_broad)
         print(f"[{name}] entries={int(b.num_entries)}", flush=True)
-        timeit(name, run_variant, b.entry_channels, tile_start,
+        timeit(name, run_variant, table, tile_start,
                nbroad, depth0, scissors[0],
                fb_w=fb_w, fb_h=fb_h, tile_w=128, tile_h=tile_h,
                grid_w=grid_w, grid_h=grid_h, chunk=chunk, unroll=unroll,
                strip_attrs=strip_attrs, hoist_loads=hoist_loads,
                lex=lex, zmax_carry=zmax_carry, cond_dma=cond_dma,
                exit_test=exit_test, exit_while=exit_while, lag2=lag2,
-               dynroll=dynroll)
+               dynroll=dynroll, e2_stored=e2_stored)
 
     sel = sys.argv[1:] or [
         "base", "th8", "th32", "chunk256", "unroll8",
@@ -485,6 +503,8 @@ def main():
         "exit2": dict(exit_test=True, cond_dma=True, lag2=True),
         "exitw2": dict(exit_while=True, lag2=True),
         "exitw": dict(exit_while=True),
+        "e2stored": dict(exit_test=True, cond_dma=True, e2_stored=True),
+        "e2derived": dict(exit_test=True, cond_dma=True),
         "th8": dict(tile_h=8),
         "th32": dict(tile_h=32),
         "chunk256": dict(chunk=256),
@@ -589,7 +609,10 @@ def _packed_kernel(
         tl = meta >> S.META_TEX_BITS
         e0 = plane(S.CH_E0)
         e1 = plane(S.CH_E1)
-        e2 = plane(S.CH_E2)
+        if e2_stored:
+            e2 = plane(S.CH_TWOA)  # 3-load stored plane (round-4 baseline)
+        else:
+            e2 = (coeff(S.CH_TWOA) - e0) - e1  # derived (production)
         cov = (
             ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
             & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))

@@ -103,7 +103,8 @@ def rasterize_exact(
 
         meta = ch[S.CH_META].astype(jnp.int32)
         tl = meta >> S.META_TEX_BITS
-        e0, e1, e2 = plane(S.CH_E0), plane(S.CH_E1), plane(S.CH_E2)
+        e0, e1 = plane(S.CH_E0), plane(S.CH_E1)
+        e2 = (ch[S.CH_TWOA] - e0) - e1  # derived: e0+e1+e2 == |2A|
         cov = (
             ((e0 > 0) | ((e0 == 0) & ((tl & 1) > 0)))
             & ((e1 > 0) | ((e1 == 0) & ((tl & 2) > 0)))

@@ -210,7 +210,11 @@ def _visibility_kernel(
             tl = meta >> S.META_TEX_BITS
             e0 = plane(S.CH_E0)
             e1 = plane(S.CH_E1)
-            e2 = plane(S.CH_E2)
+            # derived edge: e0+e1+e2 == |2A| (one scalar load instead of a
+            # 3-load plane eval — the per-entry SMEM scalar loads are the
+            # kernel's measured serial bottleneck); expression order matches
+            # ops/visibility.py exactly for cross-backend parity
+            e2 = (coeff(S.CH_TWOA) - e0) - e1
             # (A signed-int-compare formulation of the top-left rule — one cmp
             # per edge via bitcast — measures faster but DIVERGES from the XLA
             # path near zero: float compares and int-viewed bits disagree on

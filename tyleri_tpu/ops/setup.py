@@ -37,7 +37,17 @@ import jax.numpy as jnp
 # own packed side table from those).
 CH_E0 = 0    # edge 0 (opposite vertex 0) A,B,C at rows 0..2
 CH_E1 = 3
-CH_E2 = 6
+# Edge 2 is DERIVED, not stored: the sign-normalized edge functions satisfy
+# e0 + e1 + e2 = |2A| identically, so both rasterizers reconstruct
+# e2 = (|2A| - e0) - e1 from the stored doubled area — 2 fewer SMEM scalar
+# loads per entry in the Pallas kernel, whose per-entry scalar loads are the
+# measured serial bottleneck (~70% of visibility time).  Rows CH_TWOA+1/+2
+# are zero.  For small-integer coordinates (UI quads, test scenes) the f32
+# subtraction is exact, so e2 == 0 top-left ties are preserved bit-exactly;
+# at scene scale the absolute wobble is ~ulp(|2A|), far below the f32 noise
+# the golden edge-pixel budgets already absorb.  Both the XLA and Pallas
+# paths use the identical expression, so cross-backend parity stays exact.
+CH_TWOA = 6
 CH_Z = 9     # window-space depth plane
 CH_INVW = 12  # 1/w plane
 CH_UW = 15   # u/w plane
@@ -248,7 +258,8 @@ def setup_triangles(
     channels = jnp.stack([
         eA[:, 0], eB[:, 0], eC[:, 0],          # CH_E0
         eA[:, 1], eB[:, 1], eC[:, 1],          # CH_E1
-        eA[:, 2], eB[:, 2], eC[:, 2],          # CH_E2
+        area2 * sgn, jnp.zeros_like(area2),    # CH_TWOA: |2A| (e2 derived)
+        jnp.zeros_like(area2),
         zA, zB, zC,                            # CH_Z
         wA, wB, wC,                            # CH_INVW
         uwA, uwB, uwC,                         # CH_UW

@@ -222,10 +222,17 @@ def _plane_kernel(
         edx = dx * sgn
         edy = dy * sgn
         tl.append(jnp.where((edy < 0) | ((edy == 0) & (edx > 0)), 1.0, 0.0))
-        # stage to VMEM immediately (see ch_scratch note)
-        ch_scratch[3 * e] = eA[e]
-        ch_scratch[3 * e + 1] = eB[e]
-        ch_scratch[3 * e + 2] = eC[e]
+        if e < 2:
+            # stage to VMEM immediately (see ch_scratch note)
+            ch_scratch[3 * e] = eA[e]
+            ch_scratch[3 * e + 1] = eB[e]
+            ch_scratch[3 * e + 2] = eC[e]
+
+    # edge 2 is derived by the rasterizers (e0+e1+e2 == |2A|): store the
+    # doubled area at CH_TWOA, matching setup.py bit-exactly (same exprs)
+    ch_scratch[S.CH_TWOA] = area2 * sgn
+    ch_scratch[S.CH_TWOA + 1] = jnp.zeros_like(area2)
+    ch_scratch[S.CH_TWOA + 2] = jnp.zeros_like(area2)
 
     lamA = [eA[e] * inv_abs_area2 for e in range(3)]
     lamB = [eB[e] * inv_abs_area2 for e in range(3)]

@@ -117,7 +117,9 @@ def _resolve_chunk(ch, live, order, xc, yc, in_scissor, zbuf, owner, obuf, eids,
     """
     e0 = _eval_plane(ch, S.CH_E0, xc, yc)
     e1 = _eval_plane(ch, S.CH_E1, xc, yc)
-    e2 = _eval_plane(ch, S.CH_E2, xc, yc)
+    # e2 derived from the stored doubled area (e0+e1+e2 == |2A|); the same
+    # expression order as the Pallas kernel keeps cross-backend parity exact
+    e2 = (ch[:, S.CH_TWOA][None, :] - e0) - e1
     tl = ch[:, S.CH_META].astype(jnp.int32)[None, :] >> S.META_TEX_BITS
     tl0 = (tl & 1) > 0
     tl1 = (tl & 2) > 0
