@@ -156,6 +156,143 @@ def test_adaptive_valid_cap_feedback():
     assert rf.plan.raster.valid_cap == 0
 
 
+def test_adaptive_entry_slice_feedback():
+    """note_overflow learns the live entry demand and slices entry_cap
+    below the emitted row budget (the (tile, zmin) sort keeps dead rows
+    last, so the slice only drops dead weight); a bin overflow resets the
+    fit and backs off, and a tri_cap growth invalidates it."""
+    import tyleri_tpu as ty
+    from tyleri_tpu.ops.binning import spill_rows
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = ty.RenderDeviceBuilder().build()
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    p0 = rf.plan
+    budget = p0.tri_cap + p0.raster.clip_cap + spill_rows(
+        p0.raster.spill_cap, p0.raster.max_tiles_per_tri)
+    assert p0.raster.entry_cap == budget
+
+    # demand well below the budget: the fit engages after N clean frames
+    for _ in range(rf._entry_shrink_after):
+        rf.note_overflow(0, 0, 0, 0, entry_demand=100_000)
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    p1 = rf.plan
+    assert p1.raster.entry_cap == (1 << 17)  # ceil(125000/65536) granules
+    assert p1.raster.entry_cap % p1.raster.chunk == 0
+
+    # overflow (possibly the slice truncating live entries): reset + backoff
+    before = rf._entry_shrink_after
+    rf.note_overflow(7, 0, 0, 0)
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    assert rf.plan.raster.entry_cap >= budget - (1 << 16)  # valid_cap may
+    assert rf._entry_shrink_after == before * 2            # also have reset
+
+    # re-learn, then a geometry growth invalidates the learned fit
+    for _ in range(rf._entry_shrink_after):
+        rf.note_overflow(0, 0, 0, 0, entry_demand=100_000)
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    assert rf.plan.raster.entry_cap == (1 << 17)
+    rf._grow_plan(1, 1, (1 << 19) + 5, 0)
+    assert rf._entry_fit == 0
+    assert rf.plan.raster.entry_cap > (1 << 19)
+
+
+def test_adaptive_spill_level_fit():
+    """Clean frames teach note_overflow the per-spill-level demand; the
+    plan's spill_level_caps replace the fraction-derived caps and shrink
+    the emitted row budget; overflow resets to the fraction budget."""
+    import tyleri_tpu as ty
+    from tyleri_tpu.ops.binning import spill_rows
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = ty.RenderDeviceBuilder().build()
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    p0 = rf.plan
+    demand = [9000, 4000, 900, 300, 100]
+    for _ in range(rf._entry_shrink_after):
+        rf.note_overflow(0, 0, 0, 0, entry_demand=100_000,
+                         spill_demand=demand)
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    p1 = rf.plan
+    exp = tuple(max(-(-int(d * 1.25) // 512) * 512, 512) for d in demand)
+    assert p1.raster.spill_level_caps == exp
+    fitted = spill_rows(p1.raster.spill_cap,
+                        p1.raster.max_tiles_per_tri, exp)
+    assert fitted < spill_rows(p0.raster.spill_cap,
+                               p0.raster.max_tiles_per_tri)
+    assert p1.raster.entry_cap % p1.raster.chunk == 0
+
+    # overflow: back to the fraction-derived budget (spill_cap just grew)
+    rf.note_overflow(5, 0, 0, 0)
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    assert rf.plan.raster.spill_level_caps == ()
+
+
+def test_spill_level_caps_binning_matches_fraction_caps():
+    """Binning with fitted level caps (>= demand) produces the same
+    per-tile streams as the fraction-derived caps; an under-demand level
+    cap REPORTS the truncation."""
+    from tyleri_tpu.ops import setup as S
+    from tyleri_tpu.ops.binning import _level_caps, bin_triangles
+
+    su, grid_w, grid_h = make_setup(np.random.default_rng(12))
+    kwargs = dict(grid_w=grid_w, grid_h=grid_h, entry_cap=1 << 14,
+                  max_tiles_per_tri=32, broad_cap=16, spill_cap=1 << 13)
+    full = bin_triangles(su, **kwargs)
+    assert int(full.overflow) == 0
+    dem = np.asarray(full.level_demand)
+    assert dem[0] > 0
+    fit = tuple(max(-(-int(d * 1.25) // 512) * 512, 512) for d in dem)
+    fitted = bin_triangles(su, spill_level_caps=fit, **kwargs)
+    assert int(fitted.overflow) == 0
+    assert int(fitted.num_entries) == int(full.num_entries)
+    ts_f = np.asarray(full.tile_start)
+    ts_s = np.asarray(fitted.tile_start)
+    of = np.asarray(full.entry_channels)[:, S.CH_ORDER].astype(int)
+    os_ = np.asarray(fitted.entry_channels)[:, S.CH_ORDER].astype(int)
+    for tile_id in range(grid_w * grid_h):
+        a = sorted(of[ts_f[tile_id]:ts_f[tile_id + 1]].tolist())
+        b = sorted(os_[ts_s[tile_id]:ts_s[tile_id + 1]].tolist())
+        assert a == b, f"tile {tile_id}"
+    # under-demand level cap: truncation must be REPORTED
+    n_levels = len(_level_caps(1 << 13, 32))
+    assert len(fit) == n_levels
+    tight = (512,) * n_levels
+    if dem[0] > 512:
+        t = bin_triangles(su, spill_level_caps=tight, **kwargs)
+        assert int(t.overflow) > 0
+
+
+def test_entry_slice_matches_full_capacity_pixels():
+    """A sliced entry_cap (above live demand) produces identical binned
+    streams per tile — the dropped rows are dead padding only."""
+    from tyleri_tpu.ops import setup as S
+
+    su, grid_w, grid_h = make_setup(np.random.default_rng(11))
+    kwargs = dict(grid_w=grid_w, grid_h=grid_h, max_tiles_per_tri=32,
+                  broad_cap=16, spill_cap=1 << 13)
+    full = bin_triangles(su, entry_cap=1 << 14, **kwargs)
+    live = int(full.num_entries)
+    assert 0 < live < (1 << 12)
+    sliced = bin_triangles(su, entry_cap=1 << 12, **kwargs)
+    assert int(sliced.overflow) == 0
+    assert int(sliced.num_entries) == live
+    ts_f = np.asarray(full.tile_start)
+    ts_s = np.asarray(sliced.tile_start)
+    of = np.asarray(full.entry_channels)[:, S.CH_ORDER].astype(int)
+    os_ = np.asarray(sliced.entry_channels)[:, S.CH_ORDER].astype(int)
+    for tile_id in range(grid_w * grid_h):
+        a = sorted(of[ts_f[tile_id]:ts_f[tile_id + 1]].tolist())
+        b = sorted(os_[ts_s[tile_id]:ts_s[tile_id + 1]].tolist())
+        assert a == b, f"tile {tile_id}"
+    # a slice BELOW the live demand reports the truncation
+    tight = bin_triangles(su, entry_cap=max(live - 100, 128) // 128 * 128,
+                          **kwargs)
+    assert int(tight.overflow) > 0
+
+
 def test_broad_cap_growth_clamps_at_smem_ceiling():
     """Repeated bin overflows quadruple broad_cap only up to the SMEM
     ceiling the Pallas kernels can actually hold ([NUM_CHANNELS, B] broad

@@ -137,19 +137,41 @@ def main():
         # from a frame's bin_demand, note_overflow's 1.25x + 1<<16 granule)
         from tyleri_tpu.ops.binning import spill_rows
 
-        dem = int(jax.device_get(frame2(*arrays).bin_demand))
+        f2 = frame2(*arrays)
+        dem = int(jax.device_get(f2.bin_demand))
+        edem = int(jax.device_get(f2.entry_demand))
         vcap = -(-int(dem * 1.25) // (1 << 16)) * (1 << 16)
         full = rf.plan.tri_cap + noclip.clip_cap
         if vcap <= full - (1 << 16):
-            r3 = dataclasses.replace(
-                noclip, valid_cap=vcap,
-                entry_cap=vcap + spill_rows(
-                    noclip.spill_cap, noclip.max_tiles_per_tri),
-            )
-            plan3 = dataclasses.replace(rf.plan, raster=r3)
-            frame3 = functools.partial(
-                _render_frame, plan3, rf.mesh_state, rf.ui_state)
-            dt = timeit(f"steady frame (v{vcap >> 16})", frame3, *arrays)
+            # settle exactly like the window loop: grow spill_cap on
+            # reported overflow (sponza's spill demand exceeds the level-0
+            # cap at the initial spill_cap — an unchecked v-cap plan here
+            # used to silently drop ~200K live entries and flatter the
+            # steady number), then apply the round-5 entry-slice fit
+            spill_cap = noclip.spill_cap
+            for _ in range(6):
+                r3 = dataclasses.replace(
+                    noclip, valid_cap=vcap, spill_cap=spill_cap,
+                    entry_cap=vcap + spill_rows(
+                        spill_cap, noclip.max_tiles_per_tri),
+                )
+                plan3 = dataclasses.replace(rf.plan, raster=r3)
+                frame3 = functools.partial(
+                    _render_frame, plan3, rf.mesh_state, rf.ui_state)
+                over = int(jax.device_get(frame3(*arrays).bin_overflow))
+                if over == 0:
+                    break
+                print(f"  (spill_cap {spill_cap}: overflow {over} -> x2)",
+                      flush=True)
+                spill_cap *= 2
+            fit = -(-int(edem * 1.25) // (1 << 16)) * (1 << 16)
+            if fit < r3.entry_cap:
+                r3 = dataclasses.replace(r3, entry_cap=fit)
+                plan3 = dataclasses.replace(rf.plan, raster=r3)
+                frame3 = functools.partial(
+                    _render_frame, plan3, rf.mesh_state, rf.ui_state)
+            dt = timeit(f"steady frame (v{vcap >> 16}/e{r3.entry_cap >> 16})",
+                        frame3, *arrays)
             print(f"{'steady fps':22s} {1.0 / dt:9.2f}")
 
 

@@ -62,6 +62,12 @@ class BinnedEntries(NamedTuple):
     dense_demand: jax.Array = None    # i32 [] live narrow triangles
                                       # (pre-cap dense-slot demand; drives
                                       # the adaptive valid_cap shrink)
+    level_demand: jax.Array = None    # i32 [L] per-spill-level triangle
+                                      # demand: #(scount >= level's first
+                                      # cover index), the prefix length
+                                      # level j's cap must hold (pre-cap;
+                                      # drives the adaptive
+                                      # spill_level_caps fit)
 
 
 # Per-level capacity fractions of ``spill_cap``, tuned to the measured
@@ -71,24 +77,36 @@ class BinnedEntries(NamedTuple):
 _LEVEL_FRACS = (0.6, 0.2, 0.08, 0.03, 0.012)
 
 
-def _level_caps(spill_cap: int, K: int, fracs=_LEVEL_FRACS) -> list[int]:
-    caps = []
+def _level_caps(spill_cap: int, K: int, fracs=_LEVEL_FRACS,
+                override=()) -> list[int]:
+    """Per-level triangle capacities.  ``override`` (a learned per-level
+    demand fit from the frame feedback) replaces the fraction-derived caps:
+    the fractions are tuned to ONE cover histogram, and a mismatched scene
+    pays for it doubly — truncation triggers the global spill_cap doubling,
+    whose emitted row budget the big (tile, zmin) sort then carries as dead
+    weight (measured on sponza: the fraction caps under-serve level 0, the
+    doubling converges at a 2.8M-row budget for 1.19M live entries)."""
+    derived = []
     lo, j = 1, 0
     while lo < K:
         frac = fracs[min(j, len(fracs) - 1)]
-        caps.append(max(int(spill_cap * frac) // 512 * 512, 512))
+        derived.append(max(int(spill_cap * frac) // 512 * 512, 512))
         lo *= 2
         j += 1
-    return caps
+    if override:
+        assert len(override) == len(derived), \
+            f"spill_level_caps needs {len(derived)} levels"
+        return [max(int(c) // 512 * 512, 512) for c in override]
+    return derived
 
 
-def spill_rows(spill_cap: int, K: int = 32) -> int:
+def spill_rows(spill_cap: int, K: int = 32, level_caps=()) -> int:
     """Total spill slot rows the multi-level expansion emits — callers size
     ``entry_cap`` as tri_cap + spill_rows so the big sort never slices live
     entries (and the result stays a multiple of 128 for the Pallas chunks
     when tri_cap is)."""
     total, lo = 0, 1
-    for cap in _level_caps(spill_cap, K):
+    for cap in _level_caps(spill_cap, K, override=level_caps):
         hi = min(2 * lo, K) - 1
         total += (hi - lo + 1) * cap
         lo *= 2
@@ -108,6 +126,7 @@ def bin_triangles(
     valid_cap: int = 0,   # dense slots for live narrow triangles (0 = T):
                           # culled/invalid rows beyond it stop riding the
                           # big sort + channel gather as dead weight
+    spill_level_caps=(),  # learned per-level cap fit (see _level_caps)
 ) -> BinnedEntries:
     T = setup.valid.shape[0]
     ntiles = grid_w * grid_h
@@ -158,7 +177,15 @@ def bin_triangles(
     assert grid_w <= 256 and grid_h <= 256, "packed opA needs 8-bit tiles"
     assert K <= 32, "packed key carries scount/tw in 5 bits each"
     assert T < (1 << 21), "packed key carries the triangle id in 21 bits"
-    caps = _level_caps(spill_cap, K)
+    caps = _level_caps(spill_cap, K, override=spill_level_caps)
+
+    # per-level demand: level j holds the descending-scount prefix of
+    # triangles with scount >= its first cover index (feedback for the
+    # spill_level_caps fit)
+    level_demand = jnp.stack([
+        jnp.sum((scount >= (1 << j)).astype(jnp.int32))
+        for j in range(len(caps))
+    ])
 
     # packed operands (all elementwise; tri ids of equal-scount rows keep
     # every key distinct, so the unstable sort is deterministic):
@@ -317,4 +344,5 @@ def bin_triangles(
         entry_extra=entry_extra,
         broad_extra=extra[broad_src] if extra is not None else None,
         dense_demand=dense_live.astype(jnp.int32),
+        level_demand=level_demand,
     )

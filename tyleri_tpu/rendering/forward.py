@@ -169,6 +169,8 @@ def frame_body(
     clip_of = jnp.zeros((), jnp.int32)
     clip_x = jnp.zeros((), jnp.int32)
     bin_dem = jnp.zeros((), jnp.int32)
+    entry_dem = jnp.zeros((), jnp.int32)
+    spill_dem = None
     from tyleri_tpu.rendering.passes import mesh_pass_fused, use_fused_setup
 
     fused = use_fused_setup(plan.raster, plan.draw_cap) and not plan.lit
@@ -236,10 +238,16 @@ def frame_body(
         clip_x = clip_x + st.clip_crossings
         if st.bin_demand is not None:
             bin_dem = jnp.maximum(bin_dem, st.bin_demand)
+        if st.entry_demand is not None:
+            entry_dem = jnp.maximum(entry_dem, st.entry_demand)
+        if st.spill_demand is not None:
+            spill_dem = (st.spill_demand if spill_dem is None
+                         else jnp.maximum(spill_dem, st.spill_demand))
 
     return Frame(color=color, depth=depth, bin_overflow=bin_of,
                  tile_overflow=tile_of, order=order, clip_overflow=clip_of,
-                 clip_crossings=clip_x, bin_demand=bin_dem)
+                 clip_crossings=clip_x, bin_demand=bin_dem,
+                 entry_demand=entry_dem, spill_demand=spill_dem)
 
 
 def _pack_host_arrays(arrays):
@@ -439,6 +447,28 @@ class ForwardRenderingFunction:
         self._valid_demand = 0
         self._valid_clean_frames = 0
         self._valid_shrink_after = 4
+        # adaptive entry-slice shrink (round 5): the (tile, zmin) entry
+        # sort keeps dead rows last, so entry_cap can slice well below the
+        # emitted row budget (vbase + spill rows) once the live entry
+        # demand is stable — the channel gather and its table write are
+        # latency/BW-bound per STATIC row (measured ~10.7 ns + 512 B per
+        # row), and 37% of cap rows were dead on sponza (1.568M cap vs
+        # 982K live).  Same grow/reset discipline as valid_cap: 1.25x
+        # headroom, 1<<16 granule, reset + backoff on any bin overflow.
+        self._entry_demand = 0
+        self._entry_clean_frames = 0
+        self._entry_shrink_after = 4
+        self._entry_fit = 0
+        # adaptive per-spill-level cap fit (round 5): the _LEVEL_FRACS
+        # fractions fit one cover histogram; a mismatched scene truncates
+        # a level, the conflated overflow DOUBLES spill_cap globally, and
+        # the emitted row budget the big (tile, zmin) sort carries
+        # balloons (sponza: 2.8M emitted rows for 1.19M live).  The fit
+        # caps each level at 1.25x its observed triangle-prefix demand
+        # (512 granule); learned on the same clean-frame cadence as the
+        # entry fit, reset together on overflow/geometry growth.
+        self._spill_demand = None   # np [L] elementwise max
+        self._spill_fit = ()
         # VERDICT r2: a pipeline state outside the Pallas kernel's support
         # envelope silently dropped to the much slower XLA path; surface it
         # through the debug messenger as a performance message.
@@ -540,6 +570,22 @@ class ForwardRenderingFunction:
         if valid_cap:
             vbase = min(valid_cap, vbase)
         srows = spill_rows(spill_cap, p.raster.max_tiles_per_tri)
+        # geometry growth invalidates the learned entry-slice fit too
+        if tri_cap > p.tri_cap:
+            self._entry_fit = 0
+            self._entry_demand = 0
+            self._entry_clean_frames = 0
+            self._spill_fit = ()
+            self._spill_demand = None
+        if self._spill_fit:
+            srows = spill_rows(spill_cap, p.raster.max_tiles_per_tri,
+                               self._spill_fit)
+        entry_cap = vbase + srows
+        if self._entry_fit:
+            # binning slices the sorted entry stream at entry_cap; dead
+            # rows sort last, so any live truncation is REPORTED as bin
+            # overflow (which resets the fit) rather than silently dropped
+            entry_cap = min(entry_cap, max(self._entry_fit, 1 << 16))
         raster = dataclasses.replace(
             p.raster,
             # every row of the expansion has a reserved slot, so the big
@@ -547,10 +593,13 @@ class ForwardRenderingFunction:
             # to valid_cap / spill-level overflow (reported + grown via
             # note_overflow); tri_cap is a 1<<16 granule and spill_rows a
             # 512 granule, so this stays a multiple of the Pallas chunk
-            # (128); with a learned valid_cap the dense base shrinks to it
-            entry_cap=vbase + srows,
+            # (128); with a learned valid_cap the dense base shrinks to it,
+            # and a learned entry-slice fit caps the whole table below the
+            # emitted row budget
+            entry_cap=entry_cap,
             spill_cap=spill_cap,
             valid_cap=valid_cap,
+            spill_level_caps=self._spill_fit,
             # clip_cap grows only on REPORTED clip overflow (note_overflow):
             # crossing triangles are rare, and every per-triangle stage pays
             # for tri_cap + clip_cap rows
@@ -579,7 +628,9 @@ class ForwardRenderingFunction:
     def note_overflow(self, bin_overflow: int, tile_overflow: int,
                       clip_overflow: int = 0,
                       clip_crossings: int = 0,
-                      bin_demand: int = 0) -> None:
+                      bin_demand: int = 0,
+                      entry_demand: int = 0,
+                      spill_demand=None) -> None:
         """Occupancy feedback from the frame loop (RenderWindow recycle):
         a reported bin overflow grows the spill headroom so the next plan
         re-bins with more capacity (recompiles, like swapchain recreation —
@@ -606,6 +657,20 @@ class ForwardRenderingFunction:
                         self._valid_shrink_after * 2, 512)
                 self._valid_demand = 0
                 self._valid_clean_frames = 0
+                # a learned entry-slice fit goes back to the full emitted
+                # budget — the overflow may BE the slice truncating live
+                # entries (demand rose past the fit)
+                if self._entry_fit or self._spill_fit:
+                    self._entry_shrink_after = min(
+                        self._entry_shrink_after * 2, 512)
+                self._entry_fit = 0
+                self._entry_demand = 0
+                self._entry_clean_frames = 0
+                # the overflow may be a level cap fit truncating (demand
+                # rose): fall back to the fraction-derived budget, which
+                # the doubled spill_cap just grew
+                self._spill_fit = ()
+                self._spill_demand = None
                 self.plan = dataclasses.replace(
                     self.plan,
                     raster=dataclasses.replace(
@@ -637,6 +702,34 @@ class ForwardRenderingFunction:
                         self.plan = dataclasses.replace(
                             p, raster=dataclasses.replace(
                                 p.raster, valid_cap=cand)
+                        )
+            if bin_overflow <= 0 and entry_demand > 0:
+                # overflow-free frame with an observed live entry count:
+                # learn it and slice the sorted entry table once stable
+                # (the next _grow_plan applies the fit; the shrunk plan
+                # recompiles, like any plan change).  Demands from
+                # OVERFLOWING frames are undercounts (truncated streams)
+                # and never learned.
+                self._entry_demand = max(self._entry_demand,
+                                         int(entry_demand))
+                if spill_demand is not None:
+                    import numpy as _np
+
+                    d = _np.asarray(spill_demand, dtype=_np.int64)
+                    self._spill_demand = (
+                        d if self._spill_demand is None
+                        else _np.maximum(self._spill_demand, d))
+                self._entry_clean_frames += 1
+                if (self._entry_clean_frames >= self._entry_shrink_after
+                        and not self._entry_fit):
+                    cand = -(-int(self._entry_demand * 1.25) // (1 << 16)) \
+                        * (1 << 16)
+                    if cand <= self.plan.raster.entry_cap - (1 << 16):
+                        self._entry_fit = cand
+                    if self._spill_demand is not None:
+                        self._spill_fit = tuple(
+                            max(-(-int(d * 1.25) // 512) * 512, 512)
+                            for d in self._spill_demand
                         )
             if tile_overflow > 0:
                 self.plan = dataclasses.replace(

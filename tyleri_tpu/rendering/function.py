@@ -32,6 +32,12 @@ class Frame(NamedTuple):
     bin_demand: jax.Array = None      # i32 [] max live narrow triangles over
                                       # the frame's passes (dense-slot
                                       # demand; adaptive valid_cap feedback)
+    entry_demand: jax.Array = None    # i32 [] max live placed entries over
+                                      # the frame's passes (adaptive
+                                      # entry-slice shrink feedback)
+    spill_demand: jax.Array = None    # i32 [L] elementwise-max per-spill-
+                                      # level triangle demand (adaptive
+                                      # spill_level_caps fit feedback)
     color_u8: jax.Array = None        # u8 [H, W, 4] presentation image,
                                       # quantized INSIDE the frame program
                                       # (plan.present_u8) — one launch per

@@ -51,6 +51,13 @@ class RasterPlan:
     # capacity of binning's spill list (tiles 2.. of multi-tile triangles;
     # tile 1 is a dense slot per triangle) — occupancy-grown like entry_cap
     spill_cap: int = 1 << 16
+    # learned per-spill-level cap fit (adaptive feedback; () = derive from
+    # spill_cap via the tuned fractions).  The fractions fit ONE cover
+    # histogram; when a scene's histogram differs, level truncation
+    # triggers the global spill_cap doubling and the emitted row budget
+    # balloons (sponza: 2.8M emitted rows for 1.19M live entries) — the
+    # fit caps each level at ~1.25x its observed triangle-prefix demand
+    spill_level_caps: tuple = ()
     # dense (first-tile) slots for LIVE narrow triangles: binning compacts
     # culled/invalid rows past this bound so they stop riding the big
     # expansion sort and the channel gather (0 = one slot per setup row)
@@ -207,6 +214,19 @@ class PassStats(NamedTuple):
     bin_demand: jax.Array = None  # i32 [] live narrow triangles (dense-slot
                                   # demand, pre-cap) — drives the one-time
                                   # valid_cap shrink in the frame feedback
+    entry_demand: jax.Array = None  # i32 [] live placed entries (dense +
+                                    # spill, post-sort) — drives the
+                                    # adaptive entry-slice shrink: binning's
+                                    # (tile, zmin) sort keeps dead rows
+                                    # last, so entry_cap can slice well
+                                    # below the emitted row budget once the
+                                    # live demand is known (the gather and
+                                    # table write are latency/BW-bound per
+                                    # STATIC row: ~37% of cap rows were
+                                    # dead on sponza)
+    spill_demand: jax.Array = None  # i32 [L] per-spill-level triangle
+                                    # demand (adaptive spill_level_caps
+                                    # fit feedback)
 
 
 def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
@@ -312,7 +332,8 @@ def mesh_pass(
         )
         zero = jnp.zeros((), jnp.int32)
         return (color, depth,
-                PassStats(zero, zero, ct.overflow, ct.crossings, zero), None)
+                PassStats(zero, zero, ct.overflow, ct.crossings, zero, zero),
+                None)
 
     dims = _setup_dims(plan, state)
     su = setup_triangles(
@@ -364,6 +385,7 @@ def _raster_binned(
         broad_cap=plan.broad_cap,
         spill_cap=plan.spill_cap,
         valid_cap=plan.valid_cap,
+        spill_level_caps=plan.spill_level_caps,
     )
     vis2 = None
     if use_pallas:
@@ -421,7 +443,8 @@ def _raster_binned(
     pass_order = jnp.where(vis.owner >= 0, vis.order, -1.0)
     return (color, depth,
             PassStats(binned.overflow, tile_overflow, clip_overflow,
-                      clip_crossings, binned.dense_demand),
+                      clip_crossings, binned.dense_demand,
+                      binned.num_entries, binned.level_demand),
             pass_order)
 
 

@@ -365,7 +365,8 @@ class RenderWindow:
         import time as _time
 
         row = (frame.bin_overflow, frame.tile_overflow, frame.clip_overflow,
-               frame.clip_crossings, frame.bin_demand)
+               frame.clip_crossings, frame.bin_demand, frame.entry_demand,
+               frame.spill_demand)
         with self._stats_lock:
             self._stats_queue.append(row)
             if self._stats_inflight:
@@ -433,7 +434,8 @@ class RenderWindow:
     def _report_frames_stats(self, device, frames) -> None:
         self._report_stat_rows(device, [
             (f.bin_overflow, f.tile_overflow, f.clip_overflow,
-             f.clip_crossings, f.bin_demand)
+             f.clip_crossings, f.bin_demand, f.entry_demand,
+             f.spill_demand)
             for f in frames
         ])
 
@@ -445,17 +447,25 @@ class RenderWindow:
         fetched = iter(jax.device_get(
             tuple(s for row in rows for s in row if s is not None)
         ))
-        agg = [0, 0, 0, 0, 0]
+        agg = [0, 0, 0, 0, 0, 0, None]
         for row in rows:
-            bin_of, tile_of, clip_of, clip_x, bin_dem = (
-                int(next(fetched)) if s is not None else 0 for s in row
+            # first 6 fields are scalars; the 7th (per-spill-level demand)
+            # is a small i32 vector aggregated elementwise
+            bin_of, tile_of, clip_of, clip_x, bin_dem, entry_dem = (
+                int(next(fetched)) if s is not None else 0 for s in row[:6]
             )
+            spill_dem = None
+            if len(row) > 6 and row[6] is not None:
+                spill_dem = np.asarray(next(fetched))
             device.debug_messenger.check_overflow("bin-entries", bin_of)
             device.debug_messenger.check_overflow("tile-entries", tile_of)
             device.debug_messenger.check_overflow("clip-splits", clip_of)
             for i, v in enumerate((bin_of, tile_of, clip_of, clip_x,
-                                   bin_dem)):
+                                   bin_dem, entry_dem)):
                 agg[i] = max(agg[i], v)
+            if spill_dem is not None:
+                agg[6] = (spill_dem if agg[6] is None
+                          else np.maximum(agg[6], spill_dem))
         # occupancy feedback: a reported overflow grows the raster
         # capacities for subsequent frames (recompile, like swapchain
         # recreation); crossing counts drive the adaptive near-clip skip,
