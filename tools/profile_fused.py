@@ -158,8 +158,12 @@ def main():
                 plan3 = dataclasses.replace(rf.plan, raster=r3)
                 frame3 = functools.partial(
                     _render_frame, plan3, rf.mesh_state, rf.ui_state)
-                over = int(jax.device_get(frame3(*arrays).bin_overflow))
+                f3 = frame3(*arrays)
+                over = int(jax.device_get(f3.bin_overflow))
                 if over == 0:
+                    # re-read demand from the CLEAN frame: the pre-growth
+                    # frame truncates and undercounts live entries
+                    edem = int(jax.device_get(f3.entry_demand))
                     break
                 print(f"  (spill_cap {spill_cap}: overflow {over} -> x2)",
                       flush=True)
