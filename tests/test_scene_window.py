@@ -185,6 +185,42 @@ def test_plan_growth_recompiles_transparently():
     assert win.rendering_function.plan != plan_before
 
 
+def test_capacity_fits_converge_through_the_window_loop():
+    """The demand fits (spill_level_caps, entry-slice) engage through the
+    REAL feedback path — frame stats -> drain -> note_overflow -> re-plan
+    — and the shrunk plan renders identical pixels."""
+    dev = make_device()
+    verts, idx = prim.cube(0.5)
+    v, i = scenelib._upload(dev, verts, idx)
+    tex = scenelib._upload_texture(dev, np.ones((1, 1, 4), np.float32))
+    win = RenderWindow(dev, resolution=RES)
+
+    def frame():
+        scene = win.get_render_scene()
+        cam = ty.Camera()
+        cam.view_matrix = np.asarray(
+            math3d.look_at_rh([0, 2, 6], [0, 0, 0], [0, 1, 0]), np.float32
+        )
+        cam.viewport = math3d.Viewport(0, 0, *RES)
+        cam.scissor = math3d.Rect2D(0, 0, *RES)
+        cam.mesh_renderers.append(
+            MeshRenderer(v, i, tex, np.eye(4, dtype=np.float32)))
+        scene.add_camera(cam)
+        win.render()
+        return win.flush()  # drains stats -> one clean feedback batch
+
+    rf = win.rendering_function
+    img_before = frame()
+    cap_before = rf.plan.raster.entry_cap
+    assert rf.plan.raster.spill_level_caps == ()
+    for _ in range(rf._entry_shrink_after + 2):
+        img_after = frame()
+    assert rf.plan.raster.spill_level_caps != ()
+    assert rf.plan.raster.entry_cap < cap_before
+    assert rf.plan.raster.entry_cap % rf.plan.raster.chunk == 0
+    np.testing.assert_array_equal(img_before, img_after)
+
+
 def test_two_windows_share_one_device():
     """The reference supports several windows per device (builder window
     targets, ref: builders.rs:73-80); windows must not corrupt each other."""
