@@ -328,3 +328,61 @@ def test_broad_cap_growth_clamps_at_smem_ceiling():
             jnp.asarray([0, 0, 16, 64], jnp.int32),
             fb_w=16, fb_h=64, tile_w=16, tile_h=16, grid_w=1, grid_h=4,
             chunk=128, depth_state=ds, interpret=True)
+
+
+def test_entry_fit_stage2_tighten():
+    """After a long clean streak the 1.25x fits re-fit at 1.10x (stage-2
+    tighten, BASELINE.md round-5: worth ~2 ms/frame on sponza); overflow
+    resets BOTH stages and doubles the streak requirement."""
+    import tyleri_tpu as ty
+    from tyleri_tpu.window.swapchain import ImageViewSwapchain
+
+    dev = ty.RenderDeviceBuilder().build()
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    demand = [9000, 4000, 900, 300, 100]
+    n_stage1 = rf._entry_shrink_after
+    n_stage2 = rf._entry_tighten_mult * n_stage1
+    assert n_stage2 > n_stage1
+    for _ in range(n_stage1):
+        rf.note_overflow(0, 0, 0, 0, entry_demand=55_000,
+                         spill_demand=demand)
+    fit1 = rf._entry_fit
+    assert fit1 == -(-int(55_000 * 1.25) // (1 << 16)) * (1 << 16)
+    assert rf._fit_stage == 1
+    spill1 = rf._spill_fit
+
+    # more clean frames up to the tighten threshold: stage 2 engages once
+    for _ in range(n_stage2 - n_stage1):
+        rf.note_overflow(0, 0, 0, 0, entry_demand=55_000,
+                         spill_demand=demand)
+    assert rf._fit_stage == 2
+    fit2 = rf._entry_fit
+    assert fit2 == -(-int(55_000 * 1.10) // (1 << 16)) * (1 << 16)
+    assert fit2 < fit1
+    exp2 = tuple(max(-(-int(d * 1.10) // 512) * 512, 512) for d in demand)
+    assert rf._spill_fit == exp2
+    assert any(a <= b for a, b in zip(exp2, spill1))
+    rf._grow_plan(1, 1, (1 << 18) + 5, 0)
+    assert rf.plan.raster.entry_cap == fit2
+    assert rf.plan.raster.spill_level_caps == exp2
+    assert rf.plan.raster.entry_cap % rf.plan.raster.chunk == 0
+
+    # overflow: both stages reset, streak requirement doubles
+    before = rf._entry_shrink_after
+    rf.note_overflow(3, 0, 0, 0)
+    assert rf._entry_fit == 0 and rf._fit_stage == 0
+    assert rf._entry_shrink_after == before * 2
+
+    # TYLERI_TIGHTEN=0 disables stage 2 (stage 1 still fits)
+    import os
+    os.environ["TYLERI_TIGHTEN"] = "0"
+    try:
+        rf2 = ty.ForwardRenderingFunction(dev, ImageViewSwapchain((64, 64)))
+        rf2._grow_plan(1, 1, (1 << 18) + 5, 0)
+        for _ in range(64):
+            rf2.note_overflow(0, 0, 0, 0, entry_demand=55_000)
+        assert rf2._entry_fit == fit1
+        assert rf2._fit_stage == 1
+    finally:
+        del os.environ["TYLERI_TIGHTEN"]

@@ -459,6 +459,21 @@ class ForwardRenderingFunction:
         self._entry_clean_frames = 0
         self._entry_shrink_after = 4
         self._entry_fit = 0
+        # stage-2 tighten: after a LONG clean streak (tighten_mult x the
+        # shrink threshold) the 1.25x fits re-fit at 1.10x — priced worth
+        # ~2 ms/frame on sponza (BASELINE.md round-5 entry-cap table:
+        # 1.10x 45.9 vs 1.25x 47.9 ms) but risky on moving scenes, so it
+        # only engages once demand has been demonstrably stable, and any
+        # overflow resets both stages with the same exponential backoff.
+        # TYLERI_TIGHTEN=0 disables.
+        self._entry_tighten_mult = (
+            0 if _os.environ.get("TYLERI_TIGHTEN", "1") in ("0", "")
+            else 4)
+        # 0 = learning, 1 = 1.25x fits applied, 2 = tightened to 1.10x.
+        # One-shot transitions: re-fitting on every clean frame would
+        # recompile whenever the demand max creeps up; demand growth past
+        # a fit surfaces as reported overflow and resets to 0.
+        self._fit_stage = 0
         # adaptive per-spill-level cap fit (round 5): the _LEVEL_FRACS
         # fractions fit one cover histogram; a mismatched scene truncates
         # a level, the conflated overflow DOUBLES spill_cap globally, and
@@ -575,6 +590,7 @@ class ForwardRenderingFunction:
             self._entry_fit = 0
             self._entry_demand = 0
             self._entry_clean_frames = 0
+            self._fit_stage = 0
             self._spill_fit = ()
             self._spill_demand = None
         if self._spill_fit:
@@ -630,7 +646,8 @@ class ForwardRenderingFunction:
                       clip_crossings: int = 0,
                       bin_demand: int = 0,
                       entry_demand: int = 0,
-                      spill_demand=None) -> None:
+                      spill_demand=None,
+                      n_frames: int = 1) -> None:
         """Occupancy feedback from the frame loop (RenderWindow recycle):
         a reported bin overflow grows the spill headroom so the next plan
         re-bins with more capacity (recompiles, like swapchain recreation —
@@ -642,7 +659,15 @@ class ForwardRenderingFunction:
         max_tiles_per_tri - 1 (31) covers, so the spill bound converges for
         any real scene well below the 6.0 cap — beyond it the overflow
         keeps being REPORTED every frame (never silently dropped) rather
-        than risking an entry table tens of GB large."""
+        than risking an entry table tens of GB large.
+
+        n_frames: how many frames this (aggregated) report covers — the
+        window's stats drain batches N recycled frames into one call on
+        the batch maxima, and the clean-streak counters driving the
+        valid/entry/clip fits count FRAMES, not drain batches, so the
+        fits (and the stage-2 tighten especially) converge during a
+        bench warmup's flushed batches instead of firing mid-measurement
+        one drain-cadence-second at a time."""
         with self._record_lock:
             if bin_overflow > 0:
                 # the counter conflates valid_cap, spill-level and
@@ -666,6 +691,7 @@ class ForwardRenderingFunction:
                 self._entry_fit = 0
                 self._entry_demand = 0
                 self._entry_clean_frames = 0
+                self._fit_stage = 0
                 # the overflow may be a level cap fit truncating (demand
                 # rose): fall back to the fraction-derived budget, which
                 # the doubled spill_cap just grew
@@ -691,7 +717,7 @@ class ForwardRenderingFunction:
                 # it is stable (the shrunk plan recompiles, like any plan
                 # change; _grow_plan rederives entry_cap from it)
                 self._valid_demand = max(self._valid_demand, int(bin_demand))
-                self._valid_clean_frames += 1
+                self._valid_clean_frames += max(1, int(n_frames))
                 p = self.plan
                 if (self._valid_clean_frames >= self._valid_shrink_after
                         and not p.raster.valid_cap):
@@ -719,9 +745,11 @@ class ForwardRenderingFunction:
                     self._spill_demand = (
                         d if self._spill_demand is None
                         else _np.maximum(self._spill_demand, d))
-                self._entry_clean_frames += 1
-                if (self._entry_clean_frames >= self._entry_shrink_after
-                        and not self._entry_fit):
+                self._entry_clean_frames += max(1, int(n_frames))
+                if (self._fit_stage == 0
+                        and self._entry_clean_frames
+                            >= self._entry_shrink_after):
+                    self._fit_stage = 1
                     cand = -(-int(self._entry_demand * 1.25) // (1 << 16)) \
                         * (1 << 16)
                     if cand <= self.plan.raster.entry_cap - (1 << 16):
@@ -729,6 +757,30 @@ class ForwardRenderingFunction:
                     if self._spill_demand is not None:
                         self._spill_fit = tuple(
                             max(-(-int(d * 1.25) // 512) * 512, 512)
+                            for d in self._spill_demand
+                        )
+                elif (self._fit_stage == 1
+                      and self._entry_tighten_mult
+                      and self._entry_clean_frames
+                          >= self._entry_tighten_mult
+                          * self._entry_shrink_after):
+                    # stage-2 tighten: demand has been stable for a long
+                    # streak, so trade the 1.25x motion headroom for the
+                    # measured ~2 ms/frame that 1.10x buys (BASELINE.md
+                    # round-5 entry-cap table).  The demand maxima kept
+                    # accumulating across the whole streak, so the 1.10x
+                    # is over a longer observation window than the
+                    # stage-1 fit used.  One recompile; live truncation
+                    # would surface as reported bin overflow, resetting
+                    # both stages with doubled thresholds.
+                    self._fit_stage = 2
+                    cand = -(-int(self._entry_demand * 1.10) // (1 << 16)) \
+                        * (1 << 16)
+                    if self._entry_fit and cand < self._entry_fit:
+                        self._entry_fit = cand
+                    if self._spill_demand is not None:
+                        self._spill_fit = tuple(
+                            max(-(-int(d * 1.10) // 512) * 512, 512)
                             for d in self._spill_demand
                         )
             if tile_overflow > 0:
@@ -771,7 +823,7 @@ class ForwardRenderingFunction:
             # the XLA cull path alone fuses SLOWER than clipping.
             if self.plan.raster.near_clip and self._clip_disable_after > 0:
                 if clip_crossings == 0 and clip_overflow == 0:
-                    self._clip_clean_frames += 1
+                    self._clip_clean_frames += max(1, int(n_frames))
                     from tyleri_tpu.rendering.passes import use_fused_setup
 
                     noclip = dataclasses.replace(

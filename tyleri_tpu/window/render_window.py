@@ -478,7 +478,9 @@ class RenderWindow:
         # cap-scaled binning sort/gather cost ~115 ms/frame.
         note = getattr(self.rendering_function, "note_overflow", None)
         if note is not None:
-            note(*agg)
+            # the batch covers len(rows) frames: the clean-streak fits
+            # count frames, not drain batches (forward.py note_overflow)
+            note(*agg, n_frames=len(rows))
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
