@@ -184,6 +184,16 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(min(8, len(jax.devices())))
 
 
+def test_graft_dryrun_multichip_16():
+    """VERDICT r4 item 4: the 16-device mesh shape (2 draw shards x 8 tile
+    bands, non-divisible band height) must compile and execute too.  The
+    local backend has 8 virtual devices, so dryrun_multichip re-execs in a
+    subprocess with 16 forced host devices."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(16)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_render_window_multichip():
     """Production multi-chip windowed loop: RenderWindow(device_mesh=...)
