@@ -65,7 +65,7 @@ def test_fused_setup_matches_xla_formulation():
     corner18 = build_corner18(
         jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
         jnp.asarray(valid))
-    su_f, crossings = fused_setup(
+    su_f, crossings, _ = fused_setup(
         corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
         viewport, scissor,
         tile_w=plan.tile_w, tile_h=plan.tile_h,
@@ -106,7 +106,7 @@ def test_fused_setup_draw_mod_mask():
         jnp.asarray(valid))
 
     def run(dm):
-        su, _ = fused_setup(
+        su, _, _ = fused_setup(
             corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
             viewport, scissor, dm,
             tile_w=plan.tile_w, tile_h=plan.tile_h,
@@ -148,7 +148,7 @@ def test_fused_setup_cull_modes():
         jnp.asarray(valid))
 
     def run(cm, ff):
-        su, _ = fused_setup(
+        su, _, _ = fused_setup(
             corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
             viewport, scissor,
             tile_w=plan.tile_w, tile_h=plan.tile_h,
@@ -167,3 +167,139 @@ def test_fused_setup_cull_modes():
     # flipping the winding convention swaps the partitions
     back_cw = run(CullMode.BACK, FrontFace.CLOCKWISE)
     np.testing.assert_array_equal(back_cw, front)
+
+
+def _hybrid_parts(rng_seed=11, T=700, D=5, X=256):
+    from tyleri_tpu.ops.clip import near_clip_triangles
+    from tyleri_tpu.pipeline.state import MESH_PIPELINE_STATE
+    from tyleri_tpu.rendering.passes import _fused_clip_subset
+
+    rng = np.random.default_rng(rng_seed)
+    corner, draw, tex, valid, mvps = rand_scene(rng, T, D, behind_frac=0.1)
+    plan = RasterPlan(fb_w=256, fb_h=128, tile_w=64, tile_h=16,
+                      near_clip=True, clip_cap=X)
+    viewport = jnp.asarray([0, 0, 256, 128, 0, 1], jnp.float32)
+    scissor = jnp.asarray([0, 0, 256, 128], jnp.int32)
+    dims = dict(tile_w=plan.tile_w, tile_h=plan.tile_h,
+                grid_w=plan.grid_w, grid_h=plan.grid_h)
+
+    corner18 = build_corner18(
+        jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
+        jnp.asarray(valid))
+    su_f, crossings, crossed = fused_setup(
+        corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
+        viewport, scissor, draw_cap=D, interpret=True, **dims)
+    su_h, overflow = _fused_clip_subset(
+        su_f, crossed, (jnp.asarray(corner), jnp.asarray(draw),
+                        jnp.asarray(tex)),
+        jnp.asarray(mvps.reshape(D, 16)), viewport, scissor,
+        MESH_PIPELINE_STATE, X, dims)
+
+    # XLA near-clip reference
+    h = np.concatenate(
+        [corner[..., :3], np.ones((T, 3, 1), np.float32)], axis=-1)
+    clip = np.einsum("tij,tcj->tci", mvps[draw], h)
+    ct = near_clip_triangles(
+        jnp.asarray(clip), jnp.asarray(corner[..., 3:5]),
+        jnp.asarray(tex), jnp.asarray(valid), extra_cap=X)
+    su_r = setup_triangles(
+        ct.clip, ct.uv, ct.tex_id, ct.valid, viewport, scissor,
+        tile_w=plan.tile_w, tile_h=plan.tile_h,
+        grid_w=plan.grid_w, grid_h=plan.grid_h, order=ct.order)
+    return T, X, su_h, overflow, crossings, su_r, ct
+
+
+def test_fused_clip_hybrid_matches_xla_formulation():
+    """The hybrid (fused kernel + XLA re-clip of the flagged subset,
+    passes.py::_fused_clip_subset) must agree with the pure-XLA near-clip
+    path row for row: in-place rewritten halves at the parent slot, extra
+    halves in the clip rows, both carrying the parent's draw order."""
+    T, X, su_h, overflow, crossings, su_r, ct = _hybrid_parts()
+    N = np.asarray(su_h.channels).shape[0] - X
+
+    assert int(crossings) == int(ct.crossings) > 0
+    assert int(overflow) == int(ct.overflow) == 0
+
+    vh = np.asarray(su_h.valid)
+    vr = np.asarray(su_r.valid)
+    np.testing.assert_array_equal(vh[:T], vr[:T])          # main rows
+    np.testing.assert_array_equal(vh[N:], vr[T:])          # extra rows
+    assert not vh[T:N].any()                               # padding dead
+    assert vh[N:].any()                                    # real splits
+
+    from tyleri_tpu.ops import setup as S
+    ch_h = np.asarray(su_h.channels)
+    ch_r = np.asarray(su_r.channels)
+    for rows_h, rows_r in ((ch_h[:T][vr[:T]], ch_r[:T][vr[:T]]),
+                           (ch_h[N:][vr[T:]], ch_r[T:][vr[T:]])):
+        # transform contraction order differs (kernel FMA chain vs XLA
+        # einsum) -> fma-level tolerance, as in the cull-mode test
+        np.testing.assert_allclose(rows_h, rows_r, rtol=3e-4, atol=3e-3)
+        # draw order (z-tie arbitration) must be EXACT
+        np.testing.assert_array_equal(rows_h[:, S.CH_ORDER],
+                                      rows_r[:, S.CH_ORDER])
+    np.testing.assert_array_equal(
+        np.asarray(su_h.tile_lo)[N:][vr[T:]],
+        np.asarray(su_r.tile_lo)[T:][vr[T:]])
+    np.testing.assert_array_equal(
+        np.asarray(su_h.tile_hi)[N:][vr[T:]],
+        np.asarray(su_r.tile_hi)[T:][vr[T:]])
+
+
+def test_fused_clip_hybrid_overflow_reported_not_drawn():
+    """Crossings beyond clip_cap are culled + counted (the capacity
+    invariant) — never rendered unclipped."""
+    T, X, su_h, overflow, crossings, su_r, ct = _hybrid_parts(X=4)
+    assert int(crossings) > 4
+    assert int(overflow) == int(crossings) - 4 == int(ct.overflow)
+    # the hybrid table has no MORE live rows than the reference (overflow
+    # rows stay culled in both)
+    assert np.asarray(su_h.valid).sum() == np.asarray(su_r.valid).sum()
+
+
+def test_fused_clip_hybrid_pixels_match_xla_path():
+    """End-to-end: mesh_pass_fused with clip_tables (the hybrid) renders
+    the same image as the pure-XLA near-clip mesh_pass, up to fma-level
+    transform reassociation at triangle edges."""
+    from tyleri_tpu.pipeline.state import MESH_PIPELINE_STATE
+    from tyleri_tpu.rendering import passes
+
+    rng = np.random.default_rng(23)
+    T, D, X = 700, 5, 256
+    corner, draw, tex, valid, mvps = rand_scene(rng, T, D, behind_frac=0.1)
+    plan = RasterPlan(fb_w=256, fb_h=128, tile_w=64, tile_h=16,
+                      near_clip=True, clip_cap=X,
+                      entry_cap=1 << 14, cap_per_tile=1024)
+    viewport = jnp.asarray([0, 0, 256, 128, 0, 1], jnp.float32)
+    scissor = jnp.asarray([0, 0, 256, 128], jnp.int32)
+    texels = jnp.ones((4, 16), jnp.float32)
+    meta = (jnp.zeros((3,), jnp.int32), jnp.full((3,), 2, jnp.int32),
+            jnp.full((3,), 2, jnp.int32))
+    color0 = jnp.zeros((128, 256, 4), jnp.float32)
+    depth0 = jnp.ones((128, 256), jnp.float32)
+
+    h = np.concatenate(
+        [corner[..., :3], np.ones((T, 3, 1), np.float32)], axis=-1)
+    clip = np.einsum("tij,tcj->tci", mvps[draw], h)
+    c_ref, d_ref, st_ref, _ = passes.mesh_pass(
+        plan, MESH_PIPELINE_STATE, color0, depth0,
+        jnp.asarray(clip), jnp.asarray(corner[..., 3:5]),
+        jnp.asarray(tex), jnp.asarray(valid), viewport, scissor,
+        texels, *meta)
+
+    corner18 = build_corner18(
+        jnp.asarray(corner), jnp.asarray(draw), jnp.asarray(tex),
+        jnp.asarray(valid))
+    c_h, d_h, st_h, _ = passes.mesh_pass_fused(
+        plan, MESH_PIPELINE_STATE, color0, depth0,
+        corner18, jnp.asarray(mvps.reshape(D, 16)), jnp.asarray(True),
+        viewport, scissor, texels, *meta,
+        clip_tables=(jnp.asarray(corner), jnp.asarray(draw),
+                     jnp.asarray(tex)),
+        clip_cap=X)
+
+    assert int(st_h.clip_crossings) == int(st_ref.clip_crossings) > 0
+    assert int(st_h.clip_overflow) == int(st_ref.clip_overflow) == 0
+    diff = np.abs(np.asarray(c_h) - np.asarray(c_ref)).max(axis=-1)
+    frac = float((diff > 1.0 / 255.0).mean())
+    assert frac < 0.005, f"{frac:.4%} of pixels differ beyond 1 u8"

@@ -59,34 +59,15 @@ class ClippedTriangles(NamedTuple):
                                  # (feeds the adaptive clip-skip feedback)
 
 
-@functools.partial(jax.jit, static_argnames=("extra_cap",))
-def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTriangles:
-    T = clip.shape[0]
-    X = extra_cap
-    order = jnp.arange(T, dtype=jnp.float32)
-
-    s = clip[..., 2]                      # [T, 3] signed distance: z_c >= 0
-    inside = s >= 0.0
-    n_in = jnp.sum(inside.astype(jnp.int32), axis=1)
-    needs = valid & (n_in > 0) & (n_in < 3)
-
-    # ---- compact crossing triangles into the X-slot work set ----
-    # (inverse lookup by searchsorted: slot k holds the k-th crossing
-    # triangle; a [T] scatter would pay per-row latency at 1M+ triangles)
-    ncum = jnp.cumsum(needs.astype(jnp.int32))
-    n_needs = ncum[-1] if T > 0 else jnp.zeros((), jnp.int32)
-    # binary search (the default 'scan' method): log2(T) rounds of X-row
-    # gathers.  X is kept small by occupancy growth (FramePlan.clip_cap), so
-    # this beats method='sort', which sorts the T+X concatenation (~19 ms at
-    # 2M triangles regardless of X).
-    src = jnp.searchsorted(
-        ncum, jnp.arange(1, X + 1, dtype=jnp.int32), side="left",
-    ).astype(jnp.int32)
-    live = src < T
-    src_c = jnp.clip(src, 0, max(T - 1, 0))
-
-    cr0 = clip[src_c]                     # [X, 3, 4] row gathers
-    ur0 = uv[src_c]                       # [X, 3, 2]
+def clip_work_set(cr0, ur0):
+    """The rotate/lerp core of the near-plane clip on an X-slot work set
+    of crossing triangles (module docstring case table).  Returns
+    (main_c, main_u, extra_c, extra_u, n_in): the in-place rewritten
+    triangle, the extra second-quad-half triangle (meaningful when
+    n_in == 2), and the recomputed inside count per slot.  Shared
+    verbatim by near_clip_triangles (full-table compaction) and the
+    fused-setup hybrid's crossing subset
+    (rendering/passes.py::_fused_clip_subset)."""
     sr0 = cr0[..., 2]
     ins = sr0 >= 0.0
     nin = jnp.sum(ins.astype(jnp.int32), axis=1)
@@ -132,14 +113,47 @@ def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTr
     main_c = jnp.where(is1, case1_c, case2_c)
     main_u = jnp.where(is1, case1_u, case2_u)
 
+    # extra triangle (second half of the quad) for n_in == 2
+    extra_c = jnp.stack([cr[:, 0], i12c, i20c], axis=1)
+    extra_u = jnp.stack([ur[:, 0], i12u, i20u], axis=1)
+    return main_c, main_u, extra_c, extra_u, nin
+
+
+@functools.partial(jax.jit, static_argnames=("extra_cap",))
+def near_clip_triangles(clip, uv, tex_id, valid, *, extra_cap: int) -> ClippedTriangles:
+    T = clip.shape[0]
+    X = extra_cap
+    order = jnp.arange(T, dtype=jnp.float32)
+
+    s = clip[..., 2]                      # [T, 3] signed distance: z_c >= 0
+    inside = s >= 0.0
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=1)
+    needs = valid & (n_in > 0) & (n_in < 3)
+
+    # ---- compact crossing triangles into the X-slot work set ----
+    # (inverse lookup by searchsorted: slot k holds the k-th crossing
+    # triangle; a [T] scatter would pay per-row latency at 1M+ triangles)
+    ncum = jnp.cumsum(needs.astype(jnp.int32))
+    n_needs = ncum[-1] if T > 0 else jnp.zeros((), jnp.int32)
+    # binary search (the default 'scan' method): log2(T) rounds of X-row
+    # gathers.  X is kept small by occupancy growth (FramePlan.clip_cap), so
+    # this beats method='sort', which sorts the T+X concatenation (~19 ms at
+    # 2M triangles regardless of X).
+    src = jnp.searchsorted(
+        ncum, jnp.arange(1, X + 1, dtype=jnp.int32), side="left",
+    ).astype(jnp.int32)
+    live = src < T
+    src_c = jnp.clip(src, 0, max(T - 1, 0))
+
+    cr0 = clip[src_c]                     # [X, 3, 4] row gathers
+    ur0 = uv[src_c]                       # [X, 3, 2]
+    main_c, main_u, extra_c, extra_u, nin = clip_work_set(cr0, ur0)
+
     # write the rewritten triangles back into their original slots
     # (an X-row scatter; draw order is untouched)
     clip_out = clip.at[jnp.where(live, src_c, T)].set(main_c, mode="drop")
     uv_out = uv.at[jnp.where(live, src_c, T)].set(main_u, mode="drop")
 
-    # extra triangle (second half of the quad) for n_in == 2
-    extra_c = jnp.stack([cr[:, 0], i12c, i20c], axis=1)
-    extra_u = jnp.stack([ur[:, 0], i12u, i20u], axis=1)
     xo = order[src_c]
     xv = live & (nin == 2)
     xt = jnp.where(xv, tex_id[src_c], 0)

@@ -439,6 +439,7 @@ def fused_setup(
     ty0 = (packed_flat >> (2 * bw)) & maskh
     ty1 = (packed_flat >> (2 * bw + bh)) & maskh
     valid = ((packed_flat >> (2 * (bw + bh))) & 1) > 0
+    crossed = (packed_flat >> (1 + 2 * (bw + bh))) > 0
     crossings = jnp.sum(packed_flat >> (1 + 2 * (bw + bh)))
 
     su = S.TriangleSetup(
@@ -448,7 +449,11 @@ def fused_setup(
         tile_hi=jnp.stack([tx1, ty1], axis=1),
         lam=jnp.zeros((N, 3, 3), jnp.float32),  # unused by the binned path
     )
-    return su, crossings.astype(jnp.int32)
+    # crossed [N]: per-triangle near-plane crossing flag (same tri_valid
+    # gates as the cull — camera/draw-mod/tex).  The hybrid clip path
+    # (rendering/passes.py::_fused_clip_subset) re-clips exactly these
+    # rows in XLA; cull-mode callers may ignore it.
+    return su, crossings.astype(jnp.int32), crossed
 
 
 def build_corner18(corner, tri_draw, tri_tex, tri_valid):

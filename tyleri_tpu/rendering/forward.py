@@ -171,15 +171,21 @@ def frame_body(
     bin_dem = jnp.zeros((), jnp.int32)
     entry_dem = jnp.zeros((), jnp.int32)
     spill_dem = None
-    from tyleri_tpu.rendering.passes import mesh_pass_fused, use_fused_setup
+    from tyleri_tpu.rendering.passes import (
+        mesh_pass_fused, use_fused_setup, use_fused_setup_clip)
 
     fused = use_fused_setup(plan.raster, plan.draw_cap) and not plan.lit
+    # hybrid: the fused kernel + an XLA re-clip of ONLY the flagged
+    # crossing subset — full near-clip semantics at ~cull-kernel cost
+    # (passes.py::_fused_clip_subset)
+    fused_clip = (not fused and not plan.lit
+                  and use_fused_setup_clip(plan.raster, plan.draw_cap))
     for c in range(plan.cam_cap):
         mvps = jnp.einsum(
             "ij,djk->dik", view_projs[c], models[c],
             precision=jax.lax.Precision.HIGHEST,
         )
-        if fused:
+        if fused or fused_clip:
             # one Pallas pass: transform + near-cull + setup straight from
             # the cached field-major corner table (ops/setup_pallas.py)
             color, depth, st, pass_order = mesh_pass_fused(
@@ -189,6 +195,9 @@ def frame_body(
                 _shift_scissor(scissors[c], y0, H),
                 texels, tex_offset, tex_width, tex_height,
                 draw_mod=draw_mod,
+                clip_tables=((corners[c], tri_draw[c], tri_tex[c])
+                             if fused_clip else None),
+                clip_cap=plan.raster.clip_cap if fused_clip else 0,
             )
         else:
             # gather-free per-frame vertex stage over the cached table

@@ -255,6 +255,122 @@ def use_fused_setup(plan: RasterPlan, draw_cap: int) -> bool:
     return False
 
 
+def use_fused_setup_clip(plan: RasterPlan, draw_cap: int) -> bool:
+    """Host-side choice of the HYBRID fused setup on CLIPPING frames:
+    the fused kernel still processes every triangle (cull + per-triangle
+    crossing flags) and only the flagged subset (<= clip_cap rows)
+    re-runs transform+clip+setup in XLA and splices into the kernel's
+    table (_fused_clip_subset).  A scene whose camera path genuinely
+    crosses the near plane then pays ~the cull-mode kernel price plus an
+    O(N) mask scan + O(clip_cap) clip math, instead of the full-table
+    XLA setup (~10 ms at 1M triangles) — the round-5b production trace
+    showed sponza's orbit keeps near_clip on, so the fused fast path
+    never engaged."""
+    from tyleri_tpu.ops import setup_pallas
+
+    if plan.exact or not plan.near_clip:
+        return False
+    supported = draw_cap <= 64 and setup_pallas.supports(plan)
+    if plan.fused_setup is True:
+        return supported
+    if plan.fused_setup == "auto":
+        import jax
+
+        return supported and jax.default_backend() == "tpu"
+    return False
+
+
+def _fused_clip_subset(su, crossed, clip_tables, mvps, viewport, scissor,
+                       state, clip_cap: int, dims):
+    """Hybrid near-clip: the fused kernel culled + flagged the near-plane
+    crossing triangles (ops/setup_pallas.py stage 1 — clip.py crossing
+    semantics, including the camera/draw-mod/texture validity gates);
+    re-run transform -> clip -> setup for JUST that subset in XLA and
+    splice the results into the kernel's setup table, using clip.py's
+    exact layout: the in-place rewritten half overwrites the parent row,
+    the quad's second half appends in clip_cap extra rows.  Row count
+    becomes N + clip_cap (= the XLA path's T + clip_cap budget), both
+    halves carry the PARENT's draw order (z-tie semantics unchanged),
+    and crossings beyond clip_cap are reported as clip overflow (never
+    rendered unclipped).  Cost: O(N) mask cumsum + O(clip_cap) gathers,
+    clip math, setup and row scatters."""
+    from tyleri_tpu.ops.clip import clip_work_set
+
+    corners, tri_draw, tri_tex = clip_tables
+    T = corners.shape[0]
+    N = su.channels.shape[0]
+    X = int(clip_cap)
+
+    ccum = jnp.cumsum(crossed.astype(jnp.int32))
+    n_cross = ccum[-1]
+    # inverse lookup by searchsorted (clip.py rationale): slot k holds the
+    # k-th crossing triangle; X is small, so binary search is ~free
+    src = jnp.searchsorted(
+        ccum, jnp.arange(1, X + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    live = src < min(T, N)   # padded kernel rows (tex < 0) never cross
+    src_c = jnp.clip(src, 0, max(T - 1, 0))
+
+    sub = corners[src_c]                        # [X, 3, 5+] row gathers
+    pos = sub[..., :3]
+    uvs = sub[..., 3:5]
+    tex = jnp.where(live, tri_tex[src_c], -1)
+    m = mvps[jnp.clip(tri_draw[src_c], 0, mvps.shape[0] - 1)]  # [X, 16]
+
+    # Transform with the SAME multiply-add chain as the kernel
+    # (_transform_kernel::transform): identical f32 expression order =>
+    # identical bits => the subset's inside/outside case decisions agree
+    # with the kernel's crossing flags even on borderline corners.
+    def tform(p):  # p [X, 3] one corner's positions
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        return jnp.stack(
+            [m[:, 4 * j] * x + m[:, 4 * j + 1] * y
+             + m[:, 4 * j + 2] * z + m[:, 4 * j + 3]
+             for j in range(4)],
+            axis=-1,
+        )
+
+    cr0 = jnp.stack([tform(pos[:, k]) for k in range(3)], axis=1)  # [X,3,4]
+    main_c, main_u, extra_c, extra_u, nin = clip_work_set(cr0, uvs)
+
+    order = src_c.astype(jnp.float32)   # both halves keep the parent order
+    su_sub = setup_triangles(
+        jnp.concatenate([main_c, extra_c]),
+        jnp.concatenate([main_u, extra_u]),
+        jnp.concatenate([tex, tex]),
+        jnp.concatenate([live & (nin > 0), live & (nin == 2)]),
+        viewport, scissor,
+        tile_w=dims["tile_w"], tile_h=dims["tile_h"],
+        grid_w=dims["grid_w"], grid_h=dims["grid_h"],
+        order=jnp.concatenate([order, order]),
+        cull_mode=state.raster.cull_mode,
+        front_face=state.raster.front_face,
+    )
+    # splice: the kernel invalidated the crossing rows, so the main halves
+    # (with setup-level validity: degenerate/backface/scissor culls apply)
+    # overwrite their parent rows; extras append.  lam rows stay zero —
+    # the binned path never reads lam (the lit path does not take the
+    # fused kernel).
+    scat = jnp.where(live, src_c, N)    # dead slots drop
+    su = su._replace(
+        channels=jnp.concatenate(
+            [su.channels.at[scat].set(su_sub.channels[:X], mode="drop"),
+             su_sub.channels[X:]]),
+        valid=jnp.concatenate(
+            [su.valid.at[scat].set(su_sub.valid[:X], mode="drop"),
+             su_sub.valid[X:]]),
+        tile_lo=jnp.concatenate(
+            [su.tile_lo.at[scat].set(su_sub.tile_lo[:X], mode="drop"),
+             su_sub.tile_lo[X:]]),
+        tile_hi=jnp.concatenate(
+            [su.tile_hi.at[scat].set(su_sub.tile_hi[:X], mode="drop"),
+             su_sub.tile_hi[X:]]),
+        lam=jnp.concatenate([su.lam, jnp.zeros((X, 3, 3), jnp.float32)]),
+    )
+    overflow = jnp.maximum(n_cross - X, 0).astype(jnp.int32)
+    return su, overflow
+
+
 def mesh_pass_fused(
     plan: RasterPlan,
     state: PipelineState,
@@ -265,15 +381,21 @@ def mesh_pass_fused(
     viewport, scissor,
     texels, tex_offset, tex_width, tex_height,
     draw_mod=None,
+    clip_tables=None,   # (corners [T,3,5+], tri_draw [T], tri_tex [T]) —
+                        # engages the hybrid near-clip subset path
+    clip_cap: int = 0,
 ):
-    """mesh_pass via the fused setup kernel (cull semantics + crossing
-    telemetry; the frame plan re-enables real clipping on any crossing)."""
+    """mesh_pass via the fused setup kernel.  Without clip_tables: cull
+    semantics + crossing telemetry (the frame plan re-enables real
+    clipping on any crossing).  With clip_tables + clip_cap: the hybrid
+    near-clip path — full clip semantics at ~cull-kernel cost
+    (_fused_clip_subset)."""
     import jax
 
     from tyleri_tpu.ops.setup_pallas import fused_setup
 
     dims = _setup_dims(plan, state)
-    su, crossings = fused_setup(
+    su, crossings, crossed = fused_setup(
         corner18, mvps, cam_valid, viewport, scissor, draw_mod,
         draw_cap=mvps.shape[0],
         cull_mode=state.raster.cull_mode,
@@ -281,10 +403,16 @@ def mesh_pass_fused(
         interpret=jax.default_backend() != "tpu",
         **dims,
     )
-    zero = jnp.zeros((), jnp.int32)
+    clip_overflow = jnp.zeros((), jnp.int32)
+    if clip_tables is not None and clip_cap > 0:
+        su, clip_overflow = _fused_clip_subset(
+            su, crossed, clip_tables, mvps, viewport, scissor,
+            state, clip_cap, dims,
+        )
     return _raster_binned(plan, state, color, depth, su, viewport, scissor,
                           texels, tex_offset, tex_width, tex_height,
-                          clip_overflow=zero, clip_crossings=crossings)
+                          clip_overflow=clip_overflow,
+                          clip_crossings=crossings)
 
 
 def mesh_pass(
