@@ -437,16 +437,22 @@ class ForwardRenderingFunction:
         # crossing-free frames the plan drops the full clip machinery;
         # any reported crossing re-enables it for the NEXT frame and
         # quadruples the threshold (exponential backoff so an oscillating
-        # camera cannot thrash recompiles).  With the fused setup kernel
-        # available (ops/setup_pallas.py) the no-clip frame is the FAST
-        # path (one Pallas pass replaces transform+cull+setup), so default
-        # to disabling after 2 clean frames; note_overflow only disables
+        # camera cannot thrash recompiles).  note_overflow only disables
         # when the fused kernel would actually engage — the XLA cull path
         # alone measures ~13 ms SLOWER fused (XLA re-fuses the vertex
         # transform into every setup consumer; optimization_barrier does
         # not recover it).
+        # Default 16: with the HYBRID clip path (use_fused_setup_clip),
+        # clipping frames already run the fused kernel, so the no-clip
+        # flip only saves the O(N) crossing scan + O(clip_cap) subset
+        # pass (~1-2 ms) — while a flip-flop on a transient crossing-free
+        # stretch costs a full frame-program compile (~40-150 s through
+        # the tunnel; the round-5b bench reps measured exactly this as a
+        # recurring ~50 s stall in the second rep's timed window under
+        # the old default of 2).  A scene must now prove itself
+        # crossing-free for a sustained streak before the plan flips.
         self._clip_clean_frames = 0
-        self._clip_disable_after = 2
+        self._clip_disable_after = 16
         # adaptive dense-slot shrink: ~40-50% of the triangle table is
         # culled/invalid on real scenes, and binning's big sort + channel
         # gather pay for every STATIC row.  After this many overflow-free

@@ -479,8 +479,13 @@ class RenderWindow:
         note = getattr(self.rendering_function, "note_overflow", None)
         if note is not None:
             # the batch covers len(rows) frames: the clean-streak fits
-            # count frames, not drain batches (forward.py note_overflow)
-            note(*agg, n_frames=len(rows))
+            # count frames, not drain batches (forward.py note_overflow).
+            # A user RenderingFunction predating n_frames (the protocol is
+            # duck-typed) still gets the positional report.
+            try:
+                note(*agg, n_frames=len(rows))
+            except TypeError:
+                note(*agg)
 
     def flush(self) -> Optional[np.ndarray]:
         """Drain all in-flight frames (the Drop behavior,
