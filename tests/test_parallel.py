@@ -420,3 +420,50 @@ def test_composite_uses_reductions_not_gathers():
     assert "all_gather" not in txt and "all-gather" not in txt, (
         "composite regressed to all_gather")
     assert "all_reduce" in txt or "all-reduce" in txt or "reduce_scatter" in txt
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_hybrid_clip_matches_single_chip():
+    """The hybrid fused+clip-subset path composes with the (draws, tiles)
+    mesh: the kernel's crossing flags respect the draw round-robin
+    (ops/setup_pallas.py::_transform_kernel draw_kept gate), so each
+    shard re-clips only ITS crossing subset and the composite matches
+    the single-chip frame."""
+    import dataclasses
+
+    from tyleri_tpu.models import primitives as prim
+    from tyleri_tpu.models.scenes import _camera, _upload, _upload_texture
+    from tyleri_tpu.scene.mesh_renderer import MeshRenderer
+
+    dev = ty.RenderDeviceBuilder().build()
+    verts, idx = prim.cube(1.5)
+    v, i = _upload(dev, verts, idx)
+    white = _upload_texture(dev, np.ones((1, 1, 4), np.float32))
+    rf = ty.ForwardRenderingFunction(dev, ImageViewSwapchain(RES))
+    scene = RenderScene()
+    cam = _camera(RES, [0.2, 0.1, 0.8], [0, 0, 0])   # inside the cubes
+    rng = np.random.default_rng(3)
+    for _ in range(6):   # several draws; some faces cross the near plane
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = rng.uniform(-0.8, 0.8, 3).astype(np.float32)
+        cam.mesh_renderers.append(MeshRenderer(v, i, white, m))
+    scene.add_camera(cam)
+    arrays = rf.build_frame_inputs(dev, scene.render_resources, 1.0, RES)
+    rf.plan = dataclasses.replace(
+        rf.plan, raster=dataclasses.replace(rf.plan.raster,
+                                            fused_setup=True))
+    assert rf.plan.raster.near_clip
+
+    frame = _render_frame(rf.plan, rf.mesh_state, rf.ui_state, *arrays)
+    frame = jax.block_until_ready(frame)
+    assert int(frame.clip_crossings) > 0   # the hybrid actually clipped
+    want_c, want_d = np.asarray(frame.color), np.asarray(frame.depth)
+    assert (want_d < 1.0).any()
+
+    mesh = make_render_mesh(2, devices=jax.devices()[:8])  # 2 draws x 4
+    color, depth, *_ = render_frame_sharded(
+        rf.plan, rf.mesh_state, rf.ui_state, mesh, *arrays)
+    badd = (np.abs(np.asarray(depth) - want_d) > 1e-6).mean()
+    assert badd < 0.01, f"{badd:.3%} depth pixels differ"
+    badc = (np.abs(np.asarray(color) - want_c).max(axis=-1) > 1e-3).mean()
+    assert badc < 0.01, f"{badc:.3%} color pixels differ"
