@@ -178,6 +178,17 @@ def main():
                         frame3, *arrays)
             print(f"{'steady fps':22s} {1.0 / dt:9.2f}")
 
+            # round-5b: the production orbit keeps near_clip ON (real
+            # crossings), where the HYBRID fused+clip-subset path now
+            # runs (use_fused_setup_clip) — the true steady production
+            # frame is this one, not the no-clip ideal above
+            r4 = dataclasses.replace(r3, near_clip=True)
+            plan4 = dataclasses.replace(rf.plan, raster=r4)
+            frame4 = functools.partial(
+                _render_frame, plan4, rf.mesh_state, rf.ui_state)
+            dt = timeit("steady frame (clip-on hybrid)", frame4, *arrays)
+            print(f"{'steady clip-on fps':22s} {1.0 / dt:9.2f}")
+
 
 if __name__ == "__main__":
     main()
