@@ -168,12 +168,25 @@ def main():
                 print(f"  (spill_cap {spill_cap}: overflow {over} -> x2)",
                       flush=True)
                 spill_cap *= 2
-            fit = -(-int(edem * 1.25) // (1 << 16)) * (1 << 16)
+            # production applies the per-spill-level fit and, after a long
+            # clean streak, the stage-2 tighten (1.10x) — mirror both so
+            # this steady line IS the production steady plan
+            sdem = jax.device_get(f3.spill_demand)
+            fit = -(-int(edem * 1.10) // (1 << 16)) * (1 << 16)
             if fit < r3.entry_cap:
-                r3 = dataclasses.replace(r3, entry_cap=fit)
+                levels = tuple(
+                    max(-(-int(d * 1.10) // 512) * 512, 512) for d in sdem)
+                r3 = dataclasses.replace(r3, entry_cap=fit,
+                                         spill_level_caps=levels)
                 plan3 = dataclasses.replace(rf.plan, raster=r3)
                 frame3 = functools.partial(
                     _render_frame, plan3, rf.mesh_state, rf.ui_state)
+            over3 = int(jax.device_get(frame3(*arrays).bin_overflow))
+            if over3:
+                # a truncating plan flatters the number (the round-5
+                # capacity-tax lesson) — surface it, never hide it
+                print(f"  WARNING steady plan overflows ({over3}) — "
+                      "number not comparable", flush=True)
             dt = timeit(f"steady frame (v{vcap >> 16}/e{r3.entry_cap >> 16})",
                         frame3, *arrays)
             print(f"{'steady fps':22s} {1.0 / dt:9.2f}")
