@@ -303,3 +303,22 @@ def test_fused_clip_hybrid_pixels_match_xla_path():
     diff = np.abs(np.asarray(c_h) - np.asarray(c_ref)).max(axis=-1)
     frac = float((diff > 1.0 / 255.0).mean())
     assert frac < 0.005, f"{frac:.4%} of pixels differ beyond 1 u8"
+
+
+def test_use_fused_setup_clip_gating():
+    from tyleri_tpu.rendering.passes import use_fused_setup_clip
+
+    clip_on = RasterPlan(fb_w=256, fb_h=128, tile_w=64, tile_h=16,
+                         near_clip=True, fused_setup=True)
+    assert use_fused_setup_clip(clip_on, 8)
+    assert not use_fused_setup_clip(clip_on, 65)          # draw_cap
+    assert not use_fused_setup_clip(
+        dataclasses.replace(clip_on, near_clip=False), 8)  # cull mode
+    assert not use_fused_setup_clip(
+        dataclasses.replace(clip_on, exact=True), 8)
+    assert not use_fused_setup_clip(
+        dataclasses.replace(clip_on, tile_w=48), 8)        # non-pow2
+    # "auto" requires the TPU backend (CPU runs the XLA path)
+    auto = dataclasses.replace(clip_on, fused_setup="auto")
+    import jax
+    assert use_fused_setup_clip(auto, 8) == (jax.default_backend() == "tpu")
