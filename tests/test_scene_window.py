@@ -461,3 +461,43 @@ def test_stats_drain_error_does_not_wedge_reporting(monkeypatch):
         pass
     assert not win._using          # in-flight frames were drained
     assert win.latest_image is not None
+
+
+def test_hybrid_clip_window_loop_matches_xla():
+    """The hybrid fused+clip-subset path through the PRODUCTION window
+    loop (record -> drain -> adaptive feedback) renders the same pixels
+    as the XLA clip path, with near-clip staying engaged on a genuinely
+    crossing scene (camera inside the mesh)."""
+    import dataclasses
+
+    from tyleri_tpu.models import primitives as prim
+    from tyleri_tpu.models import scenes as scenelib
+
+    def run(force_fused):
+        dev = make_device()
+        verts, idx = prim.cube(2.0)
+        v, i = scenelib._upload(dev, verts, idx)
+        tex = scenelib._upload_texture(dev, np.full((2, 2, 4), 0.9, np.float32))
+        win = RenderWindow(dev, resolution=(128, 96), present_mode="immediate")
+        rf = win.rendering_function
+        if force_fused:
+            rf.plan = dataclasses.replace(
+                rf.plan,
+                raster=dataclasses.replace(rf.plan.raster, fused_setup=True))
+        for _ in range(8):
+            scene = win.get_render_scene()
+            cam = ty.Camera()
+            cam.view_matrix = np.asarray(
+                math3d.look_at_rh([0, 0.3, 0.8], [0, 0, 0], [0, 1, 0]),
+                np.float32)
+            cam.viewport = math3d.Viewport(0, 0, 128, 96)
+            cam.scissor = math3d.Rect2D(0, 0, 128, 96)
+            cam.mesh_renderers.append(
+                MeshRenderer(v, i, tex, np.eye(4, dtype=np.float32)))
+            scene.add_camera(cam)
+            win.render()
+        img = win.flush()
+        assert rf.plan.raster.near_clip   # crossings keep real clipping on
+        return np.asarray(img)
+
+    np.testing.assert_array_equal(run(True), run(False))
